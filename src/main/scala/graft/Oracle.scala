@@ -1,0 +1,87 @@
+package graft
+
+/** Shared DuckDB SQL fragments for `SparkEntry.oracleSql`.
+  *
+  * Each fragment is the exact SQL rendering of a Scala builder in
+  * [[graft.model.Tables]] / [[graft.label.Labeler]]; keeping them side by side
+  * is what makes the driver's hash-compare (Spark result vs DuckDB result on
+  * the same parquet) reproducible. Any change to a builder must change the
+  * fragment in the same commit.
+  */
+object Oracle {
+
+  /** SQL twin of [[graft.model.Tables.chunkRows]]. */
+  val chunkCte: String =
+    """chunk AS (
+      |  SELECT
+      |    o.o_orderdate AS timestamp_utc,
+      |    CAST(o.o_orderkey AS VARCHAR) AS document_id,
+      |    CAST(o.o_orderkey AS VARCHAR) || '-' || CAST(l.l_linenumber AS VARCHAR) AS sentence_id,
+      |    o.o_orderpriority || ' order ' || CAST(o.o_orderkey AS VARCHAR) AS headline,
+      |    's' || CAST(l.l_suppkey AS VARCHAR) AS entity_id,
+      |    CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'news'
+      |         WHEN o.o_orderpriority = '3-MEDIUM' THEN 'transcripts'
+      |         ELSE 'filings' END AS document_type,
+      |    NOT (o.o_orderpriority IN ('1-URGENT','2-HIGH')) AS is_reporting_entity,
+      |    s.s_name AS entity_name,
+      |    n.n_name AS entity_sector,
+      |    r.r_name AS entity_industry,
+      |    n.n_name AS entity_country,
+      |    'S' || CAST(l.l_suppkey AS VARCHAR) AS entity_ticker,
+      |    d.text AS text,
+      |    d.lang AS lang,
+      |    'c' || CAST(o.o_custkey AS VARCHAR) AS other_entity_id,
+      |    c.c_name AS other_entity_name,
+      |    'p' || CAST(l.l_partkey AS VARCHAR) AS part_entity_id,
+      |    l.l_quantity, l.l_extendedprice, l.l_discount, l.l_returnflag
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN documents d
+      |    ON d.doc_id = (l.l_orderkey * 7 + l.l_linenumber)
+      |                  % (SELECT max(doc_id) + 1 FROM documents)
+      |)""".stripMargin
+
+  /** SQL twin of [[graft.label.Labeler.labelCol]] / `motivationCol`. */
+  val labelCase: String =
+    """CASE WHEN contains(text, 'slow') AND contains(text, 'merge') THEN 'N'
+      |     WHEN contains(text, 'fast') THEN 'P'
+      |     WHEN contains(text, 'stream') THEN 'A'
+      |     ELSE 'U' END""".stripMargin
+
+  val motivationCase: String =
+    """CASE WHEN contains(text, 'slow') AND contains(text, 'merge') THEN 'negative: ' || substr(text, 1, 40)
+      |     WHEN contains(text, 'fast') THEN 'positive: ' || substr(text, 1, 40)
+      |     WHEN contains(text, 'stream') THEN 'adopter: ' || substr(text, 1, 40)
+      |     ELSE 'unclear' END""".stripMargin
+
+  /** `WITH chunk AS (...), labeled AS (chunk + label, motivation)` prefix. */
+  val labeledCte: String =
+    s"""WITH $chunkCte,
+       |labeled AS (
+       |  SELECT *, $labelCase AS label, $motivationCase AS motivation
+       |  FROM chunk
+       |)""".stripMargin
+
+  /** SQL twin of [[graft.model.Tables.entityDim]]. */
+  val entityDimCte: String =
+    """entity_dim AS (
+      |  SELECT 's' || CAST(s_suppkey AS VARCHAR) AS entity_id, s_name AS name,
+      |         'COMP' AS entity_type, n_name AS sector, r_name AS industry_group,
+      |         n_name AS country, 'S' || CAST(s_suppkey AS VARCHAR) AS ticker
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |                JOIN region ON n_regionkey = r_regionkey
+      |  UNION ALL
+      |  SELECT 'c' || CAST(c_custkey AS VARCHAR), c_name, 'COMP', n_name, r_name,
+      |         n_name, 'C' || CAST(c_custkey AS VARCHAR)
+      |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |                JOIN region ON n_regionkey = r_regionkey
+      |  UNION ALL
+      |  SELECT 'p' || CAST(p_partkey AS VARCHAR), p_name, 'PROD', p_brand, p_type,
+      |         'NONE', 'P' || CAST(p_partkey AS VARCHAR)
+      |  FROM part
+      |)""".stripMargin
+}

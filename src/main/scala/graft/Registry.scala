@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One driver-checkable query: a Spark builder plus (when SQL-expressible) its
+  * DuckDB oracle. Both sides MUST produce identical column names and a total
+  * deterministic row order (the correctness gate hash-compares values).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  def all: Seq[Q] =
+    graft.analytics.Relational.queries ++
+      graft.analytics.TimeSeriesOps.queries ++
+      graft.analytics.Baskets.queries ++
+      graft.ingest.ChunkOps.queries ++
+      graft.graph.GraphOps.queries ++
+      graft.text.TextOps.queries ++
+      graft.sim.SimilarityOps.queries ++
+      graft.media.MultimodalOps.queries ++
+      graft.summarize.SummarizeOps.queries
+}

@@ -1,0 +1,230 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Oracle, Q}
+import graft.label.Labeler
+import graft.model.Tables
+
+/** Core relational operators of the reference's analytics layer
+  * (SURVEY.md §2.6 aggregations, §2.8 top-k, §2.4 dedup).
+  *
+  * Scale notes: every query here is a single shuffle (the groupBy/window key);
+  * dimension sides are broadcast inside [[Tables.chunkRows]]. Aggregates are
+  * all algebraic (sum/count/min/max) so map-side partial aggregation applies;
+  * no collect() anywhere. Output ordering is a total deterministic order —
+  * required by the hash-compare gate, and cheap relative to the aggregate.
+  */
+object Relational {
+
+  private def labeled(s: SparkSession, d: String): DataFrame =
+    Labeler.withStubLabels(Tables.chunkRows(s, d))
+
+  /** A1-family baseline: TPC-H Q1-shaped grouped aggregate on the fact table. */
+  private val q1Agg = Q(
+    "q1_agg",
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  /** A1: occurrence counts per (sector, company) over the chunk table. */
+  private val qCounts = Q(
+    "q_counts_sector_company",
+    (s, d) => Tables.chunkRows(s, d)
+      .groupBy(col("entity_sector"), col("entity_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("entity_sector"), col("entity_name")),
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT entity_sector, entity_name, count(*) AS cnt
+         |FROM chunk
+         |GROUP BY entity_sector, entity_name
+         |ORDER BY entity_sector, entity_name""".stripMargin))
+
+  /** A2: distinct counts (documents, entities) per sector. At 100 TB the
+    * exact countDistinct shuffles twice; swap to approx_count_distinct when
+    * an estimate suffices. */
+  private val qDistinct = Q(
+    "q_distinct_counts",
+    (s, d) => Tables.chunkRows(s, d)
+      .groupBy(col("entity_sector"))
+      .agg(
+        countDistinct(col("document_id")).as("n_docs"),
+        countDistinct(col("entity_id")).as("n_entities"),
+        count(lit(1)).as("n_chunks"))
+      .orderBy(col("entity_sector")),
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT entity_sector,
+         |       count(DISTINCT document_id) AS n_docs,
+         |       count(DISTINCT entity_id) AS n_entities,
+         |       count(*) AS n_chunks
+         |FROM chunk
+         |GROUP BY entity_sector
+         |ORDER BY entity_sector""".stripMargin))
+
+  /** A3: pivot count matrix entity × label + Composite Score
+    * (`mind_map_tools.py:559-578`, ThematicScreener cell 30). Fixed label
+    * alphabet keeps the pivot schema static (no extra pass to discover
+    * columns, stable at any SF). */
+  private val qPivot = Q(
+    "q_pivot_scores",
+    (s, d) => labeled(s, d)
+      .groupBy(col("entity_name"))
+      .pivot("label", Seq("P", "A", "N", "U"))
+      .agg(count(lit(1)))
+      .na.fill(0, Seq("P", "A", "N", "U"))
+      .withColumn("composite_score",
+        col("P") + col("A") + col("N") + col("U"))
+      .orderBy(col("composite_score").desc, col("entity_name")),
+    Some(
+      s"""${Oracle.labeledCte}
+         |SELECT entity_name,
+         |       count(*) FILTER (label = 'P') AS P,
+         |       count(*) FILTER (label = 'A') AS A,
+         |       count(*) FILTER (label = 'N') AS N,
+         |       count(*) FILTER (label = 'U') AS U,
+         |       count(*) AS composite_score
+         |FROM labeled
+         |GROUP BY entity_name
+         |ORDER BY composite_score DESC, entity_name""".stripMargin))
+
+  /** T2: top-3 companies per sector by chunk count (window row_number —
+    * single shuffle on sector, no driver-side loop unlike the reference's
+    * per-sector nlargest loop at `tool.py:121-128`). */
+  private val qTopkPerGroup = Q(
+    "q_topk_per_group",
+    (s, d) => {
+      val counts = Tables.chunkRows(s, d)
+        .groupBy(col("entity_sector"), col("entity_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("entity_sector"))
+        .orderBy(col("cnt").desc, col("entity_name"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy(col("entity_sector"), col("rk"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |counts AS (
+         |  SELECT entity_sector, entity_name, count(*) AS cnt
+         |  FROM chunk GROUP BY entity_sector, entity_name
+         |)
+         |SELECT * FROM (
+         |  SELECT entity_sector, entity_name, cnt,
+         |         CAST(row_number() OVER (PARTITION BY entity_sector
+         |                                 ORDER BY cnt DESC, entity_name) AS INT) AS rk
+         |  FROM counts
+         |) WHERE rk <= 3
+         |ORDER BY entity_sector, rk""".stripMargin))
+
+  /** A9: exemplar (argmax) extraction — per entity, the day with the highest
+    * chunk count, deterministic tiebreak (count desc, day desc) mirroring the
+    * reference's idxmax-then-last-row at `tool.py:80-91`. */
+  private val qExemplar = Q(
+    "q_exemplar_argmax",
+    (s, d) => {
+      val daily = Tables.chunkRows(s, d)
+        .groupBy(col("entity_id"),
+          date_format(col("timestamp_utc"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      // (cnt, day) is unique within an entity, so max_by on the struct is the
+      // deterministic argmax — one aggregate, no window sort.
+      daily.groupBy(col("entity_id"))
+        .agg(max_by(struct(col("cnt"), col("day")),
+          struct(col("cnt"), col("day"))).as("m"))
+        .select(col("entity_id"), col("m.day").as("day"), col("m.cnt").as("cnt"))
+        .orderBy(col("entity_id"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |daily AS (
+         |  SELECT entity_id, strftime(timestamp_utc, '%Y-%m-%d') AS day,
+         |         count(*) AS cnt
+         |  FROM chunk GROUP BY 1, 2
+         |)
+         |SELECT entity_id, day, cnt FROM daily
+         |QUALIFY row_number() OVER (PARTITION BY entity_id
+         |                           ORDER BY cnt DESC, day DESC) = 1
+         |ORDER BY entity_id""".stripMargin))
+
+  /** A11: label distribution, absolute + normalized share. */
+  private val qLabelDist = Q(
+    "q_label_distribution",
+    (s, d) => {
+      val counts = labeled(s, d).groupBy(col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("share",
+          round(col("cnt") / sum(col("cnt")).over(Window.partitionBy()), 6))
+        .orderBy(col("label"))
+    },
+    Some(
+      s"""${Oracle.labeledCte}
+         |SELECT label, count(*) AS cnt,
+         |       round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share
+         |FROM labeled
+         |GROUP BY label
+         |ORDER BY label""".stripMargin))
+
+  /** A12: summary-stats table per document_type (min/max date, counts). */
+  private val qSummaryStats = Q(
+    "q_summary_stats",
+    (s, d) => Tables.chunkRows(s, d)
+      .groupBy(col("document_type"))
+      .agg(
+        date_format(min(col("timestamp_utc")), "yyyy-MM-dd").as("min_date"),
+        date_format(max(col("timestamp_utc")), "yyyy-MM-dd").as("max_date"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("document_id")).as("n_docs"))
+      .orderBy(col("document_type")),
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT document_type,
+         |       strftime(min(timestamp_utc), '%Y-%m-%d') AS min_date,
+         |       strftime(max(timestamp_utc), '%Y-%m-%d') AS max_date,
+         |       count(*) AS n_chunks,
+         |       count(DISTINCT document_id) AS n_docs
+         |FROM chunk
+         |GROUP BY document_type
+         |ORDER BY document_type""".stripMargin))
+
+  /** D1: exact chunk-row dedup on the reference's key
+    * (timestamp, document, text, entity), deterministic keeper = min
+    * sentence_id. Implemented as a hash aggregate (map-side combine) rather
+    * than a row_number window: no sort, and the shuffle key carries md5(text)
+    * (32 bytes) instead of the full chunk text — at 100 TB that is the
+    * difference between shuffling the corpus and shuffling its digest. */
+  private val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) => Tables.chunkRows(s, d)
+      .groupBy(col("timestamp_utc"), col("document_id"),
+        md5(col("text")).as("text_md5"), col("entity_id"))
+      .agg(min(col("sentence_id")).as("sentence_id"))
+      .select(col("document_id"), col("sentence_id"), col("entity_id"))
+      .orderBy(col("document_id"), col("sentence_id"), col("entity_id")),
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT document_id, min(sentence_id) AS sentence_id, entity_id
+         |FROM chunk
+         |GROUP BY timestamp_utc, document_id, md5(text), entity_id
+         |ORDER BY document_id, sentence_id, entity_id""".stripMargin))
+
+  def queries: Seq[Q] = Seq(q1Agg, qCounts, qDistinct, qPivot, qTopkPerGroup,
+    qExemplar, qLabelDist, qSummaryStats, qDedupExact)
+}

@@ -1,0 +1,150 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated synthetic tables (TESTDATA.md) plus the
+  * derived relations of the engine's data model.
+  *
+  * The core relation is the chunk-row ("sentence") table — one row per
+  * (document-chunk × target-entity) pair; schema documented in the reference at
+  * `AI_Cost_Cutting_Market_Analysis/src/search.py:399-422`. Here it is realized
+  * against the synthetic star schema: one "document" per order, one "chunk" per
+  * lineitem, chunk text drawn deterministically from the `documents` corpus,
+  * target entity = the lineitem's supplier.
+  *
+  * Every builder in this object has an exactly-equivalent DuckDB SQL rendering
+  * in [[graft.Oracle]] so that driver correctness checks (DuckDB hash compare)
+  * can replicate it bit-for-bit.
+  */
+object Tables {
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Entity dimension (knowledge-graph analogue; reference
+    * `Tracking_Inflation_Drivers/src/query_builder.py:194-224`).
+    * suppliers/customers = COMP entities with sector = nation, industry_group =
+    * region; parts = PROD entities with sector = brand, industry_group = type.
+    * Small (hundreds of rows at any SF) — always broadcast-joined.
+    */
+  def entityDim(s: SparkSession, d: String): DataFrame = {
+    val n = nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = region(s, d).select(col("r_regionkey"), col("r_name"))
+    val nr = n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val sup = supplier(s, d)
+      .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+      .select(
+        concat(lit("s"), col("s_suppkey")).as("entity_id"),
+        col("s_name").as("name"),
+        lit("COMP").as("entity_type"),
+        col("n_name").as("sector"),
+        col("r_name").as("industry_group"),
+        col("n_name").as("country"),
+        concat(lit("S"), col("s_suppkey")).as("ticker"))
+    val cust = customer(s, d)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        concat(lit("c"), col("c_custkey")).as("entity_id"),
+        col("c_name").as("name"),
+        lit("COMP").as("entity_type"),
+        col("n_name").as("sector"),
+        col("r_name").as("industry_group"),
+        col("n_name").as("country"),
+        concat(lit("C"), col("c_custkey")).as("ticker"))
+    val prt = part(s, d).select(
+      concat(lit("p"), col("p_partkey")).as("entity_id"),
+      col("p_name").as("name"),
+      lit("PROD").as("entity_type"),
+      col("p_brand").as("sector"),
+      col("p_type").as("industry_group"),
+      lit("NONE").as("country"),
+      concat(lit("P"), col("p_partkey")).as("ticker"))
+    sup.unionByName(cust).unionByName(prt)
+  }
+
+  /** Chunk-row table (the engine's core relation).
+    *
+    * Mapping: document = order (document_id = o_orderkey, timestamp =
+    * o_orderdate, document_type from o_orderpriority); chunk = lineitem
+    * (chunk idx = l_linenumber, sentence_id = "{doc}-{idx}"); chunk text =
+    * `documents.text` keyed by (l_orderkey*7 + l_linenumber) mod |documents|;
+    * target entity = supplier (denormalized via nation/region).
+    *
+    * The plan is a star join: fact = lineitem⋈orders (both shuffle on
+    * orderkey), all dimension sides are broadcast. At 100 TB the only shuffle
+    * is the fact-fact equi-join; dims stay broadcast (they are tiny at every
+    * SF by construction).
+    */
+  def chunkRows(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    val doc = documents(s, d)
+    val sup = supplier(s, d)
+    val cst = customer(s, d)
+    val n = nation(s, d)
+    val r = region(s, d)
+
+    val supDim = sup
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("sup_nation"),
+        col("r_name").as("sup_region"))
+
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cst.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      // deterministic text assignment; |documents| scales with SF so the key
+      // is taken modulo the actual corpus size (same expression in the oracle)
+      .join(doc.select(col("doc_id"), col("text"), col("lang")),
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(docCount(s, d)))
+          === col("doc_id"))
+      .select(
+        col("o_orderdate").as("timestamp_utc"),
+        col("o_orderkey").cast("string").as("document_id"),
+        concat(col("o_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("sentence_id"),
+        concat(col("o_orderpriority"), lit(" order "),
+          col("o_orderkey").cast("string")).as("headline"),
+        concat(lit("s"), col("l_suppkey")).as("entity_id"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("news"))
+          .when(col("o_orderpriority") === "3-MEDIUM", lit("transcripts"))
+          .otherwise(lit("filings")).as("document_type"),
+        (!when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(true))
+          .otherwise(lit(false))).as("is_reporting_entity"),
+        col("s_name").as("entity_name"),
+        col("sup_nation").as("entity_sector"),
+        col("sup_region").as("entity_industry"),
+        col("sup_nation").as("entity_country"),
+        concat(lit("S"), col("l_suppkey")).as("entity_ticker"),
+        col("text"),
+        col("lang"),
+        concat(lit("c"), col("o_custkey")).as("other_entity_id"),
+        col("c_name").as("other_entity_name"),
+        concat(lit("p"), col("l_partkey")).as("part_entity_id"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_returnflag"))
+  }
+
+  /** Corpus size for the deterministic text-assignment key; an eager tiny
+    * aggregate (single-column scan of a dimension table), memoized per sfDir
+    * so repeated query construction doesn't re-run the job. */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def docCount(s: SparkSession, d: String): Long =
+    docCountCache.computeIfAbsent(d,
+      _ => documents(s, d).agg(max(col("doc_id"))).head.getLong(0) + 1)
+}
