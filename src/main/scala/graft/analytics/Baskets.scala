@@ -1,7 +1,403 @@
 package graft.analytics
 
-import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.{Oracle, Q}
+import graft.label.Labeler
+import graft.model.Tables
+
+/** Basket construction, join shapes and set operations of the reference
+  * (SURVEY.md §2.5 joins, §2.6 A4-A8/A10, §2.4 D2/D4/D5, §2.9 set ops).
+  *
+  * Join scale notes: the per-company aggregate sides of every join here are
+  * post-aggregation (|entities| rows, not |chunks|), so Catalyst broadcasts
+  * them at any realistic SF; the only fact-sized shuffles are the initial
+  * groupBys.
+  */
 object Baskets {
-  def queries: Seq[Q] = Seq.empty
+
+  private def labeled(s: SparkSession, d: String): DataFrame =
+    Labeler.withStubLabels(Tables.chunkRows(s, d))
+
+  /** J1+J2+J3+A7+A8+T3: the basket table
+    * (`AI_Cost_Cutting_Market_Analysis/src/tool.py:296-363`): positive ⟕
+    * negative exposure counts per company, sector info attached from the
+    * unioned frames, exemplar headline, percentage shares, net exposure,
+    * top-10 by total. */
+  private val qBasket = Q(
+    "q_basket",
+    (s, d) => {
+      val lc = labeled(s, d)
+      val pos = lc.filter(col("label") === "P")
+        .groupBy(col("entity_name"))
+        .agg(count(lit(1)).as("positive_exp"),
+          max(col("headline")).as("exemplar_headline"))
+      val neg = lc.filter(col("label") === "N")
+        .groupBy(col("entity_name"))
+        .agg(count(lit(1)).as("negative_exp"))
+      val sectorInfo = lc.filter(col("label") === "P")
+        .select(col("entity_name"), col("entity_sector"))
+        .unionByName(lc.filter(col("label") === "N")
+          .select(col("entity_name"), col("entity_sector")))
+        .distinct()
+      pos.join(neg, Seq("entity_name"), "left")
+        .na.fill(0, Seq("negative_exp"))
+        .join(sectorInfo, Seq("entity_name"))
+        .withColumn("total_exposure", col("positive_exp") + col("negative_exp"))
+        .withColumn("positive_pct",
+          round(lit(100.0) * col("positive_exp") / col("total_exposure"), 4))
+        .withColumn("negative_pct",
+          round(lit(100.0) * col("negative_exp") / col("total_exposure"), 4))
+        .withColumn("net_exposure",
+          abs(col("positive_exp")) - abs(col("negative_exp")))
+        .select(col("entity_name"), col("entity_sector"), col("positive_exp"),
+          col("negative_exp"), col("total_exposure"), col("positive_pct"),
+          col("negative_pct"), col("net_exposure"), col("exemplar_headline"))
+        .orderBy(col("total_exposure").desc, col("entity_name"))
+        .limit(10)
+    },
+    Some(
+      s"""${Oracle.labeledCte},
+         |pos AS (
+         |  SELECT entity_name, count(*) AS positive_exp,
+         |         max(headline) AS exemplar_headline
+         |  FROM labeled WHERE label = 'P' GROUP BY entity_name
+         |),
+         |neg AS (
+         |  SELECT entity_name, count(*) AS negative_exp
+         |  FROM labeled WHERE label = 'N' GROUP BY entity_name
+         |),
+         |sector_info AS (
+         |  SELECT DISTINCT entity_name, entity_sector FROM (
+         |    SELECT entity_name, entity_sector FROM labeled WHERE label = 'P'
+         |    UNION ALL
+         |    SELECT entity_name, entity_sector FROM labeled WHERE label = 'N'
+         |  )
+         |)
+         |SELECT p.entity_name, si.entity_sector, p.positive_exp,
+         |       COALESCE(n.negative_exp, 0) AS negative_exp,
+         |       p.positive_exp + COALESCE(n.negative_exp, 0) AS total_exposure,
+         |       round(100.0 * p.positive_exp
+         |             / (p.positive_exp + COALESCE(n.negative_exp, 0)), 4) AS positive_pct,
+         |       round(100.0 * COALESCE(n.negative_exp, 0)
+         |             / (p.positive_exp + COALESCE(n.negative_exp, 0)), 4) AS negative_pct,
+         |       abs(p.positive_exp) - abs(COALESCE(n.negative_exp, 0)) AS net_exposure,
+         |       p.exemplar_headline
+         |FROM pos p
+         |LEFT JOIN neg n ON p.entity_name = n.entity_name
+         |JOIN sector_info si ON p.entity_name = si.entity_name
+         |ORDER BY total_exposure DESC, p.entity_name
+         |LIMIT 10""".stripMargin))
+
+  /** J5/J9: full outer merge of provider vs adopter counts with a pandas-style
+    * `_merge` indicator, then zero-fill
+    * (`network_analysis.py:84-91`, `report_generator.py:338-345`). */
+  private val qOuterMerge = Q(
+    "q_outer_merge_indicator",
+    (s, d) => {
+      val lc = labeled(s, d)
+      val prov = lc.filter(col("label") === "P").groupBy(col("entity_name"))
+        .agg(count(lit(1)).as("provider_cnt"))
+      val adop = lc.filter(col("label") === "A").groupBy(col("entity_name"))
+        .agg(count(lit(1)).as("adopter_cnt"))
+      prov.join(adop, Seq("entity_name"), "outer")
+        .withColumn("merge_ind",
+          when(col("provider_cnt").isNull, lit("right_only"))
+            .when(col("adopter_cnt").isNull, lit("left_only"))
+            .otherwise(lit("both")))
+        .na.fill(0, Seq("provider_cnt", "adopter_cnt"))
+        .orderBy(col("entity_name"))
+    },
+    Some(
+      s"""${Oracle.labeledCte},
+         |prov AS (SELECT entity_name, count(*) AS provider_cnt
+         |         FROM labeled WHERE label = 'P' GROUP BY entity_name),
+         |adop AS (SELECT entity_name, count(*) AS adopter_cnt
+         |         FROM labeled WHERE label = 'A' GROUP BY entity_name)
+         |SELECT COALESCE(p.entity_name, a.entity_name) AS entity_name,
+         |       COALESCE(p.provider_cnt, 0) AS provider_cnt,
+         |       COALESCE(a.adopter_cnt, 0) AS adopter_cnt,
+         |       CASE WHEN p.entity_name IS NULL THEN 'right_only'
+         |            WHEN a.entity_name IS NULL THEN 'left_only'
+         |            ELSE 'both' END AS merge_ind
+         |FROM prov p FULL OUTER JOIN adop a ON p.entity_name = a.entity_name
+         |ORDER BY entity_name""".stripMargin))
+
+  /** J7: response fallback coalesce (`Report_Generator_Regulatory_Issues_in_
+    * Tech/src/report_generator.py:454-469`): filings response, news response
+    * as fallback, default marker last. */
+  private val qCoalesce = Q(
+    "q_response_coalesce",
+    (s, d) => {
+      val lc = labeled(s, d)
+      val base = lc.select(col("entity_name")).distinct()
+      val filings = lc
+        .filter(col("document_type") === "filings" && col("label") =!= "U")
+        .groupBy(col("entity_name"))
+        .agg(max(col("motivation")).as("filings_response"))
+      val news = lc
+        .filter(col("document_type") === "news" && col("label") =!= "U")
+        .groupBy(col("entity_name"))
+        .agg(max(col("motivation")).as("news_response"))
+      base.join(filings, Seq("entity_name"), "left")
+        .join(news, Seq("entity_name"), "left")
+        .withColumn("response",
+          coalesce(col("filings_response"), col("news_response"),
+            lit("no response")))
+        .select(col("entity_name"), col("response"))
+        .orderBy(col("entity_name"))
+    },
+    Some(
+      s"""${Oracle.labeledCte},
+         |base AS (SELECT DISTINCT entity_name FROM labeled),
+         |filings AS (
+         |  SELECT entity_name, max(motivation) AS filings_response
+         |  FROM labeled WHERE document_type = 'filings' AND label <> 'U'
+         |  GROUP BY entity_name
+         |),
+         |news AS (
+         |  SELECT entity_name, max(motivation) AS news_response
+         |  FROM labeled WHERE document_type = 'news' AND label <> 'U'
+         |  GROUP BY entity_name
+         |)
+         |SELECT b.entity_name,
+         |       COALESCE(f.filings_response, n.news_response, 'no response') AS response
+         |FROM base b
+         |LEFT JOIN filings f ON b.entity_name = f.entity_name
+         |LEFT JOIN news n ON b.entity_name = n.entity_name
+         |ORDER BY b.entity_name""".stripMargin))
+
+  /** J6: multi-way reduce outer join — per-label daily sector panels folded
+    * with outer joins on (day, sector) then zero-filled
+    * (`Election_Monitor/src/visualization_tools.py:293-301`). */
+  private val qMultiwayOuter = Q(
+    "q_multiway_outer",
+    (s, d) => {
+      val lc = labeled(s, d)
+      def panel(lbl: String, cname: String): DataFrame = lc
+        .filter(col("label") === lbl)
+        .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
+          col("entity_sector"))
+        .agg(count(lit(1)).as(cname))
+      val merged = Seq(panel("P", "p_cnt"), panel("A", "a_cnt"),
+        panel("N", "n_cnt"))
+        .reduce((a, b) => a.join(b, Seq("month", "entity_sector"), "outer"))
+      merged.na.fill(0, Seq("p_cnt", "a_cnt", "n_cnt"))
+        .orderBy(col("month"), col("entity_sector"))
+    },
+    Some(
+      s"""${Oracle.labeledCte},
+         |p AS (SELECT strftime(timestamp_utc, '%Y-%m') AS month, entity_sector,
+         |             count(*) AS p_cnt
+         |      FROM labeled WHERE label = 'P' GROUP BY 1, 2),
+         |a AS (SELECT strftime(timestamp_utc, '%Y-%m') AS month, entity_sector,
+         |             count(*) AS a_cnt
+         |      FROM labeled WHERE label = 'A' GROUP BY 1, 2),
+         |n AS (SELECT strftime(timestamp_utc, '%Y-%m') AS month, entity_sector,
+         |             count(*) AS n_cnt
+         |      FROM labeled WHERE label = 'N' GROUP BY 1, 2)
+         |SELECT month, entity_sector,
+         |       COALESCE(p_cnt, 0) AS p_cnt, COALESCE(a_cnt, 0) AS a_cnt,
+         |       COALESCE(n_cnt, 0) AS n_cnt
+         |FROM p
+         |FULL OUTER JOIN a USING (month, entity_sector)
+         |FULL OUTER JOIN n USING (month, entity_sector)
+         |ORDER BY month, entity_sector""".stripMargin))
+
+  /** A6: mean-normalized scores (`report_generator.py:346-348`):
+    * score = docs / mean(docs) across companies. */
+  private val qMeanNorm = Q(
+    "q_mean_normalized",
+    (s, d) => Tables.chunkRows(s, d)
+      .groupBy(col("entity_name"))
+      .agg(countDistinct(col("document_id")).as("n_docs"))
+      .withColumn("score",
+        round(col("n_docs") / avg(col("n_docs")).over(Window.partitionBy()), 6))
+      .orderBy(col("entity_name")),
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |per_entity AS (
+         |  SELECT entity_name, count(DISTINCT document_id) AS n_docs
+         |  FROM chunk GROUP BY entity_name
+         |)
+         |SELECT entity_name, n_docs,
+         |       round(n_docs / avg(n_docs) OVER (), 6) AS score
+         |FROM per_entity
+         |ORDER BY entity_name""".stripMargin))
+
+  /** A4/A5: grouped collect — distinct hit counts plus an ordered, bounded
+    * verbatim join of example headlines per (sector, label)
+    * (`mind_map_tools.py:499-556`, `report_generator.py:112-134`). */
+  private val qGroupedCollect = Q(
+    "q_grouped_collect",
+    (s, d) => labeled(s, d)
+      .groupBy(col("entity_sector"), col("label"))
+      .agg(
+        countDistinct(col("sentence_id")).as("n_sentences"),
+        countDistinct(col("document_id")).as("n_docs"),
+        concat_ws(" | ",
+          slice(array_sort(collect_set(col("headline"))), 1, 3))
+          .as("examples"))
+      .orderBy(col("entity_sector"), col("label")),
+    Some(
+      s"""${Oracle.labeledCte}
+         |SELECT entity_sector, label,
+         |       count(DISTINCT sentence_id) AS n_sentences,
+         |       count(DISTINCT document_id) AS n_docs,
+         |       array_to_string(list_sort(list(DISTINCT headline))[1:3], ' | ') AS examples
+         |FROM labeled
+         |GROUP BY entity_sector, label
+         |ORDER BY entity_sector, label""".stripMargin))
+
+  /** A10: majority label (mode) per entity with a deterministic (count, label)
+    * tiebreak (`visualization_tools.py:608-612`). */
+  private val qMajority = Q(
+    "q_majority_label",
+    (s, d) => labeled(s, d)
+      .groupBy(col("entity_name"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("entity_name"))
+      .agg(max_by(col("label"), struct(col("cnt"), col("label")))
+        .as("major_label"))
+      .orderBy(col("entity_name")),
+    Some(
+      s"""${Oracle.labeledCte},
+         |counts AS (
+         |  SELECT entity_name, label, count(*) AS cnt
+         |  FROM labeled GROUP BY entity_name, label
+         |)
+         |SELECT entity_name, label AS major_label FROM counts
+         |QUALIFY row_number() OVER (PARTITION BY entity_name
+         |                           ORDER BY cnt DESC, label DESC) = 1
+         |ORDER BY entity_name""".stripMargin))
+
+  /** U1+D2: union of two keyword searches then composite-key dedup
+    * (`AI_Cost_Cutting_Market_Analysis.ipynb` cell 21). */
+  private val qUnionDedup = Q(
+    "q_union_dedup",
+    (s, d) => {
+      val c = Tables.chunkRows(s, d)
+      val a = c.filter(col("text").contains("fast"))
+      val b = c.filter(col("text").contains("join"))
+      a.unionByName(b)
+        .select(col("document_id"), col("sentence_id"), col("entity_id"))
+        .distinct()
+        .orderBy(col("document_id"), col("sentence_id"), col("entity_id"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT DISTINCT document_id, sentence_id, entity_id FROM (
+         |  SELECT document_id, sentence_id, entity_id FROM chunk
+         |  WHERE contains(text, 'fast')
+         |  UNION ALL
+         |  SELECT document_id, sentence_id, entity_id FROM chunk
+         |  WHERE contains(text, 'join')
+         |)
+         |ORDER BY document_id, sentence_id, entity_id""".stripMargin))
+
+  /** U3: anti-membership — companies active overall but absent in the final
+    * month (`tool.py:720-724` missing-companies scaffold step). */
+  private val qAnti = Q(
+    "q_anti_membership",
+    (s, d) => {
+      val m = Tables.chunkRows(s, d)
+        .select(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
+          col("entity_name"))
+      val maxM = m.agg(max(col("month")).as("month"))
+      val present = m.join(broadcast(maxM), Seq("month"))
+        .select(col("entity_name")).distinct()
+      m.select(col("entity_name")).distinct()
+        .join(present, Seq("entity_name"), "left_anti")
+        .orderBy(col("entity_name"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |m AS (SELECT strftime(timestamp_utc, '%Y-%m') AS month, entity_name
+         |      FROM chunk)
+         |SELECT DISTINCT entity_name FROM m
+         |WHERE entity_name NOT IN (
+         |  SELECT entity_name FROM m WHERE month = (SELECT max(month) FROM m))
+         |ORDER BY entity_name""".stripMargin))
+
+  /** U4: membership filter via semi-join — chunks restricted to the top-5
+    * entities by volume, recounted by document type. */
+  private val qSemi = Q(
+    "q_semi_membership",
+    (s, d) => {
+      val c = Tables.chunkRows(s, d)
+      val top5 = c.groupBy(col("entity_name")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("entity_name")).limit(5)
+        .select(col("entity_name"))
+      c.join(broadcast(top5), Seq("entity_name"), "left_semi")
+        .groupBy(col("entity_name"), col("document_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("entity_name"), col("document_type"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |top5 AS (
+         |  SELECT entity_name FROM (
+         |    SELECT entity_name, count(*) AS cnt FROM chunk GROUP BY entity_name
+         |    ORDER BY cnt DESC, entity_name LIMIT 5
+         |  )
+         |)
+         |SELECT entity_name, document_type, count(*) AS cnt
+         |FROM chunk
+         |WHERE entity_name IN (SELECT entity_name FROM top5)
+         |GROUP BY entity_name, document_type
+         |ORDER BY entity_name, document_type""".stripMargin))
+
+  /** D4+D5: keep-earliest-per-duplicate-set, then reinstate duplicates with
+    * the kept row's value forward-filled through the set
+    * (`Tracking_Inflation_Drivers/src/tools.py:69-90`). The "expensive stage
+    * output" (label@sentence) exists only on the kept row; ffill propagates it
+    * to the reinstated duplicates. */
+  private val qDedupSplitFfill = Q(
+    "q_dedup_split_ffill",
+    (s, d) => {
+      val c = Tables.chunkRows(s, d)
+        .withColumn("set_id", md5(col("text")))
+      // (sentence_id, entity_id, part_entity_id) is the minimal unique key of
+      // the chunk table (the synthetic lineitem duplicates (orderkey,
+      // linenumber[,suppkey])) — the full key makes row_number deterministic.
+      val w = Window.partitionBy(col("set_id"))
+        .orderBy(col("timestamp_utc"), col("sentence_id"), col("entity_id"),
+          col("part_entity_id"))
+      val ranked = c.withColumn("rn", row_number().over(w))
+        .withColumn("label_kept",
+          when(col("rn") === 1,
+            concat(Labeler.labelCol, lit("@"), col("sentence_id"))))
+      val wf = Window.partitionBy(col("set_id")).orderBy(col("rn"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ranked
+        .withColumn("label_filled",
+          first(col("label_kept"), ignoreNulls = true).over(wf))
+        .select(col("set_id"), col("rn"), col("sentence_id"), col("entity_id"),
+          col("label_filled"))
+        .orderBy(col("set_id"), col("rn"), col("sentence_id"), col("entity_id"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |ranked AS (
+         |  SELECT md5(text) AS set_id, sentence_id, entity_id,
+         |         CAST(row_number() OVER w AS INT) AS rn,
+         |         CASE WHEN row_number() OVER w = 1
+         |              THEN ${Oracle.labelCase.replace("\n", " ")} || '@' || sentence_id
+         |         END AS label_kept
+         |  FROM chunk
+         |  WINDOW w AS (PARTITION BY md5(text)
+         |               ORDER BY timestamp_utc, sentence_id, entity_id, part_entity_id)
+         |)
+         |SELECT set_id, rn, sentence_id, entity_id,
+         |       first_value(label_kept IGNORE NULLS) OVER (
+         |         PARTITION BY set_id ORDER BY rn
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS label_filled
+         |FROM ranked
+         |ORDER BY set_id, rn, sentence_id, entity_id""".stripMargin))
+
+  def queries: Seq[Q] = Seq(qBasket, qOuterMerge, qCoalesce, qMultiwayOuter,
+    qMeanNorm, qGroupedCollect, qMajority, qUnionDedup, qAnti, qSemi,
+    qDedupSplitFfill)
 }
