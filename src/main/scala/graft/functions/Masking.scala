@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Entity masking / unmasking (SURVEY.md §2.3 P3/P5; reference algorithm at
+  * `AI_Cost_Cutting_Market_Analysis/src/search.py:611-677` and
+  * `labeling.py:23-44`).
+  *
+  * Pure string algorithm, ported semantically (not textually):
+  *  - spans of the target entity → `"Target Company"`;
+  *  - spans of other entities → `"Other Company_i"` with STABLE numbering: i
+  *    is assigned per distinct entity key in order of first span appearance;
+  *  - non-target spans overlapping a target span are skipped
+  *    (`search.py:654`);
+  *  - replacements applied right-to-left so earlier offsets stay valid;
+  *  - emits the placeholder map (i → entity name) for unmasking.
+  *
+  * Registered as plain Scala UDFs: the inputs are an array-of-struct column
+  * and two strings; the function is a per-row pure computation with no state,
+  * so a codegen Expression would buy little — the surrounding plan stays in
+  * whole-stage codegen and only this projection boxes.
+  */
+object Masking {
+
+  final case class Span(key: String, name: String, start: Int, end: Int)
+
+  final val TargetPlaceholder = "Target Company"
+  final val OtherPrefix = "Other Company_"
+
+  /** @return (maskedText, placeholderMap as (idx, name) pairs) */
+  def mask(text: String, spans: Seq[Span], targetKey: String): (String, Seq[(Int, String)]) = {
+    val valid = spans
+      .filter(sp => sp.start >= 0 && sp.end > sp.start && sp.end <= text.length)
+      .sortBy(sp => (sp.start, sp.end))
+    val targetSpans = valid.filter(_.key == targetKey)
+    def overlapsTarget(sp: Span): Boolean =
+      targetSpans.exists(t => sp.start < t.end && t.start < sp.end)
+    val others = valid.filter(sp => sp.key != targetKey && !overlapsTarget(sp))
+
+    // stable numbering by first appearance of each distinct key
+    val numbering = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    others.foreach(sp =>
+      if (!numbering.contains(sp.key)) numbering(sp.key) = numbering.size + 1)
+
+    val replacements =
+      targetSpans.map(sp => (sp, TargetPlaceholder)) ++
+        others.map(sp => (sp, OtherPrefix + numbering(sp.key)))
+    val masked = replacements.sortBy(-_._1.start).foldLeft(text) {
+      case (acc, (sp, ph)) =>
+        acc.substring(0, sp.start) + ph + acc.substring(sp.end)
+    }
+    val phMap = others.groupBy(_.key).toSeq
+      .map { case (k, sps) => (numbering(k), sps.head.name) }
+      .sortBy(_._1)
+    (masked, phMap)
+  }
+
+  /** P5: regex-replace placeholders back to names
+    * (`labeling.py:23-44`): `Target Company(_\d+)?` → target name,
+    * `Other Company_k` → mapped name. */
+  def unmask(masked: String, targetName: String, phMap: Seq[(Int, String)]): String = {
+    val withOthers = phMap.sortBy(-_._1).foldLeft(masked) {
+      case (acc, (idx, name)) => acc.replace(OtherPrefix + idx, name)
+    }
+    withOthers.replaceAll("Target Company(_\\d+)?", java.util.regex.Matcher.quoteReplacement(targetName))
+  }
+
+  /** UDF over (text, entities array<struct<key,name,start,end>>, target_key)
+    * → struct<masked_text, ph_map array<struct<idx,name>>>. */
+  val maskUdf: UserDefinedFunction =
+    udf((text: String, entities: Seq[Row], targetKey: String) => {
+      val spans = Option(entities).getOrElse(Seq.empty).map { r =>
+        Span(r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+      }
+      mask(Option(text).getOrElse(""), spans, targetKey)
+    })
+
+  val unmaskUdf: UserDefinedFunction =
+    udf((masked: String, targetName: String, phMap: Seq[Row]) => {
+      val m = Option(phMap).getOrElse(Seq.empty)
+        .map(r => (r.getInt(0), r.getString(1)))
+      unmask(Option(masked).getOrElse(""), targetName, m)
+    })
+}

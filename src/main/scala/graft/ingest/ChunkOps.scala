@@ -1,7 +1,316 @@
 package graft.ingest
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.{Oracle, Q}
+import graft.functions.Masking
+import graft.model.Tables
+import graft.query.QueryAlgebra._
+
+/** Ingest-side operators: projection/reshaping/row generation (SURVEY.md
+  * §2.3 P1-P9), the masking pipeline (P3/P5), and the compiled query algebra
+  * (§2.2) driven end-to-end.
+  */
 object ChunkOps {
-  def queries: Seq[Q] = Seq.empty
+
+  /** Chunk rows + synthesized entity spans: the planted tokens `customer`,
+    * `part`, `order` stand in for located entity mentions (first occurrence,
+    * 0-based offsets — exactly the reference's char-span contract
+    * `search.py:430-448`). */
+  def withSpans(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.chunkRows(s, d)
+    def span(key: Column, name: Column, token: String): Column = {
+      val p = instr(col("text"), token)
+      struct(key.as("key"), name.as("name"), (p - 1).cast("int").as("start"),
+        (p - 1 + token.length).cast("int").as("end"))
+    }
+    c.withColumn("entities",
+      filter(
+        array(
+          span(col("other_entity_id"), col("other_entity_name"), "customer"),
+          span(col("part_entity_id"), col("part_entity_id"), "part"),
+          span(concat(lit("o"), col("document_id")),
+            concat(lit("o"), col("document_id")), "order")),
+        e => e.getField("start") >= 0))
+  }
+
+  /** P1: doc→chunk→entity explode — one row per (chunk, entity-in-any-role),
+    * aggregated per role. */
+  private val qExplodeRoles = Q(
+    "q_explode_roles",
+    (s, d) => Tables.chunkRows(s, d)
+      .select(col("sentence_id"), explode(array(
+        struct(col("entity_id").as("ent"), lit("supplier").as("role")),
+        struct(col("other_entity_id").as("ent"), lit("customer").as("role")),
+        struct(col("part_entity_id").as("ent"), lit("part").as("role"))))
+        .as("e"))
+      .select(col("e.ent").as("ent"), col("e.role").as("role"))
+      .groupBy(col("role"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("ent")).as("n_entities"))
+      .orderBy(col("role")),
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |exploded AS (
+         |  SELECT entity_id AS ent, 'supplier' AS role FROM chunk
+         |  UNION ALL SELECT other_entity_id, 'customer' FROM chunk
+         |  UNION ALL SELECT part_entity_id, 'part' FROM chunk
+         |)
+         |SELECT role, count(*) AS n_rows, count(DISTINCT ent) AS n_entities
+         |FROM exploded GROUP BY role ORDER BY role""".stripMargin))
+
+  /** P7: topics explode — zip parallel (topic, type) arrays, drop COMP
+    * entries, explode, count (`visualization_tools.py:573-606`). */
+  private val qTopicsExplode = Q(
+    "q_topics_explode",
+    (s, d) => {
+      val arr = array(
+        struct(lit("SECT").as("topic_type"), col("entity_sector").as("topic")),
+        struct(lit("REGI").as("topic_type"), col("entity_industry").as("topic")),
+        struct(lit("COMP").as("topic_type"), col("other_entity_name").as("topic")))
+      Tables.chunkRows(s, d)
+        .select(explode(filter(arr, x => x.getField("topic_type") =!= "COMP"))
+          .as("t"))
+        .select(col("t.topic_type").as("topic_type"), col("t.topic").as("topic"))
+        .groupBy(col("topic_type"), col("topic"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("topic_type"), col("topic"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |topics AS (
+         |  SELECT 'SECT' AS topic_type, entity_sector AS topic FROM chunk
+         |  UNION ALL SELECT 'REGI', entity_industry FROM chunk
+         |)
+         |SELECT topic_type, topic, count(*) AS cnt
+         |FROM topics GROUP BY 1, 2 ORDER BY topic_type, topic""".stripMargin))
+
+  /** P4: brace-scrub / tombstone filter analogue (`search.py:580-608`):
+    * regex-scrub a token, drop tombstoned rows, account for what survived. */
+  private val qScrub = Q(
+    "q_scrub_tombstone",
+    (s, d) => Tables.chunkRows(s, d)
+      .withColumn("clean", regexp_replace(col("text"), "vector", ""))
+      .filter(!col("text").contains("dup"))
+      .groupBy(col("document_type"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("clean"))).as("total_len"))
+      .orderBy(col("document_type")),
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT document_type, count(*) AS n_kept,
+         |       CAST(sum(length(regexp_replace(text, 'vector', '', 'g'))) AS BIGINT) AS total_len
+         |FROM chunk
+         |WHERE NOT contains(text, 'dup')
+         |GROUP BY document_type ORDER BY document_type""".stripMargin))
+
+  /** P6: rename-to-presentation format (`tool.py:1096-1135`) — reference
+    * column names incl. the `'%b %Y'` Time Period. */
+  private val qPresentation = Q(
+    "q_presentation",
+    (s, d) => Tables.chunkRows(s, d)
+      .select(
+        col("entity_sector").as("Sector"),
+        col("entity_industry").as("Industry"),
+        col("entity_name").as("Company"),
+        date_format(col("timestamp_utc"), "yyyy-MM-dd").as("Date"),
+        col("headline").as("Headline"),
+        col("text").as("Quote"),
+        col("entity_ticker").as("Ticker"),
+        col("document_id").as("Document ID"),
+        date_format(col("timestamp_utc"), "MMM yyyy").as("Time Period"))
+      .orderBy(col("Company"), col("Date"), col("Document ID"), col("Quote")),
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT entity_sector AS "Sector", entity_industry AS "Industry",
+         |       entity_name AS "Company",
+         |       strftime(timestamp_utc, '%Y-%m-%d') AS "Date",
+         |       headline AS "Headline", text AS "Quote",
+         |       entity_ticker AS "Ticker", document_id AS "Document ID",
+         |       strftime(timestamp_utc, '%b %Y') AS "Time Period"
+         |FROM chunk
+         |ORDER BY "Company", "Date", "Document ID", "Quote"""".stripMargin))
+
+  /** P3 (oracle-gated core): mask the target entity's span via the real
+    * masking UDF; the oracle reproduces the single-span splice in SQL. */
+  private val qMaskTarget = Q(
+    "q_mask_target",
+    (s, d) => {
+      val c = Tables.chunkRows(s, d)
+      val p = instr(col("text"), "customer")
+      val ents = filter(
+        array(struct(col("other_entity_id").as("key"),
+          col("other_entity_name").as("name"),
+          (p - 1).cast("int").as("start"), (p + 7).cast("int").as("end"))),
+        e => e.getField("start") >= 0)
+      c.withColumn("m",
+        Masking.maskUdf(col("text"), ents, col("other_entity_id")))
+        .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+          col("m._1").as("masked_text"))
+        .orderBy(col("sentence_id"), col("entity_id"), col("part_entity_id"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT sentence_id, entity_id, part_entity_id,
+         |       CASE WHEN strpos(text, 'customer') > 0
+         |            THEN substr(text, 1, strpos(text, 'customer') - 1)
+         |                 || 'Target Company'
+         |                 || substr(text, strpos(text, 'customer') + 8)
+         |            ELSE text END AS masked_text
+         |FROM chunk
+         |ORDER BY sentence_id, entity_id, part_entity_id""".stripMargin))
+
+  /** P3 (full multi-span path): target + stable-numbered other entities +
+    * placeholder map. Not SQL-expressible compactly → rows-only check; the
+    * algorithm invariants are property-tested in MaskingSpec. */
+  private val qMaskMulti = Q(
+    "q_mask_multi",
+    (s, d) => withSpans(s, d)
+      .withColumn("m",
+        Masking.maskUdf(col("text"), col("entities"), col("other_entity_id")))
+      .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+        col("m._1").as("masked_text"),
+        concat_ws(",",
+          transform(col("m._2"),
+            e => concat(e.getField("_1"), lit(":"), e.getField("_2"))))
+          .as("ph_map"))
+      .orderBy(col("sentence_id"), col("entity_id"), col("part_entity_id")),
+    None)
+
+  /** P3+P5 gate: mask→unmask round-trip must equal the independently
+    * Column-computed splice (UDF path vs codegen-expression path); the oracle
+    * asserts zero mismatches. */
+  private val qMaskRoundtrip = Q(
+    "q_mask_roundtrip",
+    (s, d) => {
+      val c = Tables.chunkRows(s, d)
+      val p = instr(col("text"), "customer")
+      val ents = filter(
+        array(struct(col("other_entity_id").as("key"),
+          col("other_entity_name").as("name"),
+          (p - 1).cast("int").as("start"), (p + 7).cast("int").as("end"))),
+        e => e.getField("start") >= 0)
+      val expected = when(p > 0,
+        concat(substring(col("text"), lit(1), p - 1),
+          col("other_entity_name"),
+          substring(col("text"), p + 8, length(col("text")))))
+        .otherwise(col("text"))
+      c.withColumn("m",
+        Masking.maskUdf(col("text"), ents, col("other_entity_id")))
+        .withColumn("roundtrip",
+          Masking.unmaskUdf(col("m._1"), col("other_entity_name"), col("m._2")))
+        .agg(sum(when(col("roundtrip") =!= expected, 1L).otherwise(0L))
+          .as("n_mismatch"))
+    },
+    Some("SELECT CAST(0 AS BIGINT) AS n_mismatch"))
+
+  /** Q1-Q10 driven end-to-end: one composed predicate tree on one scan —
+    * similarity ∧ Any(keywords) ∧ source scope ∧ inclusive date range —
+    * monthly hit counts + mean similarity. */
+  private val qQueryAlgebra = Q(
+    "q_query_algebra",
+    (s, d) => {
+      val sim = Similarity("fast spark merge query", 0.5)
+      val qry = AllQ(sim, AnyQ(Keyword("join"), Keyword("window")),
+        SourceQ("news", "filings"), DateRange("1995-01-01", "1999-12-31"))
+      Tables.chunkRows(s, d)
+        .filter(qry.toColumn)
+        .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_hits"), round(avg(sim.score), 6).as("avg_score"))
+        .orderBy(col("month"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |scored AS (
+         |  SELECT *,
+         |    (CASE WHEN contains(text, 'fast') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(text, 'merge') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(text, 'query') THEN 1.0 ELSE 0.0 END) / 4.0 AS score
+         |  FROM chunk
+         |)
+         |SELECT strftime(timestamp_utc, '%Y-%m') AS month, count(*) AS n_hits,
+         |       round(avg(score), 6) AS avg_score
+         |FROM scored
+         |WHERE score >= 0.5
+         |  AND (contains(text, 'join') OR contains(text, 'window'))
+         |  AND document_type IN ('news', 'filings')
+         |  AND timestamp_utc BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+         |                        AND TIMESTAMP '1999-12-31 23:59:59'
+         |GROUP BY 1 ORDER BY month""".stripMargin))
+
+  /** Q1+Q11+Q12+T3: similarity scoring with rerank threshold, relevance sort,
+    * global top-k (deterministic tiebreak on the full unique key). */
+  private val qSimilarityTopk = Q(
+    "q_similarity_topk",
+    (s, d) => {
+      val sim = Similarity("fast spark merge query", 0.75)
+      Tables.chunkRows(s, d)
+        .withColumn("score", sim.score)
+        .filter(col("score") >= 0.75)
+        .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+          col("score"))
+        .orderBy(col("score").desc, col("sentence_id"), col("entity_id"),
+          col("part_entity_id"))
+        .limit(50)
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |scored AS (
+         |  SELECT sentence_id, entity_id, part_entity_id,
+         |    (CASE WHEN contains(text, 'fast') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(text, 'merge') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(text, 'query') THEN 1.0 ELSE 0.0 END) / 4.0 AS score
+         |  FROM chunk
+         |)
+         |SELECT * FROM scored WHERE score >= 0.75
+         |ORDER BY score DESC, sentence_id, entity_id, part_entity_id
+         |LIMIT 50""".stripMargin))
+
+  /** Q13: the three search modes (`Board_Management_Monitoring/src/
+    * tool.py:121-157, 267-288`): strict = both predicates at chunk level;
+    * relaxed = primary only; relaxed_post = primary at chunk level + secondary
+    * anywhere in the document (doc-level post-filter via semi-join). */
+  private val qSearchModes = Q(
+    "q_search_modes",
+    (s, d) => {
+      val c = Tables.chunkRows(s, d)
+      def agg(df: DataFrame, mode: String): DataFrame =
+        df.agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("document_id")).as("n_docs"))
+          .select(lit(mode).as("mode"), col("n_chunks"), col("n_docs"))
+      val strict = agg(
+        c.filter(col("text").contains("customer") && col("text").contains("part")),
+        "strict")
+      val relaxed = agg(c.filter(col("text").contains("customer")), "relaxed")
+      val docsWithPart = c.filter(col("text").contains("part"))
+        .select(col("document_id")).distinct()
+      val relaxedPost = agg(
+        c.filter(col("text").contains("customer"))
+          .join(docsWithPart, Seq("document_id"), "left_semi"),
+        "relaxed_post")
+      strict.unionByName(relaxed).unionByName(relaxedPost).orderBy(col("mode"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |modes AS (
+         |  SELECT 'strict' AS mode, count(*) AS n_chunks,
+         |         count(DISTINCT document_id) AS n_docs
+         |  FROM chunk
+         |  WHERE contains(text, 'customer') AND contains(text, 'part')
+         |  UNION ALL
+         |  SELECT 'relaxed', count(*), count(DISTINCT document_id)
+         |  FROM chunk WHERE contains(text, 'customer')
+         |  UNION ALL
+         |  SELECT 'relaxed_post', count(*), count(DISTINCT document_id)
+         |  FROM chunk
+         |  WHERE contains(text, 'customer') AND document_id IN (
+         |    SELECT DISTINCT document_id FROM chunk WHERE contains(text, 'part'))
+         |)
+         |SELECT * FROM modes ORDER BY mode""".stripMargin))
+
+  def queries: Seq[Q] = Seq(qExplodeRoles, qTopicsExplode, qScrub,
+    qPresentation, qMaskTarget, qMaskMulti, qMaskRoundtrip, qQueryAlgebra,
+    qSimilarityTopk, qSearchModes)
 }

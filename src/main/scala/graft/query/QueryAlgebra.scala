@@ -1,0 +1,113 @@
+package graft.query
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's query algebra (SURVEY.md §2.2, Q1-Q12) re-expressed as
+  * predicate combinators that compile to Catalyst [[Column]]s over the
+  * chunk-row relation.
+  *
+  * The reference composes `Similarity & Any(Entity...) & Keyword & Source &
+  * FiscalYear` trees and fans them out to a search API
+  * (`Tracking_Inflation_Drivers/src/query_builder.py:363-408`). Here the whole
+  * tree becomes ONE `Column` predicate on ONE scan: Catalyst pushes the
+  * sargable parts into the Parquet reader (date/source/entity filters) and
+  * whole-stage-codegens the text predicates, so the reference's hand-built
+  * fan-out (Q8/Q10 batching × date ranges) collapses into partition pruning +
+  * task parallelism.
+  */
+object QueryAlgebra {
+
+  sealed trait Qry {
+    def toColumn: Column
+    def &&(other: Qry): Qry = AllQ(this, other)
+    def ||(other: Qry): Qry = AnyQ(this, other)
+  }
+
+  /** Q2: exact keyword hit in the chunk text. */
+  final case class Keyword(word: String) extends Qry {
+    def toColumn: Column = col("text").contains(word)
+  }
+
+  /** Q3: document mentions the entity (any role). */
+  final case class EntityQ(id: String) extends Qry {
+    def toColumn: Column =
+      col("entity_id") === id || col("other_entity_id") === id ||
+        col("part_entity_id") === id
+  }
+
+  /** Q3 variant: entity is the reporting entity (filings/transcripts scope,
+    * `query_builder.py:292-298`). */
+  final case class ReportingEntityQ(id: String) extends Qry {
+    def toColumn: Column = col("entity_id") === id && col("is_reporting_entity")
+  }
+
+  /** Q4/S2: source scope filter (document types). */
+  final case class SourceQ(types: String*) extends Qry {
+    def toColumn: Column = col("document_type").isin(types: _*)
+  }
+
+  /** Q6: fiscal-year constraint. */
+  final case class FiscalYearQ(y: Int) extends Qry {
+    def toColumn: Column = year(col("timestamp_utc")) === y
+  }
+
+  /** Q9: inclusive date-range constraint (reference ranges end 23:59:59,
+    * `query_builder.py:410-517`). On a date-partitioned table this is the
+    * predicate partition pruning keys off. */
+  final case class DateRange(startInclusive: String, endInclusive: String) extends Qry {
+    def toColumn: Column =
+      col("timestamp_utc") >= to_timestamp(lit(s"$startInclusive 00:00:00")) &&
+        col("timestamp_utc") <= to_timestamp(lit(s"$endInclusive 23:59:59"))
+  }
+
+  /** Q7: conjunction. */
+  final case class AllQ(qs: Qry*) extends Qry {
+    def toColumn: Column = qs.map(_.toColumn).reduce(_ && _)
+  }
+
+  /** Q2/Q7: batched disjunction (`Any([...])`). */
+  final case class AnyQ(qs: Qry*) extends Qry {
+    def toColumn: Column = qs.map(_.toColumn).reduce(_ || _)
+  }
+
+  /** Q1: deterministic stand-in for embedding similarity — the fraction of the
+    * query sentence's distinct tokens present in the chunk text. Scores are
+    * k/n with small n, hence exactly representable doubles: aggregates over
+    * them are bit-reproducible in any engine. A real embedding-cosine scorer
+    * is the `graft.sim` module; this one keeps the query algebra hermetic. */
+  final case class Similarity(sentence: String, minScore: Double) extends Qry {
+    val tokens: Seq[String] =
+      sentence.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    def score: Column =
+      tokens.map(t => when(col("text").contains(t), 1.0).otherwise(0.0))
+        .reduce(_ + _) / lit(tokens.size.toDouble)
+    def toColumn: Column = score >= minScore
+  }
+
+  /** Q9: date-range partitioner — split [start, end] into calendar intervals
+    * with inclusive ends, mirroring `create_date_ranges`
+    * (`query_builder.py:488-517`). Used for planning/tests; at execution time
+    * the single-scan predicate above subsumes it. */
+  def dateRanges(start: String, end: String, freq: String): Seq[(Timestamp, Timestamp)] = {
+    import java.time.LocalDate
+    val s = LocalDate.parse(start)
+    val e = LocalDate.parse(end)
+    val step: LocalDate => LocalDate = freq match {
+      case "D" => _.plusDays(1)
+      case "W" => _.plusWeeks(1)
+      case "M" => _.plusMonths(1)
+      case "3M" => _.plusMonths(3)
+      case "Y" => _.plusYears(1)
+      case other => throw new IllegalArgumentException(s"freq $other")
+    }
+    Iterator.iterate(s)(step).takeWhile(!_.isAfter(e)).map { lo =>
+      val hiExclusive = step(lo)
+      val hi = if (hiExclusive.isAfter(e)) e else hiExclusive.minusDays(1)
+      (Timestamp.valueOf(lo.atStartOfDay()),
+        Timestamp.valueOf(hi.atTime(23, 59, 59)))
+    }.toSeq
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.label.Labeler
+import graft.model.Tables
+
+/** Engine invariants on the sf0.001 fixtures (order-insensitive properties
+  * per SURVEY.md §5: dedup idempotence, pivot row-sum = group count, scaffold
+  * completeness, classifier-path equivalence). */
+class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("mapPartitions classifier path equals the column-expression stub") {
+    val viaExpr = Labeler.withStubLabels(Tables.chunkRows(spark, dir))
+      .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+        col("label"), col("motivation"))
+    val viaClf = Labeler
+      .labelDeduped(Tables.chunkRows(spark, dir), Labeler.StubClassifier)
+      .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+        col("label"), col("motivation"))
+    assert(viaExpr.exceptAll(viaClf).isEmpty && viaClf.exceptAll(viaExpr).isEmpty)
+  }
+
+  test("scaffold completeness: |rows| == |months| x |entities|") {
+    val panel = SparkEntry.queries("q_scaffold_month_entity")(spark, dir)
+    val c = Tables.chunkRows(spark, dir)
+    val nEntities = c.select(col("entity_name")).distinct().count()
+    val bounds = c.agg(
+      date_format(min(col("timestamp_utc")), "yyyy-MM").as("mn"),
+      date_format(max(col("timestamp_utc")), "yyyy-MM").as("mx")).head
+    val Array(y0, m0) = bounds.getString(0).split("-").map(_.toInt)
+    val Array(y1, m1) = bounds.getString(1).split("-").map(_.toInt)
+    val nMonths = (y1 - y0) * 12 + (m1 - m0) + 1
+    assert(panel.count() == nMonths.toLong * nEntities)
+  }
+
+  test("pivot row-sum (composite score) equals plain group count") {
+    val pivot = SparkEntry.queries("q_pivot_scores")(spark, dir)
+    val counts = Tables.chunkRows(spark, dir)
+      .groupBy(col("entity_name")).agg(count(lit(1)).as("cnt"))
+    val joined = pivot.join(counts, Seq("entity_name"))
+      .filter(col("composite_score") =!= col("cnt"))
+    assert(joined.isEmpty)
+  }
+
+  test("exact dedup is idempotent") {
+    val once = SparkEntry.queries("q_dedup_exact")(spark, dir)
+    assert(once.count() == once.dropDuplicates().count())
+  }
+
+  test("flagship entry returns rows and respects top-5 bound") {
+    val df = SparkEntry.flagship(spark, dir)
+    assert(df.count() > 0)
+    val over = df.groupBy(col("month")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 5)
+    assert(over.isEmpty)
+  }
+}

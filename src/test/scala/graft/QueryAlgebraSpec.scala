@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.query.QueryAlgebra._
+
+/** Date-range partitioner semantics (Q9): inclusive ends at 23:59:59,
+  * contiguous non-overlapping coverage — `query_builder.py:410-517`. */
+class QueryAlgebraSpec extends AnyFunSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("monthly ranges cover the interval with inclusive 23:59:59 ends") {
+    val r = dateRanges("2023-01-15", "2023-03-20", "M")
+    assert(r.size == 3)
+    assert(r.head == (ts("2023-01-15 00:00:00"), ts("2023-02-14 23:59:59")))
+    assert(r.last._2 == ts("2023-03-20 23:59:59"))
+  }
+
+  test("daily ranges: one per day, start==end date") {
+    val r = dateRanges("2023-01-01", "2023-01-03", "D")
+    assert(r.size == 3)
+    assert(r(1) == (ts("2023-01-02 00:00:00"), ts("2023-01-02 23:59:59")))
+  }
+
+  test("ranges are contiguous and non-overlapping") {
+    for (freq <- Seq("D", "W", "M", "3M", "Y")) {
+      val r = dateRanges("2022-03-07", "2024-11-23", freq)
+      r.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(lo2.getTime - hi.getTime == 1000L,
+            s"freq=$freq gap between $hi and $lo2")
+        case _ =>
+      }
+      assert(r.head._1 == ts("2022-03-07 00:00:00"))
+      assert(r.last._2 == ts("2024-11-23 23:59:59"))
+    }
+  }
+
+  test("similarity tokenization dedups and lowercases") {
+    val s = Similarity("Fast fast MERGE", 0.5)
+    assert(s.tokens == Seq("fast", "merge"))
+  }
+
+  test("combinators compose without a session") {
+    val q = (Keyword("a") && SourceQ("news")) || FiscalYearQ(1995)
+    assert(q.toColumn != null)
+  }
+}
