@@ -1,7 +1,96 @@
 package graft.media
 
-import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.Q
+import graft.model.Tables
+
+/** Multimodal columns: media payloads as opaque `binary` columns with typed
+  * metadata, decode/feature-extract as partition-wise batch functions.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * DETERMINISTIC FAKE (clearly marked below); everything around it — the
+  * binary column, the typed metadata schema, the Dataset[T] encoder, the
+  * mapPartitions batch shape (one decoder init per partition, streamed rows)
+  * — is the real plumbing a codec would drop into.
+  *
+  * Scale notes: payload bytes travel inside the row (no driver collect);
+  * decode parallelism = partition count; metadata-only queries never touch
+  * the payload column thanks to Parquet column pruning.
+  */
 object MultimodalOps {
-  def queries: Seq[Q] = Seq.empty
+
+  /** Typed row for the decode stage. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Typed decode output (what a real image decoder would emit). */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, mean_byte: Double, feature: Array[Float])
+
+  /** The media table: documents' text re-encoded as an opaque binary payload
+    * (stand-in for image/audio bytes) + metadata columns. */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      to_binary(col("text"), lit("utf-8")).as("payload"),
+      col("n_chars"), col("source"))
+
+  /** Metadata extraction — pure column arithmetic over byte size and the
+    * deterministic fake dimensions (in a real pipeline: parsed headers). */
+  private val qMediaMetadata = Q(
+    "q_media_metadata",
+    (s, d) => mediaTable(s, d)
+      .select(
+        col("doc_id"),
+        octet_length(col("payload")).as("size_bytes"),
+        (lit(64) + col("n_chars") % 640).cast("int").as("width"),
+        (lit(64) + (col("n_chars") * 7) % 480).cast("int").as("height"),
+        (lit(1) + col("doc_id") % 16).cast("int").as("frames"))
+      .orderBy(col("doc_id")),
+    Some(
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS size_bytes,
+        |       CAST(64 + n_chars % 640 AS INT) AS width,
+        |       CAST(64 + (n_chars * 7) % 480 AS INT) AS height,
+        |       CAST(1 + doc_id % 16 AS INT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Partition-wise batch "decode" + feature extraction through the typed
+    * Dataset API. STUB DECODE: a real implementation replaces `fakeDecode`
+    * with a codec call; the partition iterator shape (init once, stream rows)
+    * and the output schema stay identical. Aggregated so the driver's
+    * rows-only check still pins shape + determinism. */
+  private val qMediaFeatures = Q(
+    "q_media_features",
+    (s, d) => {
+      val spark = s
+      import spark.implicits._
+      val ds = mediaTable(s, d).select(col("doc_id"), col("payload"))
+        .as[MediaRow]
+      val features = ds.mapPartitions { rows =>
+        // one "decoder" per partition (where codec init/native buffers live)
+        rows.map { r =>
+          val b = r.payload
+          fakeDecode(r.doc_id, b)
+        }
+      }
+      features.groupBy(col("width") % 10)
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("mean_byte")), 4).as("avg_mean_byte"))
+        .orderBy(col("(width % 10)"))
+    },
+    None)
+
+  /** DETERMINISTIC FAKE of the codec: derives "dimensions" and a feature
+    * vector purely from the bytes. Replace with e.g. a JNI image decoder. */
+  private def fakeDecode(docId: Long, b: Array[Byte]): MediaFeatures = {
+    val n = b.length
+    val mean = if (n == 0) 0.0 else b.map(_ & 0xff).sum.toDouble / n
+    val feat = Array.tabulate(8)(i =>
+      if (i < n) (b(i) & 0xff) / 255.0f else 0.0f)
+    MediaFeatures(docId, n, 64 + n % 640, 64 + (n * 7) % 480, mean, feat)
+  }
+
+  def queries: Seq[Q] = Seq(qMediaMetadata, qMediaFeatures)
 }

@@ -1,7 +1,239 @@
 package graft.sim
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.Q
+import graft.model.Tables
+
+/** Similarity search over the embedding column (`Array[Float]`):
+  * brute-force cosine top-k (baseline), threshold near-dup pairs, sign-LSH
+  * bucketing and IVF-style coarse assignment (the scale paths).
+  *
+  * Numeric determinism across engines:
+  *  - floats are cast to double BEFORE any arithmetic (lossless);
+  *  - every reduction is an explicit left-to-right fold (`aggregate` in
+  *    Spark, `list_reduce` in DuckDB) — same summation order, bit-equal
+  *    results;
+  *  - centroid aggregation pre-quantizes (`floor(x*1e6)`) so sums are exact
+  *    integers, immune to shuffle-order float drift.
+  *
+  * Scale notes: top-k joins broadcast the (sampled) query side against the
+  * corpus — the corpus is never self-joined all-pairs. The LSH/IVF variants
+  * key candidate generation on bucket/centroid ids, which is the 100 TB
+  * path: |pairs| ∝ Σ bucket² instead of n².
+  */
 object SimilarityOps {
-  def queries: Seq[Q] = Seq.empty
+
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  private def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x * y))
+
+  private def norm(v: Column): Column = sqrt(fold(transform(v, x => x * x)))
+
+  /** embeddings with double-cast vector + L2 norm. */
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  private val foldSql = "(acc, x) -> acc + x"
+  private def listFoldSql(products: String): String =
+    s"list_reduce([CAST(0 AS DOUBLE)] || $products, $foldSql)"
+  private val vectorsCte: String =
+    s"""e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |         sqrt(${listFoldSql("list_transform(v, x -> x * x)")}) AS nrm
+       |  FROM e
+       |)""".stripMargin
+  private def dotSql(a: String, b: String): String =
+    listFoldSql(s"list_transform(list_zip($a, $b), p -> p[1] * p[2])")
+
+  /** Brute-force cosine top-5 per query vector (queries = sampled corpus
+    * slice, broadcast against all candidates). */
+  private val qCosineTopk = Q(
+    "q_embed_cosine_topk",
+    (s, d) => {
+      val vs = vectors(s, d)
+      val q = vs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val pairs = vs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    Some(
+      s"""WITH $vectorsCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT q.q_id, c.vec_id,
+         |         round(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) AS cos
+         |  FROM q CROSS JOIN n c WHERE c.vec_id <> q.q_id
+         |)
+         |SELECT q_id, vec_id, cos,
+         |       CAST(row_number() OVER (PARTITION BY q_id
+         |                               ORDER BY cos DESC, vec_id) AS INT) AS rk
+         |FROM pairs
+         |QUALIFY rk <= 5
+         |ORDER BY q_id, rk""".stripMargin))
+
+  /** Embedding-cosine near-dup: sampled query slice × corpus, keep pairs with
+    * cosine ≥ 0.35 (the corpus is random — 0.35 is ~p99.9). */
+  private val qNearDup = Q(
+    "q_embed_neardup",
+    (s, d) => {
+      val vs = vectors(s, d)
+      val q = vs.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      vs.crossJoin(broadcast(q))
+        .filter(col("vec_id") > col("q_id"))
+        .withColumn("cos",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+        .filter(col("cos") >= 0.35)
+        .select(col("q_id"), col("vec_id"), col("cos"))
+        .orderBy(col("cos").desc, col("q_id"), col("vec_id"))
+        .limit(100)
+    },
+    Some(
+      s"""WITH $vectorsCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+         |      WHERE vec_id % 20 = 0)
+         |SELECT q.q_id, c.vec_id,
+         |       round(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) AS cos
+         |FROM q CROSS JOIN n c WHERE c.vec_id > q.q_id
+         |  AND round(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) >= 0.35
+         |ORDER BY cos DESC, q_id, vec_id
+         |LIMIT 100""".stripMargin))
+
+  /** Sign-LSH bucketing on the first 4 dimensions: bucket populations and the
+    * candidate-pair count the bucketed join would examine (Σ n·(n-1)/2 vs the
+    * brute-force n²/2). */
+  private val qLshBuckets = Q(
+    "q_embed_lsh_buckets",
+    (s, d) => {
+      val sign: Int => Column = i =>
+        when(element_at(col("v"), i) > 0.0, lit("1")).otherwise(lit("0"))
+      vectors(s, d)
+        .withColumn("bucket", concat(sign(1), sign(2), sign(3), sign(4)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("candidate_pairs", col("n_vecs") * (col("n_vecs") - 1) / 2)
+        .orderBy(col("bucket"))
+    },
+    Some(
+      s"""WITH $vectorsCte
+         |SELECT bucket, count(*) AS n_vecs,
+         |       CAST(count(*) * (count(*) - 1) / 2 AS BIGINT) AS candidate_pairs
+         |FROM (
+         |  SELECT (CASE WHEN v[1] > 0.0 THEN '1' ELSE '0' END
+         |       || CASE WHEN v[2] > 0.0 THEN '1' ELSE '0' END
+         |       || CASE WHEN v[3] > 0.0 THEN '1' ELSE '0' END
+         |       || CASE WHEN v[4] > 0.0 THEN '1' ELSE '0' END) AS bucket
+         |  FROM n
+         |)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin))
+
+  /** Quantized per-label centroids: per (label, dim), exact integer sum of
+    * floor(x·1e6) divided back out — order-independent, hence identical under
+    * any shuffle schedule. */
+  private val qCentroids = Q(
+    "q_embed_centroids",
+    (s, d) => vectors(s, d)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(sum(floor(col("x") * 1e6)).cast("long").as("sum_micro"),
+        count(lit(1)).as("n"))
+      // no rounding: sum_micro is an exact integer, and the two IEEE
+      // divisions are bit-deterministic in any engine — rounding would
+      // REINTRODUCE engine skew at exact midpoints (HALF_UP vs half-even)
+      .withColumn("centroid", col("sum_micro") / 1e6 / col("n"))
+      .orderBy(col("label"), col("dim")),
+    Some(
+      s"""WITH $vectorsCte,
+         |expanded AS (
+         |  SELECT label, i AS dim, v[i] AS x
+         |  FROM n, unnest(generate_series(1, len(v))) AS t(i)
+         |)
+         |SELECT label, dim,
+         |       CAST(sum(floor(x * 1e6)) AS BIGINT) AS sum_micro,
+         |       count(*) AS n,
+         |       CAST(sum(floor(x * 1e6)) AS BIGINT) / 1e6 / count(*) AS centroid
+         |FROM expanded
+         |GROUP BY label, dim
+         |ORDER BY label, dim""".stripMargin))
+
+  /** IVF coarse pass: assign every vector to its nearest (dot-product)
+    * quantized label-centroid — broadcast 10 centroids × corpus, argmax with
+    * deterministic tiebreak — and report the assignment×label confusion
+    * counts. At scale this is the probe-list builder: follow-up exact search
+    * touches only the assigned partition. */
+  private val qIvfAssign = Q(
+    "q_embed_ivf_assign",
+    (s, d) => {
+      val vs = vectors(s, d)
+      val cents = vs
+        .select(col("label").as("c_label"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("c_label"), col("pos"))
+        .agg((sum(floor(col("x") * 1e6)).cast("long") / 1e6 /
+          count(lit(1))).as("cx"))
+        .groupBy(col("c_label"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+          e => e.getField("cx")).as("cv"))
+      val assigned = vs.crossJoin(broadcast(cents))
+        .withColumn("score", round(dot(col("v"), col("cv")), 6))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
+          .as("assigned"))
+      assigned.groupBy(col("label"), col("assigned"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("assigned"))
+    },
+    Some(
+      s"""WITH $vectorsCte,
+         |expanded AS (
+         |  SELECT label AS c_label, i AS pos, v[i] AS x
+         |  FROM n, unnest(generate_series(1, len(v))) AS t(i)
+         |),
+         |cent_dims AS (
+         |  SELECT c_label, pos,
+         |         CAST(sum(floor(x * 1e6)) AS BIGINT) / 1e6 / count(*) AS cx
+         |  FROM expanded GROUP BY c_label, pos
+         |),
+         |cents AS (
+         |  SELECT c_label, list(cx ORDER BY pos) AS cv
+         |  FROM cent_dims GROUP BY c_label
+         |),
+         |scored AS (
+         |  SELECT n.vec_id, n.label, c.c_label,
+         |         round(${dotSql("n.v", "c.cv")}, 6) AS score
+         |  FROM n CROSS JOIN cents c
+         |),
+         |assigned AS (
+         |  SELECT vec_id, label, c_label AS assigned FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                             ORDER BY score DESC, c_label ASC) = 1
+         |)
+         |SELECT label, assigned, count(*) AS n
+         |FROM assigned GROUP BY label, assigned
+         |ORDER BY label, assigned""".stripMargin))
+
+  def queries: Seq[Q] = Seq(qCosineTopk, qNearDup, qLshBuckets, qCentroids,
+    qIvfAssign)
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension of the W1/W2 volume counts (the reference
+  * is batch-only — SURVEY.md §2.7 notes this as the natural streaming
+  * analogue): the same tumbling-window aggregation expressed over a file
+  * stream with a watermark for late data.
+  *
+  * The batch twin ([[weeklyCountsBatch]]) uses the identical window
+  * expression, so stream (complete mode, fully drained) ≡ batch — asserted in
+  * StreamingSpec.
+  */
+object EventStream {
+
+  /** events schema as stored (ts = int64 nanos; see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def normalize(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  /** File-source stream over a directory of event parquet files (in
+    * production: the landing directory the ingestion layer appends to; new
+    * files become new micro-batches). */
+  def readStream(spark: SparkSession, eventsDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(spark.readStream.schema(rawSchema).parquet(eventsDir))
+  }
+
+  /** 7-day tumbling-window counts per event type with a 7-day watermark:
+    * state is bounded — windows older than the watermark are finalized and
+    * evicted, which is what makes this run indefinitely at scale. */
+  def weeklyCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "7 days")
+      .groupBy(window(col("ts"), "7 days"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("week_start"),
+        col("event_type"), col("cnt"))
+
+  /** Batch twin over the same window expression. */
+  def weeklyCountsBatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalize(spark.read.parquet(s"$dir/events.parquet"))
+      .groupBy(window(col("ts"), "7 days"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("week_start"),
+        col("event_type"), col("cnt"))
+  }
+}

@@ -1,7 +1,357 @@
 package graft.text
 
-import graft.Q
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.Q
+import graft.model.Tables
+
+/** Training-data text analysis + deduplication over the `documents` corpus:
+  * exact/fingerprint dedup, n-gram Jaccard, MinHash+LSH, SimHash, language-ID,
+  * quality scoring, token counting.
+  *
+  * Everything — including the MinHash/SimHash pipelines — is expressed in
+  * whole-stage-codegen'd built-in functions (no UDFs): the shingle→hash→band
+  * machinery is a shared polynomial hash both engines can evaluate, so even
+  * the sketching operators have exact DuckDB oracles.
+  *
+  * Scale notes: all-pairs similarity is never materialized; candidate
+  * generation is always bounded — shingle-bucket join (n-gram Jaccard),
+  * band-bucket join (MinHash LSH), fingerprint-byte bucketing (SimHash). At
+  * 100 TB the same plans hold: the explode side is O(corpus tokens) and every
+  * join keys on a bucket id.
+  */
 object TextOps {
-  def queries: Seq[Q] = Seq.empty
+
+  // ---- shared deterministic primitives (Spark Column + DuckDB SQL twins) ----
+
+  /** Polynomial rolling hash over character codes, mod 2^31-1 — identical
+    * left-to-right fold in both engines. */
+  private def polyHash(e: Column): Column =
+    aggregate(transform(split(e, ""), c => ascii(c).cast("long")),
+      lit(0L), (acc, x) => (acc * 31 + x) % 2147483647L)
+
+  private def polyHashSql(e: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($e, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 2147483647)"
+
+  /** 3-word shingles of the whitespace-tokenized text (empty below 3 words). */
+  private def shingles(text: Column): Column = {
+    val words = split(text, " ")
+    when(size(words) >= 3,
+      transform(sequence(lit(1), size(words) - 2),
+        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+          element_at(words, i + 2))))
+      .otherwise(array())
+  }
+
+  /** DuckDB CTE producing (doc_id, s) distinct shingles — twin of
+    * [[shingles]] + explode + distinct. */
+  private val shingleCte: String =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(generate_series(1, greatest(len(words) - 2, 0)),
+      |           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS s
+      |  FROM ws
+      |)""".stripMargin
+
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .distinct()
+
+  // ---- queries ----
+
+  /** Exact/near-exact dedup via content fingerprints: md5 of the
+    * normalized text plus the polynomial rolling hash. */
+  private val qFingerprint = Q(
+    "q_text_fingerprint",
+    (s, d) => {
+      val norm = lower(regexp_replace(col("text"), "[^a-z0-9]", ""))
+      Tables.documents(s, d)
+        .withColumn("fp_md5", md5(norm))
+        .withColumn("fp_roll", polyHash(norm))
+        .groupBy(col("fp_md5"), col("fp_roll"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy(col("fp_md5"))
+    },
+    Some(
+      s"""WITH fp AS (
+         |  SELECT doc_id,
+         |         md5(lower(regexp_replace(text, '[^a-z0-9]', '', 'g'))) AS fp_md5,
+         |         ${polyHashSql("lower(regexp_replace(text, '[^a-z0-9]', '', 'g'))")} AS fp_roll
+         |  FROM documents
+         |)
+         |SELECT fp_md5, fp_roll, count(*) AS n_docs, min(doc_id) AS keeper
+         |FROM fp GROUP BY fp_md5, fp_roll ORDER BY fp_md5""".stripMargin))
+
+  /** n-gram Jaccard near-dup: distinct shingle sets, bucket join on shingle,
+    * |A∩B| / |A∪B| — top-20 most-similar pairs (never thresholds to empty,
+    * deterministic at any SF). */
+  private val qNgramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, d) => {
+      val sh = docShingles(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+      val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+        .withColumn("jaccard",
+          round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    },
+    Some(
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, inter,
+         |       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |ORDER BY jaccard DESC, doc_a, doc_b
+         |LIMIT 20""".stripMargin))
+
+  private val minhashA = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  private val minhashB = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  private val MinhashP = 2147483647L
+
+  /** MinHash + LSH banding: 8 permutation hashes over the shingle base hash,
+    * min per doc → signature; 4 bands of 2 rows; docs sharing a band bucket
+    * become candidates; candidates verified with exact Jaccard ≥ 0.04.
+    * The only joins are (a) band-bucket equi-join on tiny keys and (b) the
+    * verification join restricted to candidates — the all-pairs matrix never
+    * exists. */
+  private val qMinhashLsh = Q(
+    "q_minhash_lsh",
+    (s, d) => {
+      val hashed = docShingles(s, d).withColumn("h", polyHash(col("s")))
+      val mhCols = minhashA.indices.map(j =>
+        min((col("h") * minhashA(j) + minhashB(j)) % MinhashP).as(s"mh$j"))
+      val sig = hashed.groupBy(col("doc_id"))
+        .agg(mhCols.head, mhCols.tail: _*)
+      val bands = sig.select(col("doc_id"), explode(array(
+        (0 until 4).map(bd => struct(lit(bd).as("band"),
+          concat_ws("_", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}"))
+            .as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val sh = docShingles(s, d)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("s2")), Seq("doc_b"))
+        .filter(col("s") === col("s2"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc_a")
+          .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+          .withColumnRenamed("sz", "sz_b"), Seq("doc_b"))
+        .withColumn("jaccard",
+          round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+        .filter(col("jaccard") >= 0.04)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+    Some {
+      val mh = minhashA.indices.map(j =>
+        s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashP) AS mh$j")
+        .mkString(", ")
+      val bandSel = (0 until 4).map(bd =>
+        s"SELECT doc_id, $bd AS band, CAST(mh${2 * bd} AS VARCHAR) || '_' || " +
+          s"CAST(mh${2 * bd + 1} AS VARCHAR) AS key FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $shingleCte,
+         |hashed AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id, $mh FROM hashed GROUP BY doc_id),
+         |bands AS (
+         |  $bandSel
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |       round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 6) >= 0.04
+         |ORDER BY jaccard DESC, doc_a, doc_b
+         |LIMIT 50""".stripMargin
+    })
+
+  /** SimHash: 16-bit fingerprint from signed per-bit votes of shingle hashes;
+    * near-pairs found by bucketing on the high byte (banded Hamming join —
+    * candidates share 8 bits) then filtering Hamming distance ≤ 3. */
+  private val qSimhash = Q(
+    "q_simhash",
+    (s, d) => {
+      val hashed = docShingles(s, d)
+        .withColumn("h", polyHash(col("s")) % 65536)
+      val voteCols = (0 until 16).map(b =>
+        sum(when((shiftright(col("h"), b) % 2) === 1, 1)
+          .otherwise(-1)).as(s"bit$b"))
+      val votes = hashed.groupBy(col("doc_id"))
+        .agg(voteCols.head, voteCols.tail: _*)
+      val fp = votes.select(col("doc_id"),
+        (0 until 16).map(b =>
+          when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+      val withBucket = fp.withColumn("bucket", (col("fp") / 256).cast("long"))
+      withBucket.as("x").join(withBucket.as("y"), Seq("bucket"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .withColumn("hamming", bit_count(col("x.fp").bitwiseXOR(col("y.fp"))))
+        .filter(col("hamming") <= 3)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.fp").as("fp_a"), col("y.fp").as("fp_b"), col("hamming"))
+        .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+        .limit(50)
+    },
+    Some {
+      val voteCols = (0 until 16).map(b =>
+        s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS bit$b")
+        .mkString(", ")
+      val fpExpr = (0 until 16).map(b =>
+        s"CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""WITH $shingleCte,
+         |hashed AS (SELECT doc_id, ${polyHashSql("s")} % 65536 AS h FROM sh),
+         |votes AS (SELECT doc_id, $voteCols FROM hashed GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $fpExpr AS fp FROM votes),
+         |wb AS (SELECT doc_id, fp, fp // 256 AS bucket FROM fp)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.fp AS fp_a, y.fp AS fp_b,
+         |       bit_count(xor(x.fp, y.fp)) AS hamming
+         |FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.fp, y.fp)) <= 3
+         |ORDER BY hamming, doc_a, doc_b
+         |LIMIT 50""".stripMargin
+    })
+
+  /** Language-ID by stopword-marker hits (n-gram heuristic) + confusion
+    * matrix against the labeled `lang` column. (The synthetic corpus draws
+    * one vocabulary for every lang, so accuracy is meaningless — the operator
+    * under test is the deterministic scorer + argmax.) */
+  private val qLangId = Q(
+    "q_lang_id",
+    (s, d) => {
+      def hits(pat: String): Column = regexp_count(col("text"), lit(pat))
+      val sEn = hits("\\b(the|a|of)\\b")
+      val sDe = hits("\\b(der|das|und)\\b")
+      val sFr = hits("\\b(le|la|et)\\b")
+      Tables.documents(s, d)
+        .withColumn("predicted",
+          when(sEn >= sDe && sEn >= sFr, lit("en"))
+            .when(sDe >= sFr, lit("de"))
+            .otherwise(lit("fr")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("predicted"))
+    },
+    Some(
+      """WITH scored AS (
+        |  SELECT lang,
+        |         len(regexp_extract_all(text, '\b(the|a|of)\b')) AS s_en,
+        |         len(regexp_extract_all(text, '\b(der|das|und)\b')) AS s_de,
+        |         len(regexp_extract_all(text, '\b(le|la|et)\b')) AS s_fr
+        |  FROM documents
+        |)
+        |SELECT lang,
+        |       CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |            WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS predicted,
+        |       count(*) AS n
+        |FROM scored
+        |GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin))
+
+  /** Quality scoring: length, word count, mean word length, stopword ratio,
+    * digit ratio → composite score (all ratios of small ints → exact doubles). */
+  private val qQuality = Q(
+    "q_quality_score",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val nWords = size(words)
+      val stopHits = regexp_count(col("text"), lit("\\b(the|a)\\b"))
+      val digits = regexp_count(col("text"), lit("[0-9]"))
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          nWords.as("n_words"),
+          round(length(col("text")).cast("double") / nWords, 6)
+            .as("mean_word_len"),
+          round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
+          round(digits.cast("double") / length(col("text")), 6)
+            .as("digit_ratio"),
+          round(
+            least(nWords.cast("double") / 100.0, lit(1.0)) * 0.5
+              + (lit(1.0) - least(stopHits.cast("double") / nWords, lit(1.0))) * 0.5,
+            6).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |         len(string_split(text, ' ')) AS n_words,
+        |         len(regexp_extract_all(text, '\b(the|a)\b')) AS stop_hits,
+        |         len(regexp_extract_all(text, '[0-9]')) AS digits
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_words,
+        |       round(CAST(n_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |       round(CAST(stop_hits AS DOUBLE) / n_words, 6) AS stopword_ratio,
+        |       round(CAST(digits AS DOUBLE) / n_chars, 6) AS digit_ratio,
+        |       round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.5
+        |             + (1.0 - least(CAST(stop_hits AS DOUBLE) / n_words, 1.0)) * 0.5,
+        |             6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin))
+
+  /** Token counting: whitespace tokens, a BPE-ish regex segmentation
+    * (letter runs / digit runs / single symbols), and the chars/4 estimate
+    * the reference's cost model uses (`labeling.py:411-432`). */
+  private val qTokenCount = Q(
+    "q_token_count",
+    (s, d) => Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .as("bpe_tokens"),
+        ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"))
+      .orderBy(col("doc_id")),
+    Some(
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+        |       CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  def queries: Seq[Q] = Seq(qFingerprint, qNgramJaccard, qMinhashLsh,
+    qSimhash, qLangId, qQuality, qTokenCount)
 }
