@@ -9,6 +9,25 @@ import org.apache.spark.sql.SparkSession
   * warm-up, so the reported number reflects steady-state engine throughput.
   */
 object Bench {
+
+  /** Headline queries: one representative per operator family (full coverage
+    * is Verify's job; benching all ~60 registered queries would measure
+    * harness overhead, not the engine). */
+  val headline: Seq[String] = Seq(
+    "q1_agg",                  // grouped aggregate on the raw fact table
+    "q_counts_sector_company", // chunk-row star join + groupBy
+    "q_pivot_scores",          // label + pivot matrix
+    "q_basket",                // multi-join basket assembly
+    "q_topk_per_group",        // window top-k
+    "q_dedup_exact",           // hash-aggregate dedup
+    "q_zscore_series",         // window z-score time series
+    "q_scaffold_month_entity", // dense scaffold cross join
+    "q_comention_edges",       // graph self-join
+    "q_query_algebra",         // composed predicate scan
+    "q_minhash_lsh",           // sketch + band join dedup
+    "q_embed_cosine_topk",     // ANN brute-force baseline
+    "q_hierarchical_summary")  // partial/final summarize shape
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,7 +46,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val qs0 = SparkEntry.queries
+    val results = headline.filter(qs0.contains).map { name =>
+      val fn = qs0(name)
       val t = Seq(once(fn), once(fn)).filter(_ >= 0)
       name -> (if (t.isEmpty) -1.0 else t.min)
     }

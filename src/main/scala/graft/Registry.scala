@@ -13,7 +13,8 @@ final case class Q(
 
 object Registry {
   def all: Seq[Q] =
-    graft.analytics.Relational.queries ++
+    graft.sources.SourceOps.queries ++
+      graft.analytics.Relational.queries ++
       graft.analytics.TimeSeriesOps.queries ++
       graft.analytics.Baskets.queries ++
       graft.ingest.ChunkOps.queries ++

@@ -112,9 +112,13 @@ object Tables {
       .select(col("s_suppkey"), col("s_name"), col("n_name").as("sup_nation"),
         col("r_name").as("sup_region"))
 
+    // no broadcast() hints on supplier/customer/documents: they scale with
+    // the corpus, so the side must be chosen by size (stats/AQE) — at small
+    // SF they broadcast anyway, at 100 TB they must not. nation/region are
+    // constant-size and hinted inside supDim.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supDim), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cst.select(col("c_custkey"), col("c_name"))),
+      .join(supDim, col("l_suppkey") === col("s_suppkey"))
+      .join(cst.select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       // deterministic text assignment; |documents| scales with SF so the key
       // is taken modulo the actual corpus size (same expression in the oracle)

@@ -34,9 +34,12 @@ object SimilarityOps {
 
   private def norm(v: Column): Column = sqrt(fold(transform(v, x => x * x)))
 
-  /** embeddings with double-cast vector + L2 norm. */
+  /** embeddings with double-cast vector + L2 norm. Repartitioned on read:
+    * the table arrives as one small parquet file = one input partition, which
+    * would serialize every downstream fold (see TextOps.docShingles note). */
   private def vectors(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Oracle, Q}
+import graft.label.Labeler
+import graft.model.{Tables, ThemeTree}
+
+/** Source-side operators: knowledge-graph entity enrichment (S3/S4), the
+  * taxonomy label→parent rollup (J10), and the stage-checkpoint cache (S8).
+  */
+object SourceOps {
+
+  /** S8: pickle-cache analogue (`report_generator.py:142-187`) — write-once /
+    * read-back parquet checkpoint keyed by stage name. */
+  def cached(spark: SparkSession, checkpointDir: String, stage: String)
+      (rebuild: => DataFrame): DataFrame = {
+    val path = s"$checkpointDir/$stage"
+    val fs = new java.io.File(path)
+    if (fs.exists()) spark.read.parquet(path)
+    else {
+      val df = rebuild
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+  }
+
+  /** S3/S4: typed knowledge-graph enrichment — every entity reference in the
+    * chunk table joined against the entity dimension (suppliers + customers +
+    * parts with sector/industry_group), counted by type and industry group.
+    * The dimension side is orders of magnitude smaller than the fact side at
+    * every SF; Catalyst broadcasts it on stats (no forced hint — see
+    * Tables.chunkRows note). */
+  private val qEntityEnrich = Q(
+    "q_entity_enrich",
+    (s, d) => {
+      val ids = Tables.chunkRows(s, d)
+        .select(explode(array(col("entity_id"), col("other_entity_id"),
+          col("part_entity_id"))).as("entity_id"))
+      ids.join(Tables.entityDim(s, d), Seq("entity_id"))
+        .groupBy(col("entity_type"), col("industry_group"))
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct(col("entity_id")).as("n_entities"))
+        .orderBy(col("entity_type"), col("industry_group"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |${Oracle.entityDimCte},
+         |ids AS (
+         |  SELECT entity_id FROM chunk
+         |  UNION ALL SELECT other_entity_id FROM chunk
+         |  UNION ALL SELECT part_entity_id FROM chunk
+         |)
+         |SELECT e.entity_type, e.industry_group, count(*) AS n_refs,
+         |       count(DISTINCT i.entity_id) AS n_entities
+         |FROM ids i JOIN entity_dim e ON i.entity_id = e.entity_id
+         |GROUP BY 1, 2
+         |ORDER BY entity_type, industry_group""".stripMargin))
+
+  /** J10: label → parent-theme rollup through the flattened taxonomy tree
+    * (broadcast tree join; reference does a driver-side dict .map —
+    * `labels.py:448-476`). */
+  private val qThemeRollup = Q(
+    "q_theme_rollup",
+    (s, d) => {
+      val flat = ThemeTree.flatDf(s)
+      val leaves = flat.filter(col("is_leaf"))
+        .select(col("label"), col("parent_id"))
+      val parents = flat.select(col("node_id"), col("label").as("theme"))
+      Labeler.withStubLabels(Tables.chunkRows(s, d))
+        .join(broadcast(leaves), Seq("label"))
+        .join(broadcast(parents), col("parent_id") === col("node_id"))
+        .groupBy(col("theme"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("entity_id")).as("n_entities"))
+        .orderBy(col("theme"))
+    },
+    Some(
+      s"""${Oracle.labeledCte}
+         |SELECT par.theme, count(*) AS n_chunks,
+         |       count(DISTINCT labeled.entity_id) AS n_entities
+         |FROM labeled
+         |JOIN (VALUES ('P', 2), ('A', 2), ('N', 3), ('U', 3))
+         |  AS leaf(label, parent_id) ON labeled.label = leaf.label
+         |JOIN (VALUES (2, 'adoption'), (3, 'risk'))
+         |  AS par(node_id, theme) ON leaf.parent_id = par.node_id
+         |GROUP BY par.theme
+         |ORDER BY par.theme""".stripMargin))
+
+  def queries: Seq[Q] = Seq(qEntityEnrich, qThemeRollup)
+}

@@ -27,7 +27,10 @@ object TextOps {
   // ---- shared deterministic primitives (Spark Column + DuckDB SQL twins) ----
 
   /** Polynomial rolling hash over character codes, mod 2^31-1 — identical
-    * left-to-right fold in both engines. */
+    * left-to-right fold in both engines. Spark evaluates higher-order
+    * functions INTERPRETED (no codegen), so this is reserved for
+    * once-per-document fingerprinting; the per-shingle hot path uses
+    * [[hash32]]. */
   private def polyHash(e: Column): Column =
     aggregate(transform(split(e, ""), c => ascii(c).cast("long")),
       lit(0L), (acc, x) => (acc * 31 + x) % 2147483647L)
@@ -36,13 +39,34 @@ object TextOps {
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($e, ''), " +
       s"c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 2147483647)"
 
-  /** 3-word shingles of the whitespace-tokenized text (empty below 3 words). */
+  /** 32-bit content hash shared by both engines: first 8 hex digits of md5,
+    * parsed as an integer. On the Spark side this is conv(substr(md5)) —
+    * all codegen'd built-ins, so the sketching pipelines stay inside
+    * whole-stage codegen (the char-fold variant above measured 100×
+    * slower in the interpreted path). */
+  private def hash32(e: Column): Column =
+    conv(substring(md5(e), 1, 8), 16, 10).cast("long")
+
+  private def hash32Sql(e: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
+      s"string_split(substr(md5($e), 1, 8), ''), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+      s"(acc, x) -> acc * 16 + x)"
+
+  /** 3-word shingles of the whitespace-tokenized text (empty below 3 words).
+    * Built by zipping three shifted slices — NOT `transform(sequence, i ->
+    * element_at(words, i))`: higher-order lambdas are interpreted and do not
+    * CSE the `split`, so the index form re-splits the text per element
+    * (O(words²) per doc; profiled as the hottest stack in the whole bench). */
   private def shingles(text: Column): Column = {
     val words = split(text, " ")
-    when(size(words) >= 3,
-      transform(sequence(lit(1), size(words) - 2),
-        i => concat_ws(" ", element_at(words, i), element_at(words, i + 1),
-          element_at(words, i + 2))))
+    val n = size(words)
+    when(n >= 3,
+      zip_with(
+        zip_with(slice(words, lit(1), n - 2), slice(words, lit(2), n - 2),
+          (x, y) => concat(x, lit(" "), y)),
+        slice(words, lit(3), n - 2),
+        (xy, z) => concat(xy, lit(" "), z)))
       .otherwise(array())
   }
 
@@ -57,8 +81,13 @@ object TextOps {
       |  FROM ws
       |)""".stripMargin
 
+  /** The documents table arrives as one small parquet file = ONE input
+    * partition; repartition before the explode so shingle work parallelizes
+    * (at 100 TB the scan has thousands of splits and this is a no-op cost-
+    * wise — it keeps the local plan honest about downstream parallelism). */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .distinct()
 
@@ -139,7 +168,7 @@ object TextOps {
   private val qMinhashLsh = Q(
     "q_minhash_lsh",
     (s, d) => {
-      val hashed = docShingles(s, d).withColumn("h", polyHash(col("s")))
+      val hashed = docShingles(s, d).withColumn("h", hash32(col("s")))
       val mhCols = minhashA.indices.map(j =>
         min((col("h") * minhashA(j) + minhashB(j)) % MinhashP).as(s"mh$j"))
       val sig = hashed.groupBy(col("doc_id"))
@@ -181,7 +210,7 @@ object TextOps {
           s"CAST(mh${2 * bd + 1} AS VARCHAR) AS key FROM sig")
         .mkString("\n  UNION ALL ")
       s"""WITH $shingleCte,
-         |hashed AS (SELECT doc_id, ${polyHashSql("s")} AS h FROM sh),
+         |hashed AS (SELECT doc_id, ${hash32Sql("s")} AS h FROM sh),
          |sig AS (SELECT doc_id, $mh FROM hashed GROUP BY doc_id),
          |bands AS (
          |  $bandSel
@@ -216,7 +245,7 @@ object TextOps {
     "q_simhash",
     (s, d) => {
       val hashed = docShingles(s, d)
-        .withColumn("h", polyHash(col("s")) % 65536)
+        .withColumn("h", hash32(col("s")) % 65536)
       val voteCols = (0 until 16).map(b =>
         sum(when((shiftright(col("h"), b) % 2) === 1, 1)
           .otherwise(-1)).as(s"bit$b"))
@@ -243,7 +272,7 @@ object TextOps {
       val fpExpr = (0 until 16).map(b =>
         s"CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
       s"""WITH $shingleCte,
-         |hashed AS (SELECT doc_id, ${polyHashSql("s")} % 65536 AS h FROM sh),
+         |hashed AS (SELECT doc_id, ${hash32Sql("s")} % 65536 AS h FROM sh),
          |votes AS (SELECT doc_id, $voteCols FROM hashed GROUP BY doc_id),
          |fp AS (SELECT doc_id, $fpExpr AS fp FROM votes),
          |wb AS (SELECT doc_id, fp, fp // 256 AS bucket FROM fp)
