@@ -22,5 +22,6 @@ object Registry {
       graft.text.TextOps.queries ++
       graft.sim.SimilarityOps.queries ++
       graft.media.MultimodalOps.queries ++
-      graft.summarize.SummarizeOps.queries
+      graft.summarize.SummarizeOps.queries ++
+      graft.ml.MlOps.queries
 }

@@ -397,7 +397,123 @@ object Baskets {
          |FROM ranked
          |ORDER BY set_id, rn, sentence_id, entity_id""".stripMargin))
 
+  /** W9+W1+W8+A7/A8: the weekly/monthly exposure panel (FIXTURES.md §6,
+    * reference `tool.py:619-754`): dense month × company scaffold with
+    * positive/negative exposure counts, per-label exemplar headlines, total
+    * and net exposure — one conditional-aggregation pass over the labeled
+    * chunks, left-joined onto the scaffold, zero-filled.
+    * Invariant: |rows| = |months| × |companies|. */
+  private val qExposurePanel = Q(
+    "q_exposure_panel",
+    (s, d) => {
+      val lc = labeled(s, d)
+      val months = lc
+        .agg(date_trunc("month", min(col("timestamp_utc"))).as("mn"),
+          date_trunc("month", max(col("timestamp_utc"))).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 1 MONTH"))).as("m"))
+        .select(date_format(col("m"), "yyyy-MM").as("month"))
+      val companies = lc.select(col("entity_name"), col("entity_sector"))
+        .distinct()
+      val counts = lc
+        .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
+          col("entity_name"))
+        .agg(
+          sum(when(col("label") === "P", 1L).otherwise(0L)).as("positive_exp"),
+          max(when(col("label") === "P", col("headline"))).as("headline_pos"),
+          sum(when(col("label") === "N", 1L).otherwise(0L)).as("negative_exp"),
+          max(when(col("label") === "N", col("headline"))).as("headline_neg"))
+      months.crossJoin(companies)
+        .join(counts, Seq("month", "entity_name"), "left")
+        .na.fill(0L, Seq("positive_exp", "negative_exp"))
+        .na.fill("", Seq("headline_pos", "headline_neg"))
+        .withColumn("total_exposure", col("positive_exp") + col("negative_exp"))
+        .withColumn("net_exposure",
+          abs(col("positive_exp")) - abs(col("negative_exp")))
+        .select(col("month"), col("entity_name"), col("entity_sector"),
+          col("positive_exp"), col("negative_exp"), col("total_exposure"),
+          col("net_exposure"), col("headline_pos"), col("headline_neg"))
+        .orderBy(col("month"), col("entity_name"))
+    },
+    Some(
+      s"""${Oracle.labeledCte},
+         |bounds AS (
+         |  SELECT date_trunc('month', min(timestamp_utc)) AS mn,
+         |         date_trunc('month', max(timestamp_utc)) AS mx FROM labeled
+         |),
+         |months AS (
+         |  SELECT strftime(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)), '%Y-%m') AS month
+         |  FROM bounds
+         |),
+         |companies AS (SELECT DISTINCT entity_name, entity_sector FROM labeled),
+         |counts AS (
+         |  SELECT strftime(timestamp_utc, '%Y-%m') AS month, entity_name,
+         |         CAST(sum(CASE WHEN label = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS positive_exp,
+         |         max(CASE WHEN label = 'P' THEN headline END) AS headline_pos,
+         |         CAST(sum(CASE WHEN label = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS negative_exp,
+         |         max(CASE WHEN label = 'N' THEN headline END) AS headline_neg
+         |  FROM labeled GROUP BY 1, 2
+         |)
+         |SELECT m.month, c.entity_name, c.entity_sector,
+         |       COALESCE(x.positive_exp, 0) AS positive_exp,
+         |       COALESCE(x.negative_exp, 0) AS negative_exp,
+         |       COALESCE(x.positive_exp, 0) + COALESCE(x.negative_exp, 0) AS total_exposure,
+         |       abs(COALESCE(x.positive_exp, 0)) - abs(COALESCE(x.negative_exp, 0)) AS net_exposure,
+         |       COALESCE(x.headline_pos, '') AS headline_pos,
+         |       COALESCE(x.headline_neg, '') AS headline_neg
+         |FROM months m CROSS JOIN companies c
+         |LEFT JOIN counts x ON x.month = m.month AND x.entity_name = c.entity_name
+         |ORDER BY m.month, c.entity_name""".stripMargin))
+
+  /** D3: ordered first-wins document dedup
+    * (`Board_Management_Monitoring/src/tool.py:291-310`): over the unioned
+    * result stream, the first row per document (in the stream's total order)
+    * is kept — one min_by aggregate, no window sort. */
+  private val qDocDedupFirst = Q(
+    "q_doc_dedup_first",
+    (s, d) => {
+      val c = Tables.chunkRows(s, d)
+      val stream = c.filter(col("document_type") === "news")
+        .unionByName(c.filter(col("document_type") === "filings"))
+      stream.groupBy(col("document_id"))
+        .agg(
+          min_by(col("sentence_id"),
+            struct(col("timestamp_utc"), col("sentence_id"), col("entity_id"),
+              col("part_entity_id"))).as("kept_sentence"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("document_id"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |stream AS (
+         |  SELECT * FROM chunk WHERE document_type = 'news'
+         |  UNION ALL
+         |  SELECT * FROM chunk WHERE document_type = 'filings'
+         |),
+         |ranked AS (
+         |  SELECT document_id, sentence_id,
+         |         row_number() OVER (PARTITION BY document_id
+         |           ORDER BY timestamp_utc, sentence_id, entity_id, part_entity_id) AS rn,
+         |         count(*) OVER (PARTITION BY document_id) AS n_rows
+         |  FROM stream
+         |)
+         |SELECT document_id, sentence_id AS kept_sentence, n_rows
+         |FROM ranked WHERE rn = 1
+         |ORDER BY document_id""".stripMargin))
+
+  /** A2 at scale: approx_count_distinct (HLL++) per sector — the 100 TB
+    * replacement for exact distinct counts. No SQL oracle (DuckDB's sketch
+    * differs); accuracy is asserted in EngineSpec (≤5% relative error). */
+  private val qApproxDistinct = Q(
+    "q_approx_distinct",
+    (s, d) => Tables.chunkRows(s, d)
+      .groupBy(col("entity_sector"))
+      .agg(approx_count_distinct(col("document_id"), 0.02).as("approx_docs"),
+        count(lit(1)).as("n_chunks"))
+      .orderBy(col("entity_sector")),
+    None)
+
   def queries: Seq[Q] = Seq(qBasket, qOuterMerge, qCoalesce, qMultiwayOuter,
     qMeanNorm, qGroupedCollect, qMajority, qUnionDedup, qAnti, qSemi,
-    qDedupSplitFfill)
+    qDedupSplitFfill, qExposurePanel, qDocDedupFirst, qApproxDistinct)
 }

@@ -26,23 +26,27 @@ import graft.model.Tables
   */
 object SimilarityOps {
 
-  private def fold(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
-
+  /** Dot product via the custom codegen expression
+    * [[graft.functions.DotProduct]] — the built-in `aggregate(zip_with(...))`
+    * fold is interpreted per element and was the dominant ANN cost. Same
+    * left-to-right summation → same bits. Registered in [[vectors]], which
+    * every query here builds on before analysis. */
   private def dot(a: Column, b: Column): Column =
-    fold(zip_with(a, b, (x, y) => x * y))
+    graft.functions.VectorExprs.dot(a, b)
 
-  private def norm(v: Column): Column = sqrt(fold(transform(v, x => x * x)))
+  private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** embeddings with double-cast vector + L2 norm. Repartitioned on read:
     * the table arrives as one small parquet file = one input partition, which
     * would serialize every downstream fold (see TextOps.docShingles note). */
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private def vectors(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExprs.register(s)
     Tables.embeddings(s, d)
       .repartition(col("vec_id"))
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   private val foldSql = "(acc, x) -> acc + x"
   private def listFoldSql(products: String): String =

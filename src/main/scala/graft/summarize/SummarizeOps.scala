@@ -32,6 +32,29 @@ object SummarizeOps {
       parts.sorted.mkString(" | ").take(budget)
   }
 
+  /** The summarizer as a typed [[org.apache.spark.sql.expressions.Aggregator]]
+    * — the custom-aggregate path for using it inside `agg()` /
+    * `KeyValueGroupedDataset`. Semantics identical to the column-expression
+    * form in [[qHierarchicalSummary]]'s partial level (sorted, ' | '-joined,
+    * budget-truncated over distinct inputs); equivalence is asserted in
+    * SummarizeSpec. A real LLM summarizer swaps [[Summarizer.stub]] in
+    * `finish` — buffer/merge (the distributed part) are unchanged. */
+  final class BudgetSummarize[I](budget: Int, value: I => String)
+      extends org.apache.spark.sql.expressions.Aggregator[I, Set[String], String] {
+    override def zero: Set[String] = Set.empty
+    override def reduce(b: Set[String], a: I): Set[String] = {
+      val v = value(a)
+      if (v == null) b else b + v
+    }
+    override def merge(a: Set[String], b: Set[String]): Set[String] = a ++ b
+    override def finish(r: Set[String]): String =
+      Summarizer.stub(r.toSeq, budget)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Set[String]] =
+      org.apache.spark.sql.Encoders.kryo[Set[String]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[String] =
+      org.apache.spark.sql.Encoders.STRING
+  }
+
   /** A13: two-level summarize — per (sector, document_type) partial summaries
     * under the partial budget, re-aggregated per sector under the final
     * budget. Both levels are ordered-set aggregates: map-side combine does

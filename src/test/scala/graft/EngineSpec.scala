@@ -61,6 +61,27 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once.count() == once.dropDuplicates().count())
   }
 
+  test("approx distinct within 5% of exact") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, dir)
+      .select(col("entity_sector"), col("approx_docs"))
+    val exact = Tables.chunkRows(spark, dir)
+      .groupBy(col("entity_sector"))
+      .agg(countDistinct(col("document_id")).as("exact_docs"))
+    val bad = approx.join(exact, Seq("entity_sector"))
+      .filter(abs(col("approx_docs") - col("exact_docs")) >
+        col("exact_docs") * 0.05)
+    assert(bad.isEmpty)
+  }
+
+  test("exposure panel is a complete scaffold with consistent totals") {
+    val panel = SparkEntry.queries("q_exposure_panel")(spark, dir)
+    assert(panel.filter(col("total_exposure") =!=
+      col("positive_exp") + col("negative_exp")).isEmpty)
+    val perMonth = panel.groupBy(col("month")).agg(count(lit(1)).as("n"))
+      .select(countDistinct(col("n")).as("d")).head.getLong(0)
+    assert(perMonth == 1L) // every month has the same #companies
+  }
+
   test("flagship entry returns rows and respects top-5 bound") {
     val df = SparkEntry.flagship(spark, dir)
     assert(df.count() > 0)

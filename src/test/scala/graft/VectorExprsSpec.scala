@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorExprs
+
+/** The codegen DotProduct must be bit-identical to the interpreted
+  * left-to-right fold it replaced (that equivalence is what keeps the DuckDB
+  * oracles valid). */
+class VectorExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("codegen dot equals interpreted fold bit-for-bit") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val rows = Seq(
+      (Array(1.0, 2.0, 3.0), Array(-1.0, 0.5, 2.0)),
+      (Array(0.1, 0.2), Array(0.3, 0.7)),
+      (Array.empty[Double], Array.empty[Double]),
+      (Array(1e-300, 1e300), Array(1e300, 1e-300)))
+      .toDF("a", "b")
+    val both = rows.select(
+      VectorExprs.dot(col("a"), col("b")).as("codegen"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0),
+        (acc, x) => acc + x).as("interp"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("null input yields null") {
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val df = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    val r = df.select(VectorExprs.dot(col("a"), col("b"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+}
