@@ -17,6 +17,7 @@ object Registry {
       graft.analytics.Relational.queries ++
       graft.analytics.TimeSeriesOps.queries ++
       graft.analytics.Baskets.queries ++
+      graft.analytics.Sessions.queries ++
       graft.ingest.ChunkOps.queries ++
       graft.graph.GraphOps.queries ++
       graft.text.TextOps.queries ++

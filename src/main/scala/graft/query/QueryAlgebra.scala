@@ -44,6 +44,22 @@ object QueryAlgebra {
     def toColumn: Column = col("entity_id") === id && col("is_reporting_entity")
   }
 
+  /** Q5: typed-entity control predicates (Topic/Place/Organization/... —
+    * `query_builder.py:226-271`). The chunk relation denormalizes typed
+    * entities into columns; the type map routes each predicate to its
+    * column, mirroring the reference's per-type dispatch. */
+  final case class TypedEntityQ(entityType: String, value: String) extends Qry {
+    def toColumn: Column = entityType match {
+      case "SECT" => col("entity_sector") === value
+      case "REGI" => col("entity_industry") === value
+      case "COMP" => col("entity_name") === value ||
+        col("other_entity_name") === value
+      case "PROD" => col("part_entity_id") === value
+      case other =>
+        throw new IllegalArgumentException(s"unknown entity type $other")
+    }
+  }
+
   /** Q4/S2: source scope filter (document types). */
   final case class SourceQ(types: String*) extends Qry {
     def toColumn: Column = col("document_type").isin(types: _*)

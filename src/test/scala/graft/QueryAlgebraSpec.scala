@@ -48,4 +48,11 @@ class QueryAlgebraSpec extends AnyFunSuite {
     val q = (Keyword("a") && SourceQ("news")) || FiscalYearQ(1995)
     assert(q.toColumn != null)
   }
+
+  test("typed entity predicates dispatch by type; unknown types are rejected") {
+    assert(TypedEntityQ("SECT", "NATION_3").toColumn != null)
+    assert(TypedEntityQ("COMP", "Supplier#1").toColumn != null)
+    assertThrows[IllegalArgumentException](
+      TypedEntityQ("NOPE", "x").toColumn)
+  }
 }
