@@ -225,6 +225,47 @@ object Relational {
          |GROUP BY timestamp_utc, document_id, md5(text), entity_id
          |ORDER BY document_id, sentence_id, entity_id""".stripMargin))
 
+  /** Rollup / grouping sets (noted free in SURVEY.md §2.6): sector ×
+    * doctype counts with subtotal and grand-total rows. */
+  private val qRollup = Q(
+    "q_rollup_counts",
+    (s, d) => Tables.chunkRows(s, d)
+      .rollup(col("entity_sector"), col("document_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("entity_sector"), lit("ALL")).as("sector"),
+        coalesce(col("document_type"), lit("ALL")).as("doctype"),
+        col("cnt"))
+      .orderBy(col("sector"), col("doctype")),
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT COALESCE(entity_sector, 'ALL') AS sector,
+         |       COALESCE(document_type, 'ALL') AS doctype,
+         |       count(*) AS cnt
+         |FROM chunk
+         |GROUP BY ROLLUP(entity_sector, document_type)
+         |ORDER BY sector, doctype""".stripMargin))
+
+  /** Set algebra (SURVEY.md §2.9 note): entities present in news AND filings
+    * but NOT transcripts — intersect/except with set (distinct) semantics. */
+  private val qSetOps = Q(
+    "q_intersect_except",
+    (s, d) => {
+      val c = Tables.chunkRows(s, d)
+      def ents(t: String) = c.filter(col("document_type") === t)
+        .select(col("entity_id")).distinct()
+      ents("news").intersect(ents("filings"))
+        .except(ents("transcripts"))
+        .orderBy(col("entity_id"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT entity_id FROM chunk WHERE document_type = 'news'
+         |INTERSECT
+         |SELECT entity_id FROM chunk WHERE document_type = 'filings'
+         |EXCEPT
+         |SELECT entity_id FROM chunk WHERE document_type = 'transcripts'
+         |ORDER BY entity_id""".stripMargin))
+
   def queries: Seq[Q] = Seq(q1Agg, qCounts, qDistinct, qPivot, qTopkPerGroup,
-    qExemplar, qLabelDist, qSummaryStats, qDedupExact)
+    qExemplar, qLabelDist, qSummaryStats, qDedupExact, qRollup, qSetOps)
 }

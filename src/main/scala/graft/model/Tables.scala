@@ -106,18 +106,19 @@ object Tables {
     val n = nation(s, d)
     val r = region(s, d)
 
-    val supDim = sup
+    // Dimensions join the fact directly (not pre-joined into a snowflake):
+    // each raw scan carries size stats, so Catalyst broadcasts every dim
+    // STATICALLY — a pre-joined supplier⋈nation⋈region side has no stats and
+    // degrades to a sort-merge join until AQE rescues it at runtime. No
+    // broadcast() hints on the scaling sides (supplier/customer/documents
+    // grow with the corpus; the choice must stay size-based for 100 TB).
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup.select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .select(col("s_suppkey"), col("s_name"), col("n_name").as("sup_nation"),
-        col("r_name").as("sup_region"))
-
-    // no broadcast() hints on supplier/customer/documents: they scale with
-    // the corpus, so the side must be chosen by size (stats/AQE) — at small
-    // SF they broadcast anyway, at 100 TB they must not. nation/region are
-    // constant-size and hinted inside supDim.
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(supDim, col("l_suppkey") === col("s_suppkey"))
+      .withColumn("sup_nation", col("n_name"))
+      .withColumn("sup_region", col("r_name"))
       .join(cst.select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
       // deterministic text assignment; |documents| scales with SF so the key
