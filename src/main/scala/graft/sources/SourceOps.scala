@@ -26,6 +26,19 @@ object SourceOps {
     }
   }
 
+  /** S6/S7: tabular workbook sink/source analogue — the reference round-trips
+    * result tables through multi-sheet Excel (`tool.py` ExcelManager,
+    * `Narrative_Miners/src/tool.py:10-26`); the engine's equivalent is
+    * header'd CSV per sheet (xlsx itself is out of engine scope). Dates are
+    * rendered as ISO strings on write so the round-trip is type-stable. */
+  def writeSheet(df: DataFrame, dir: String, sheet: String): Unit =
+    df.write.mode("overwrite").option("header", "true")
+      .csv(s"$dir/$sheet")
+
+  def readSheet(spark: SparkSession, dir: String, sheet: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/$sheet")
+
   /** S3/S4: typed knowledge-graph enrichment — every entity reference in the
     * chunk table joined against the entity dimension (suppliers + customers +
     * parts with sector/industry_group), counted by type and industry group.
