@@ -43,14 +43,14 @@ object MultimodalOps {
     (s, d) => mediaTable(s, d)
       .select(
         col("doc_id"),
-        octet_length(col("payload")).as("size_bytes"),
+        octet_length(col("payload")).cast("long").as("size_bytes"),
         (lit(64) + col("n_chars") % 640).cast("int").as("width"),
         (lit(64) + (col("n_chars") * 7) % 480).cast("int").as("height"),
         (lit(1) + col("doc_id") % 16).cast("int").as("frames"))
       .orderBy(col("doc_id")),
     Some(
       """SELECT doc_id,
-        |       octet_length(encode(text)) AS size_bytes,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
         |       CAST(64 + n_chars % 640 AS INT) AS width,
         |       CAST(64 + (n_chars * 7) % 480 AS INT) AS height,
         |       CAST(1 + doc_id % 16 AS INT) AS frames

@@ -141,7 +141,8 @@ object SimilarityOps {
         .withColumn("bucket", concat(sign(1), sign(2), sign(3), sign(4)))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"))
-        .withColumn("candidate_pairs", col("n_vecs") * (col("n_vecs") - 1) / 2)
+        .withColumn("candidate_pairs",
+          (col("n_vecs") * (col("n_vecs") - 1) / 2).cast("long"))
         .orderBy(col("bucket"))
     },
     Some(
@@ -164,7 +165,7 @@ object SimilarityOps {
     "q_embed_centroids",
     (s, d) => vectors(s, d)
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
       .agg(sum(floor(col("x") * 1e6)).cast("long").as("sum_micro"),
         count(lit(1)).as("n"))
       // no rounding: sum_micro is an exact integer, and the two IEEE

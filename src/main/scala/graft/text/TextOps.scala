@@ -274,10 +274,10 @@ object TextOps {
       s"""WITH $shingleCte,
          |hashed AS (SELECT doc_id, ${hash32Sql("s")} % 65536 AS h FROM sh),
          |votes AS (SELECT doc_id, $voteCols FROM hashed GROUP BY doc_id),
-         |fp AS (SELECT doc_id, $fpExpr AS fp FROM votes),
+         |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM votes),
          |wb AS (SELECT doc_id, fp, fp // 256 AS bucket FROM fp)
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.fp AS fp_a, y.fp AS fp_b,
-         |       bit_count(xor(x.fp, y.fp)) AS hamming
+         |       CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
          |FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.fp, y.fp)) <= 3
          |ORDER BY hamming, doc_a, doc_b
@@ -331,8 +331,8 @@ object TextOps {
       Tables.documents(s, d)
         .select(
           col("doc_id"),
-          length(col("text")).as("n_chars"),
-          nWords.as("n_words"),
+          length(col("text")).cast("long").as("n_chars"),
+          nWords.cast("long").as("n_words"),
           round(length(col("text")).cast("double") / nWords, 6)
             .as("mean_word_len"),
           round(stopHits.cast("double") / nWords, 6).as("stopword_ratio"),
@@ -369,9 +369,9 @@ object TextOps {
     (s, d) => Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(split(col("text"), " ")).as("ws_tokens"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
-          .as("bpe_tokens"),
+          .cast("long").as("bpe_tokens"),
         ceil(col("n_chars") / 4.0).cast("long").as("est_tokens"))
       .orderBy(col("doc_id")),
     Some(
