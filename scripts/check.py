@@ -68,6 +68,12 @@ def main():
             print(f"FAIL {name}: columns differ spark={sc} duck={dc}")
             n_fail += 1
             continue
+        dtype_diff = [f"{c}(spark={spark_df[c].dtype},duck={duck_df[c].dtype})"
+                      for c in sc if str(spark_df[c].dtype) != str(duck_df[c].dtype)]
+        if dtype_diff:
+            print(f"FAIL {name}: dtypes differ {'; '.join(dtype_diff)}")
+            n_fail += 1
+            continue
         if len(spark_df) != len(duck_df):
             print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
             n_fail += 1

@@ -26,6 +26,7 @@ object Bench {
     "q_query_algebra",         // composed predicate scan
     "q_minhash_lsh",           // sketch + band join dedup
     "q_embed_cosine_topk",     // ANN brute-force baseline
+    "q_sessionize",            // gap session windows
     "q_hierarchical_summary")  // partial/final summarize shape
 
   def main(args: Array[String]): Unit = {
