@@ -85,6 +85,32 @@ object Labeler {
       }
   }
 
+  /** S10: cache-aside labeling (`labeling.py:78-104` — md5-keyed result
+    * cache checked before every API call). The cache is a persisted parquet
+    * map table keyed by (entity_id, text); only cache MISSES reach the
+    * classifier, new results are appended, and all rows get their labels via
+    * a join. At 100 TB the cache join is a plain equi-join the optimizer
+    * places; the expensive external stage sees only the novel pairs. */
+  def labelWithCache(df: DataFrame, clf: ExternalClassifier,
+      cachePath: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unique = df.select(col("entity_id"), col("text"))
+      .dropDuplicates("entity_id", "text")
+    val cached: DataFrame =
+      if (new java.io.File(cachePath).exists()) spark.read.parquet(cachePath)
+      else Seq.empty[(String, String, String, String)]
+        .toDF("entity_id", "text", "label", "motivation")
+    val misses = unique.join(cached.select(col("entity_id"), col("text")),
+      Seq("entity_id", "text"), "left_anti")
+    val fresh = misses.as[(String, String)]
+      .mapPartitions(rows => clf.classify(rows))
+      .toDF("entity_id", "text", "label", "motivation")
+    if (!fresh.isEmpty) fresh.write.mode("append").parquet(cachePath)
+    val lookup = spark.read.parquet(cachePath)
+    df.join(lookup, Seq("entity_id", "text"), "left")
+  }
+
   /** Post-hoc consistency guard (L2): a non-U label must be backed by a
     * motivation that is not "unclear", else forced to 'U'. */
   def guarded(df: DataFrame): DataFrame =

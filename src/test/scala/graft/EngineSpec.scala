@@ -34,6 +34,36 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaExpr.exceptAll(viaClf).isEmpty && viaClf.exceptAll(viaExpr).isEmpty)
   }
 
+  test("cache-aside labeling hits the classifier only for novel pairs") {
+    val cacheDir = java.nio.file.Files.createTempDirectory("labelcache")
+      .resolve("labels").toString
+    // classifier instances are serialized into tasks — a plain counter would
+    // increment a deserialized copy; an accumulator survives the round trip
+    val calls = spark.sparkContext.longAccumulator("clf_calls")
+    object CountingClf extends Labeler.ExternalClassifier {
+      def classify(rows: Iterator[(String, String)]) = {
+        val buf = rows.toSeq
+        calls.add(buf.size)
+        Labeler.StubClassifier.classify(buf.iterator)
+      }
+    }
+    val chunk = Tables.chunkRows(spark, dir)
+    val first = Labeler.labelWithCache(chunk, CountingClf, cacheDir)
+    assert(first.filter(col("label").isNull).isEmpty)
+    val after1 = calls.value.longValue
+    assert(after1 > 0)
+    val second = Labeler.labelWithCache(chunk, CountingClf, cacheDir)
+    assert(second.filter(col("label").isNull).isEmpty)
+    assert(calls.value.longValue == after1) // every pair served from the cache
+    val expr = Labeler.withStubLabels(chunk)
+      .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+        col("label"))
+    val viaCache = second
+      .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+        col("label"))
+    assert(expr.exceptAll(viaCache).isEmpty && viaCache.exceptAll(expr).isEmpty)
+  }
+
   test("scaffold completeness: |rows| == |months| x |entities|") {
     val panel = SparkEntry.queries("q_scaffold_month_entity")(spark, dir)
     val c = Tables.chunkRows(spark, dir)
