@@ -33,7 +33,8 @@ object Oracle {
       |    'c' || CAST(o.o_custkey AS VARCHAR) AS other_entity_id,
       |    c.c_name AS other_entity_name,
       |    'p' || CAST(l.l_partkey AS VARCHAR) AS part_entity_id,
-      |    l.l_quantity, l.l_extendedprice, l.l_discount, l.l_returnflag
+      |    l.l_quantity, l.l_extendedprice, l.l_discount, l.l_returnflag,
+      |    l.l_shipdate
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey

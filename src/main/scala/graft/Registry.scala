@@ -18,6 +18,7 @@ object Registry {
       graft.analytics.TimeSeriesOps.queries ++
       graft.analytics.Baskets.queries ++
       graft.analytics.Sessions.queries ++
+      graft.analytics.AsOf.queries ++
       graft.ingest.ChunkOps.queries ++
       graft.graph.GraphOps.queries ++
       graft.text.TextOps.queries ++

@@ -150,7 +150,7 @@ object Tables {
         col("c_name").as("other_entity_name"),
         concat(lit("p"), col("l_partkey")).as("part_entity_id"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        col("l_returnflag"))
+        col("l_returnflag"), col("l_shipdate"))
   }
 
   /** Corpus size for the deterministic text-assignment key; an eager tiny
