@@ -42,21 +42,32 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
+      try { fn(spark, sfDir).count() } catch {
+        case t: Throwable =>
+          // A failed query must NOT silently shrink the total (which would
+          // read as a speedup): log it and surface it in the JSON line.
+          System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+          return -1.0
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val qs0 = SparkEntry.queries
     val results = headline.filter(qs0.contains).map { name =>
       val fn = qs0(name)
-      val t = Seq(once(fn), once(fn)).filter(_ >= 0)
+      val t = Seq(once(name, fn), once(name, fn)).filter(_ >= 0)
       name -> (if (t.isEmpty) -1.0 else t.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = headline.filterNot(qs0.contains) ++
+      results.filter(_._2 < 0).map(_._1)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

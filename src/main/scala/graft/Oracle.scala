@@ -46,6 +46,36 @@ object Oracle {
       |                  % (SELECT max(doc_id) + 1 FROM documents)
       |)""".stripMargin
 
+  /** SQL twin of [[graft.model.Tables.chunkRowsFull]] — layers the entity
+    * span array, the P2 other_entities projection, and the parallel topics
+    * arrays over [[chunkCte]]. Use as `WITH $chunkCte, $chunkFullCte`. */
+  val chunkFullCte: String =
+    """chunk_full AS (
+      |  SELECT *,
+      |    -- coalesce: DuckDB's array_to_string is NULL on an empty list,
+      |    -- Spark's array_join is '' — align on ''
+      |    coalesce(array_to_string(list_transform(
+      |      list_filter(entities, e -> e.key <> other_entity_id),
+      |      e -> e.name), ', '), '') AS other_entities
+      |  FROM (
+      |    SELECT *,
+      |      list_filter([
+      |        struct_pack(key := other_entity_id, name := other_entity_name,
+      |          "start" := strpos(text, 'customer') - 1,
+      |          "end" := strpos(text, 'customer') + 7),
+      |        struct_pack(key := part_entity_id, name := part_entity_id,
+      |          "start" := strpos(text, 'part') - 1,
+      |          "end" := strpos(text, 'part') + 3),
+      |        struct_pack(key := 'o' || document_id, name := 'o' || document_id,
+      |          "start" := strpos(text, 'order') - 1,
+      |          "end" := strpos(text, 'order') + 4)
+      |      ], e -> e."start" >= 0) AS entities,
+      |      [entity_sector, entity_industry, other_entity_name] AS topics,
+      |      ['SECT', 'REGI', 'COMP'] AS topics_type
+      |    FROM chunk
+      |  )
+      |)""".stripMargin
+
   /** SQL twin of [[graft.label.Labeler.labelCol]] / `motivationCol`. */
   val labelCase: String =
     """CASE WHEN contains(text, 'slow') AND contains(text, 'merge') THEN 'N'

@@ -25,5 +25,6 @@ object Registry {
       graft.sim.SimilarityOps.queries ++
       graft.media.MultimodalOps.queries ++
       graft.summarize.SummarizeOps.queries ++
-      graft.ml.MlOps.queries
+      graft.ml.MlOps.queries ++
+      graft.label.Labeler.queries
 }

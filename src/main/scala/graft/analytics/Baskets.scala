@@ -502,16 +502,31 @@ object Baskets {
          |ORDER BY document_id""".stripMargin))
 
   /** A2 at scale: approx_count_distinct (HLL++) per sector — the 100 TB
-    * replacement for exact distinct counts. No SQL oracle (DuckDB's sketch
-    * differs); accuracy is asserted in EngineSpec (≤5% relative error). */
+    * replacement for exact distinct counts. DuckDB's sketch differs, so the
+    * sketch VALUE can't be oracle-compared; instead the query emits the exact
+    * count (oracle-checkable) plus a within-5% accuracy boolean the oracle
+    * pins to TRUE — a value-level gate on the sketch's error bound, not just
+    * a row count. */
   private val qApproxDistinct = Q(
     "q_approx_distinct",
     (s, d) => Tables.chunkRows(s, d)
       .groupBy(col("entity_sector"))
       .agg(approx_count_distinct(col("document_id"), 0.02).as("approx_docs"),
+        countDistinct(col("document_id")).as("exact_docs"),
         count(lit(1)).as("n_chunks"))
+      .select(col("entity_sector"), col("exact_docs"), col("n_chunks"),
+        (abs(col("approx_docs") - col("exact_docs")).cast("double")
+          <= col("exact_docs") * 0.05).as("within_5pct"))
       .orderBy(col("entity_sector")),
-    None)
+    Some(
+      s"""WITH ${graft.Oracle.chunkCte}
+         |SELECT entity_sector,
+         |       count(DISTINCT document_id) AS exact_docs,
+         |       count(*) AS n_chunks,
+         |       TRUE AS within_5pct
+         |FROM chunk
+         |GROUP BY entity_sector
+         |ORDER BY entity_sector""".stripMargin))
 
   def queries: Seq[Q] = Seq(qBasket, qOuterMerge, qCoalesce, qMultiwayOuter,
     qMeanNorm, qGroupedCollect, qMajority, qUnionDedup, qAnti, qSemi,

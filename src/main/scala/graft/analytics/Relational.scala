@@ -22,21 +22,25 @@ object Relational {
   private def labeled(s: SparkSession, d: String): DataFrame =
     Labeler.withStubLabels(Tables.chunkRows(s, d))
 
-  /** A1-family baseline: TPC-H Q1-shaped grouped aggregate on the fact table. */
+  /** A1-family baseline: TPC-H Q1-shaped grouped aggregate on the fact table.
+    * Revenue is pre-quantized (per-row floor(x*1e6), exact integer sum,
+    * divided back out) — a raw double sum is shuffle-order-dependent and a
+    * round() on top of it can flip at .005 boundaries between engines; the
+    * quantized sum is bit-identical under any shuffle schedule. */
   private val q1Agg = Q(
     "q1_agg",
     (s, d) => Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * 1e6)).cast("long") / 1e6).as("revenue"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"), col("l_linestatus")),
     Some(
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |       CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * 1e6)) AS BIGINT) / 1e6 AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -246,11 +250,17 @@ object Relational {
          |ORDER BY sector, doctype""".stripMargin))
 
   /** Set algebra (SURVEY.md §2.9 note): entities present in news AND filings
-    * but NOT transcripts — intersect/except with set (distinct) semantics. */
+    * but NOT transcripts — intersect/except with set (distinct) semantics.
+    * Restricted to a single month: over the full history every entity appears
+    * in every document type, which made the gate vacuous (0 rows on both
+    * sides proves nothing); the month slice yields a non-empty result at
+    * sf0.01 (verified: 24 rows), so INTERSECT/EXCEPT semantics are actually
+    * exercised. */
   private val qSetOps = Q(
     "q_intersect_except",
     (s, d) => {
       val c = Tables.chunkRows(s, d)
+        .filter(date_format(col("timestamp_utc"), "yyyy-MM") === "1998-07")
       def ents(t: String) = c.filter(col("document_type") === t)
         .select(col("entity_id")).distinct()
       ents("news").intersect(ents("filings"))
@@ -258,12 +268,13 @@ object Relational {
         .orderBy(col("entity_id"))
     },
     Some(
-      s"""WITH ${Oracle.chunkCte}
-         |SELECT entity_id FROM chunk WHERE document_type = 'news'
+      s"""WITH ${Oracle.chunkCte},
+         |m AS (SELECT * FROM chunk WHERE strftime(timestamp_utc, '%Y-%m') = '1998-07')
+         |SELECT entity_id FROM m WHERE document_type = 'news'
          |INTERSECT
-         |SELECT entity_id FROM chunk WHERE document_type = 'filings'
+         |SELECT entity_id FROM m WHERE document_type = 'filings'
          |EXCEPT
-         |SELECT entity_id FROM chunk WHERE document_type = 'transcripts'
+         |SELECT entity_id FROM m WHERE document_type = 'transcripts'
          |ORDER BY entity_id""".stripMargin))
 
   def queries: Seq[Q] = Seq(q1Agg, qCounts, qDistinct, qPivot, qTopkPerGroup,

@@ -14,26 +14,12 @@ import graft.query.QueryAlgebra._
   */
 object ChunkOps {
 
-  /** Chunk rows + synthesized entity spans: the planted tokens `customer`,
-    * `part`, `order` stand in for located entity mentions (first occurrence,
-    * 0-based offsets — exactly the reference's char-span contract
-    * `search.py:430-448`). */
-  def withSpans(s: SparkSession, d: String): DataFrame = {
-    val c = Tables.chunkRows(s, d)
-    def span(key: Column, name: Column, token: String): Column = {
-      val p = instr(col("text"), token)
-      struct(key.as("key"), name.as("name"), (p - 1).cast("int").as("start"),
-        (p - 1 + token.length).cast("int").as("end"))
-    }
-    c.withColumn("entities",
-      filter(
-        array(
-          span(col("other_entity_id"), col("other_entity_name"), "customer"),
-          span(col("part_entity_id"), col("part_entity_id"), "part"),
-          span(concat(lit("o"), col("document_id")),
-            concat(lit("o"), col("document_id")), "order")),
-        e => e.getField("start") >= 0))
-  }
+  /** Chunk rows + synthesized entity spans (first occurrence, 0-based
+    * offsets — the reference's char-span contract `search.py:430-448`).
+    * The span array is now first-class on [[Tables.chunkRowsFull]]; this
+    * alias remains for the masking pipeline's call sites. */
+  def withSpans(s: SparkSession, d: String): DataFrame =
+    Tables.chunkRowsFull(s, d)
 
   /** P1: doc→chunk→entity explode — one row per (chunk, entity-in-any-role),
     * aggregated per role. */
@@ -59,31 +45,78 @@ object ChunkOps {
          |SELECT role, count(*) AS n_rows, count(DISTINCT ent) AS n_entities
          |FROM exploded GROUP BY role ORDER BY role""".stripMargin))
 
-  /** P7: topics explode — zip parallel (topic, type) arrays, drop COMP
-    * entries, explode, count (`visualization_tools.py:573-606`). */
+  /** P7: topics explode over the REAL parallel (topics, topics_type) arrays
+    * of the full chunk relation — zip, drop COMP entries, explode, count
+    * (`visualization_tools.py:573-606`;
+    * `Tracking_Inflation_Drivers/src/search.py:263-264`). */
   private val qTopicsExplode = Q(
     "q_topics_explode",
-    (s, d) => {
-      val arr = array(
-        struct(lit("SECT").as("topic_type"), col("entity_sector").as("topic")),
-        struct(lit("REGI").as("topic_type"), col("entity_industry").as("topic")),
-        struct(lit("COMP").as("topic_type"), col("other_entity_name").as("topic")))
-      Tables.chunkRows(s, d)
-        .select(explode(filter(arr, x => x.getField("topic_type") =!= "COMP"))
-          .as("t"))
-        .select(col("t.topic_type").as("topic_type"), col("t.topic").as("topic"))
-        .groupBy(col("topic_type"), col("topic"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(col("topic_type"), col("topic"))
-    },
+    (s, d) => Tables.chunkRowsFull(s, d)
+      .select(explode(filter(
+        zip_with(col("topics_type"), col("topics"),
+          (tt, t) => struct(tt.as("topic_type"), t.as("topic"))),
+        x => x.getField("topic_type") =!= "COMP")).as("t"))
+      .select(col("t.topic_type").as("topic_type"), col("t.topic").as("topic"))
+      .groupBy(col("topic_type"), col("topic"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("topic_type"), col("topic")),
     Some(
       s"""WITH ${Oracle.chunkCte},
-         |topics AS (
-         |  SELECT 'SECT' AS topic_type, entity_sector AS topic FROM chunk
-         |  UNION ALL SELECT 'REGI', entity_industry FROM chunk
+         |${Oracle.chunkFullCte},
+         |zipped AS (
+         |  SELECT topics_type[i] AS topic_type, topics[i] AS topic
+         |  FROM chunk_full, unnest(generate_series(1, len(topics))) AS t(i)
+         |  WHERE topics_type[i] <> 'COMP'
          |)
          |SELECT topic_type, topic, count(*) AS cnt
-         |FROM topics GROUP BY 1, 2 ORDER BY topic_type, topic""".stripMargin))
+         |FROM zipped GROUP BY 1, 2 ORDER BY topic_type, topic""".stripMargin))
+
+  /** P2 gate: the `other_entities` comma-join projection
+    * (`search.py:462-465`) compared value-for-value on every chunk row. */
+  private val qOtherEntities = Q(
+    "q_other_entities",
+    (s, d) => Tables.chunkRowsFull(s, d)
+      .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+        col("other_entities"))
+      .orderBy(col("sentence_id"), col("entity_id"), col("part_entity_id")),
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |${Oracle.chunkFullCte}
+         |SELECT sentence_id, entity_id, part_entity_id, other_entities
+         |FROM chunk_full
+         |ORDER BY sentence_id, entity_id, part_entity_id""".stripMargin))
+
+  /** Full-schema gate for the entities span array: explode and aggregate
+    * per key prefix (c=customer, p=part, o=order) — counts, offset sums and
+    * distinct names pin both span construction and offsets. */
+  private val qEntitiesArray = Q(
+    "q_entities_array",
+    (s, d) => Tables.chunkRowsFull(s, d)
+      .select(explode(col("entities")).as("e"))
+      .select(substring(col("e.key"), 1, 1).as("role_key"),
+        col("e.key").as("key"), col("e.name").as("name"),
+        col("e.start").as("start"), col("e.end").as("end"))
+      .groupBy(col("role_key"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("start")).as("sum_start"),
+        sum(col("end")).as("sum_end"),
+        countDistinct(col("key")).as("n_keys"),
+        countDistinct(col("name")).as("n_names"))
+      .orderBy(col("role_key")),
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |${Oracle.chunkFullCte},
+         |exploded AS (
+         |  SELECT substr(e.key, 1, 1) AS role_key, e.key AS key,
+         |         e.name AS name, e."start" AS start, e."end" AS "end"
+         |  FROM chunk_full, unnest(entities) AS u(e)
+         |)
+         |SELECT role_key, count(*) AS n_spans,
+         |       CAST(sum(start) AS BIGINT) AS sum_start,
+         |       CAST(sum("end") AS BIGINT) AS sum_end,
+         |       count(DISTINCT key) AS n_keys,
+         |       count(DISTINCT name) AS n_names
+         |FROM exploded GROUP BY role_key ORDER BY role_key""".stripMargin))
 
   /** P4: brace-scrub / tombstone filter analogue (`search.py:580-608`):
     * regex-scrub a token, drop tombstoned rows, account for what survived. */
@@ -161,21 +194,64 @@ object ChunkOps {
          |ORDER BY sentence_id, entity_id, part_entity_id""".stripMargin))
 
   /** P3 (full multi-span path): target + stable-numbered other entities +
-    * placeholder map. Not SQL-expressible compactly → rows-only check; the
-    * algorithm invariants are property-tested in MaskingSpec. */
+    * placeholder map, SELF-VERIFYING. The UDF's output is compared against an
+    * independent Column-expression twin: span numbering by start order via
+    * when-trees, right-to-left splice via a fold over the desc-sorted span
+    * array — all codegen-free HOFs on the verification side only. The oracle
+    * pins n_rows to the chunk count and n_mismatch to 0. (Algorithm edge
+    * cases — overlap skipping, repeated keys — are property-tested in
+    * MaskingSpec; this gate pins the full-corpus behavior.) */
   private val qMaskMulti = Q(
     "q_mask_multi",
-    (s, d) => withSpans(s, d)
-      .withColumn("m",
-        Masking.maskUdf(col("text"), col("entities"), col("other_entity_id")))
-      .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
-        col("m._1").as("masked_text"),
-        concat_ws(",",
-          transform(col("m._2"),
-            e => concat(e.getField("_1"), lit(":"), e.getField("_2"))))
-          .as("ph_map"))
-      .orderBy(col("sentence_id"), col("entity_id"), col("part_entity_id")),
-    None)
+    (s, d) => {
+      val pC = instr(col("text"), "customer")
+      val pP = instr(col("text"), "part")
+      val pO = instr(col("text"), "order")
+      // stable numbering: per distinct non-target key in order of first span
+      // appearance (here: 'part' vs 'order' occurrence order)
+      val partNum = when(pO > 0 && pO < pP, lit(2)).otherwise(lit(1))
+      val orderNum = when(pP > 0 && pP < pO, lit(2)).otherwise(lit(1))
+      val spansArr = filter(
+        array(
+          struct((pC - 1).cast("int").as("start"), (pC + 7).cast("int").as("end"),
+            lit(Masking.TargetPlaceholder).as("ph")),
+          struct((pP - 1).cast("int").as("start"), (pP + 3).cast("int").as("end"),
+            concat(lit(Masking.OtherPrefix), partNum).as("ph")),
+          struct((pO - 1).cast("int").as("start"), (pO + 4).cast("int").as("end"),
+            concat(lit(Masking.OtherPrefix), orderNum).as("ph"))),
+        e => e.getField("start") >= 0)
+      // right-to-left splice keeps earlier offsets valid (same order the UDF
+      // applies replacements)
+      val expectedMasked = aggregate(reverse(array_sort(spansArr)), col("text"),
+        (acc, sp) => concat(
+          substring(acc, lit(1), sp.getField("start")),
+          sp.getField("ph"),
+          substring(acc, sp.getField("end") + 1, length(acc))))
+      val phArr = array_sort(filter(
+        array(
+          struct(partNum.cast("int").as("idx"), col("part_entity_id").as("name"),
+            (pP - 1).cast("int").as("start")),
+          struct(orderNum.cast("int").as("idx"),
+            concat(lit("o"), col("document_id")).as("name"),
+            (pO - 1).cast("int").as("start"))),
+        e => e.getField("start") >= 0))
+      val expectedPh = concat_ws(",",
+        transform(phArr, e => concat(e.getField("idx"), lit(":"), e.getField("name"))))
+      withSpans(s, d)
+        .withColumn("m",
+          Masking.maskUdf(col("text"), col("entities"), col("other_entity_id")))
+        .withColumn("ph_map",
+          concat_ws(",",
+            transform(col("m._2"),
+              e => concat(e.getField("_1"), lit(":"), e.getField("_2")))))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("m._1") =!= expectedMasked
+            || col("ph_map") =!= expectedPh, 1L).otherwise(0L))
+            .as("n_mismatch"))
+    },
+    Some(
+      """SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+        |       CAST(0 AS BIGINT) AS n_mismatch""".stripMargin))
 
   /** P3+P5 gate: mask→unmask round-trip must equal the independently
     * Column-computed splice (UDF path vs codegen-expression path); the oracle
@@ -310,7 +386,7 @@ object ChunkOps {
          |)
          |SELECT * FROM modes ORDER BY mode""".stripMargin))
 
-  def queries: Seq[Q] = Seq(qExplodeRoles, qTopicsExplode, qScrub,
-    qPresentation, qMaskTarget, qMaskMulti, qMaskRoundtrip, qQueryAlgebra,
-    qSimilarityTopk, qSearchModes)
+  def queries: Seq[Q] = Seq(qExplodeRoles, qTopicsExplode, qOtherEntities,
+    qEntitiesArray, qScrub, qPresentation, qMaskTarget, qMaskMulti,
+    qMaskRoundtrip, qQueryAlgebra, qSimilarityTopk, qSearchModes)
 }

@@ -2,6 +2,7 @@ package graft.label
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 /** The LLM-classification surface of the reference
   * (`AI_Cost_Cutting_Market_Analysis/src/labeling.py:141-324`), re-expressed as
@@ -97,8 +98,12 @@ object Labeler {
     import spark.implicits._
     val unique = df.select(col("entity_id"), col("text"))
       .dropDuplicates("entity_id", "text")
+    // Cache-existence probe via the Hadoop FileSystem API — works on any
+    // distributed FS the path points at, not just the driver's local disk.
+    val path = new org.apache.hadoop.fs.Path(cachePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cached: DataFrame =
-      if (new java.io.File(cachePath).exists()) spark.read.parquet(cachePath)
+      if (fs.exists(path)) spark.read.parquet(cachePath)
       else Seq.empty[(String, String, String, String)]
         .toDF("entity_id", "text", "label", "motivation")
     val misses = unique.join(cached.select(col("entity_id"), col("text")),
@@ -106,7 +111,10 @@ object Labeler {
     val fresh = misses.as[(String, String)]
       .mapPartitions(rows => clf.classify(rows))
       .toDF("entity_id", "text", "label", "motivation")
-    if (!fresh.isEmpty) fresh.write.mode("append").parquet(cachePath)
+    // Unconditional append: exactly ONE execution of the classify stage (an
+    // isEmpty probe before the write would run the expensive external calls
+    // twice on a cold cache); an empty append is a no-op-cost footer write.
+    fresh.write.mode("append").parquet(cachePath)
     val lookup = spark.read.parquet(cachePath)
     df.join(lookup, Seq("entity_id", "text"), "left")
   }
@@ -116,4 +124,117 @@ object Labeler {
   def guarded(df: DataFrame): DataFrame =
     df.withColumn("label",
       when(col("motivation") === "unclear", lit("U")).otherwise(col("label")))
+
+  // ---- batched-prompt contract (`labeling.py:141-224`) ----
+
+  /** The reference packs `chunk_size` (10-50) rows into ONE prompt, receives
+    * an id-keyed JSON object, and merges results back by id; a malformed
+    * response falls back to U/unclear for every row of that batch rather than
+    * failing the job. This trait is that call shape: one [[classifyBatch]]
+    * invocation per `chunkSize` rows. */
+  trait BatchedClassifier extends Serializable {
+    def chunkSize: Int
+    /** One external call: batch of (row_id, text) → raw response text,
+      * expected to be a JSON object {row_id: {label, motivation}} possibly
+      * wrapped in markdown code fences. */
+    def classifyBatch(rows: Seq[(String, String)]): String
+  }
+
+  /** Scrub markdown fences + language tag the way the reference does
+    * (`labels.py:142-160`), then parse the id-keyed result object. Returns
+    * None on any malformed input → caller applies the batch-level fallback. */
+  def parseBatchResponse(raw: String): Option[Map[String, (String, String)]] = {
+    import org.json4s._
+    val scrubbed = raw.replace("```", "")
+      .replaceAll("^\\s*(?i:json)", "").trim
+    scala.util.Try {
+      org.json4s.jackson.JsonMethods.parse(scrubbed) match {
+        case JObject(fields) =>
+          fields.collect {
+            case (id, JObject(body)) =>
+              val m = body.toMap
+              val label = m.get("label").collect { case JString(x) => x }
+              val mot = m.get("motivation").collect { case JString(x) => x }
+              id -> (label.getOrElse("U"), mot.getOrElse("unclear"))
+          }.toMap
+        case _ => throw new IllegalArgumentException("not a JSON object")
+      }
+    }.toOption
+  }
+
+  /** Full batched-prompt path: dedup (entity_id, text) → group `chunkSize`
+    * rows per external call inside each partition → id-keyed parse with
+    * malformed-batch fallback → join labels back. Call count is
+    * Σ_partitions ⌈rows_p / chunkSize⌉ (== ⌈unique / chunkSize⌉ on a single
+    * partition); pass an accumulator to observe it. */
+  def labelBatchedPrompt(df: DataFrame, clf: BatchedClassifier,
+      calls: Option[LongAccumulator] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val unique = df.select(col("entity_id"), col("text"))
+      .dropDuplicates("entity_id", "text")
+      .withColumn("row_id", md5(concat_ws("|", col("entity_id"), col("text"))))
+      .as[(String, String, String)]
+    val labeled = unique.mapPartitions { rows =>
+      rows.grouped(clf.chunkSize).flatMap { batch =>
+        calls.foreach(_.add(1))
+        val resp = clf.classifyBatch(batch.map(r => (r._3, r._2)))
+        val parsed = parseBatchResponse(resp).getOrElse(Map.empty)
+        batch.map { case (eid, text, rid) =>
+          val (l, m) = parsed.getOrElse(rid, ("U", "unclear"))
+          (eid, text, l, m)
+        }
+      }
+    }.toDF("entity_id", "text", "label", "motivation")
+    df.join(labeled, Seq("entity_id", "text"), "left")
+  }
+
+  /** The stub as a [[BatchedClassifier]]: renders a real JSON response (via
+    * json4s, same as a service would) so the parse path is exercised
+    * end-to-end, fenced the way LLM responses usually arrive. */
+  object StubBatchedClassifier extends BatchedClassifier {
+    val chunkSize = 25
+    def classifyBatch(rows: Seq[(String, String)]): String = {
+      import org.json4s.JsonDSL._
+      import org.json4s.jackson.JsonMethods
+      val obj = rows.map { case (id, text) =>
+        val (label, motivation) =
+          if (text.contains("slow") && text.contains("merge"))
+            ("N", "negative: " + text.take(40))
+          else if (text.contains("fast")) ("P", "positive: " + text.take(40))
+          else if (text.contains("stream")) ("A", "adopter: " + text.take(40))
+          else ("U", "unclear")
+        id -> (("label" -> label) ~ ("motivation" -> motivation))
+      }.foldLeft(org.json4s.JObject()) { case (acc, (k, v)) =>
+        org.json4s.JObject(acc.obj :+ (k -> (v: org.json4s.JValue)))
+      }
+      "```json\n" + JsonMethods.compact(JsonMethods.render(obj)) + "\n```"
+    }
+  }
+
+  /** Driver gate for the batched-prompt path: batch → JSON response → parse →
+    * merge-back must agree with the whole-stage-codegen stub expression on
+    * every chunk row. Oracle pins n_rows to the chunk count, mismatches to 0. */
+  private val qLabelBatched = graft.Q(
+    "q_label_batched",
+    (s, d) => {
+      val base = graft.model.Tables.chunkRows(s, d)
+      val viaBatch = labelBatchedPrompt(base, StubBatchedClassifier)
+        .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+          col("label").as("b_label"), col("motivation").as("b_motivation"))
+      val viaExpr = withStubLabels(base)
+        .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+          col("label"), col("motivation"))
+      viaExpr.join(viaBatch,
+        Seq("sentence_id", "entity_id", "part_entity_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("label") =!= col("b_label")
+            || col("motivation") =!= col("b_motivation"), 1L).otherwise(0L))
+            .as("n_mismatch"))
+    },
+    Some(
+      """SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+        |       CAST(0 AS BIGINT) AS n_mismatch""".stripMargin))
+
+  def queries: Seq[graft.Q] = Seq(qLabelBatched)
 }

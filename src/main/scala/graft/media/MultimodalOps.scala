@@ -59,8 +59,14 @@ object MultimodalOps {
   /** Partition-wise batch "decode" + feature extraction through the typed
     * Dataset API. STUB DECODE: a real implementation replaces `fakeDecode`
     * with a codec call; the partition iterator shape (init once, stream rows)
-    * and the output schema stay identical. Aggregated so the driver's
-    * rows-only check still pins shape + determinism. */
+    * and the output schema stay identical.
+    *
+    * SELF-VERIFYING gate: every field the decoder emits (byte count, fake
+    * dimensions, mean byte, 8-dim feature vector) is recomputed independently
+    * as pure column arithmetic over the text the payload encodes (the corpus
+    * is ASCII, so `ascii(char)` = payload byte), and the query emits the
+    * mismatch count; the oracle pins n_rows to the corpus size and
+    * n_mismatch to 0. */
   private val qMediaFeatures = Q(
     "q_media_features",
     (s, d) => {
@@ -74,21 +80,46 @@ object MultimodalOps {
           val b = r.payload
           fakeDecode(r.doc_id, b)
         }
-      }
-      features.groupBy(col("width") % 10)
-        .agg(count(lit(1)).as("n"),
-          round(avg(col("mean_byte")), 4).as("avg_mean_byte"))
-        .orderBy(col("(width % 10)"))
+      }.toDF()
+      // Independent twin: column arithmetic over the source text. The byte
+      // sum folds left-to-right into an exact integer, so the double division
+      // is bit-identical to the decoder's sum/length.
+      val chars = split(col("text"), "")
+      val byteSum = aggregate(chars, lit(0L), (acc, c) => acc + ascii(c))
+      val twin = Tables.documents(s, d).select(
+        col("doc_id"),
+        octet_length(to_binary(col("text"), lit("utf-8"))).as("t_bytes"),
+        byteSum.as("t_sum"),
+        transform(slice(chars, 1, 8),
+          c => (ascii(c).cast("double") / lit(255.0)).cast("float")).as("t_feat"))
+        .withColumn("t_width", (lit(64) + col("t_bytes") % 640).cast("int"))
+        .withColumn("t_height", (lit(64) + (col("t_bytes") * 7) % 480).cast("int"))
+        .withColumn("t_mean", col("t_sum").cast("double") / col("t_bytes"))
+      features.join(twin, Seq("doc_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(
+            col("n_bytes") =!= col("t_bytes") ||
+              col("width") =!= col("t_width") ||
+              col("height") =!= col("t_height") ||
+              col("mean_byte") =!= col("t_mean") ||
+              col("feature") =!= col("t_feat"), 1L).otherwise(0L))
+            .as("n_mismatch"))
     },
-    None)
+    Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM documents""".stripMargin))
 
   /** DETERMINISTIC FAKE of the codec: derives "dimensions" and a feature
     * vector purely from the bytes. Replace with e.g. a JNI image decoder. */
   private def fakeDecode(docId: Long, b: Array[Byte]): MediaFeatures = {
     val n = b.length
     val mean = if (n == 0) 0.0 else b.map(_ & 0xff).sum.toDouble / n
+    // double-divide then narrow: Spark's `/` on numeric columns is always a
+    // double division, so the column-arithmetic twin in qMediaFeatures can
+    // only reproduce float values produced the same way
     val feat = Array.tabulate(8)(i =>
-      if (i < n) (b(i) & 0xff) / 255.0f else 0.0f)
+      if (i < n) ((b(i) & 0xff) / 255.0).toFloat else 0.0f)
     MediaFeatures(docId, n, 64 + n % 640, 64 + (n * 7) % 480, mean, feat)
   }
 

@@ -32,8 +32,12 @@ object MlOps {
       .transform(Tables.documents(s, d).repartition(col("doc_id")))
   }
 
-  /** spark.ml MinHashLSH near-dup join: fit seeded hash tables, self-join at
-    * Jaccard distance ≤ 0.6, count surviving pairs per distance bucket. */
+  /** spark.ml MinHashLSH near-dup join, SELF-VERIFYING: for every candidate
+    * pair the estimator returns, recompute the exact Jaccard distance over the
+    * term-vector index sets with independent arithmetic (sorted-merge
+    * intersection, not MLlib's keyDistance) and count disagreements; the
+    * oracle pins n_dist_mismatch = 0 and has_pairs = TRUE (so a regression
+    * that silently returns zero pairs also fails). */
   private val qMlMinhash = Q(
     "q_ml_minhash_neardup",
     (s, d) => {
@@ -41,20 +45,38 @@ object MlOps {
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(8).setSeed(42L)
       val model = lsh.fit(vecs)
-      val pairs = model
+      val exactJaccardDist = udf((a: Vector, b: Vector) => {
+        val ia = a.toSparse.indices
+        val ib = b.toSparse.indices
+        var i = 0; var j = 0; var inter = 0
+        while (i < ia.length && j < ib.length) {
+          if (ia(i) == ib(j)) { inter += 1; i += 1; j += 1 }
+          else if (ia(i) < ib(j)) i += 1
+          else j += 1
+        }
+        val union = ia.length + ib.length - inter
+        if (union == 0) 0.0 else 1.0 - inter.toDouble / union
+      })
+      model
         .approxSimilarityJoin(vecs, vecs, 0.6, "jaccard_dist")
-        .select(col("datasetA.doc_id").as("doc_a"),
-          col("datasetB.doc_id").as("doc_b"), col("jaccard_dist"))
-        .filter(col("doc_a") < col("doc_b"))
-      pairs
-        .groupBy(round(col("jaccard_dist"), 1).as("dist_bucket"))
-        .agg(count(lit(1)).as("n_pairs"))
-        .orderBy(col("dist_bucket"))
+        .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+        .select(col("jaccard_dist"),
+          exactJaccardDist(col("datasetA.features"), col("datasetB.features"))
+            .as("exact_dist"))
+        .agg(
+          (count(lit(1)) > 0).as("has_pairs"),
+          sum(when(abs(col("jaccard_dist") - col("exact_dist")) > 1e-9, 1L)
+            .otherwise(0L)).as("n_dist_mismatch"))
     },
-    None)
+    Some("SELECT TRUE AS has_pairs, CAST(0 AS BIGINT) AS n_dist_mismatch"))
 
-  /** Seeded KMeans as the IVF coarse quantizer: k=10 over the embeddings,
-    * report cluster sizes (k rows — stable shape for the rows-only check). */
+  /** Seeded KMeans as the IVF coarse quantizer, SELF-VERIFYING: every vector
+    * must be assigned to its nearest final centroid. The check recomputes all
+    * k squared distances per vector with our own loop over the broadcast
+    * centroid matrix (independent of MLlib's norm-trick distance path, which
+    * can differ in the last ulp — hence the 1e-9 slack) and counts vectors
+    * whose assigned centroid is not within slack of the true minimum. Oracle
+    * pins n_vecs to the exact embeddings count and n_mismatch to 0. */
   private val qMlKmeans = Q(
     "q_ml_kmeans_ivf",
     (s, d) => {
@@ -66,12 +88,27 @@ object MlOps {
       val km = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cluster")
       val model = km.fit(vecs)
+      val centers = model.clusterCenters.map(_.toArray)
+      val bc = s.sparkContext.broadcast(centers)
+      val nearestOk = udf((a: Seq[Float], assigned: Int) => {
+        val v = a.map(_.toDouble).toArray
+        def d2(c: Array[Double]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - c(i); acc += t * t; i += 1 }
+          acc
+        }
+        val ds = bc.value.map(d2)
+        ds(assigned) <= ds.min + 1e-9
+      })
       model.transform(vecs)
-        .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_vecs"))
-        .orderBy(col("cluster"))
+        .withColumn("ok", nearestOk(col("embedding"), col("cluster")))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_mismatch"))
     },
-    None)
+    Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(0 AS BIGINT) AS n_mismatch
+        |FROM embeddings""".stripMargin))
 
   def queries: Seq[Q] = Seq(qMlMinhash, qMlKmeans)
 }

@@ -153,6 +153,49 @@ object Tables {
         col("l_returnflag"), col("l_shipdate"))
   }
 
+  /** Full-fidelity chunk-row relation: [[chunkRows]] plus the array-typed
+    * columns every reference pipeline carries
+    * (`AI_Cost_Cutting_Market_Analysis/src/search.py:399-422,430-448,462-465`;
+    * `Tracking_Inflation_Drivers/src/search.py:263-264`):
+    *
+    *  - `entities`: array<struct{key,name,start,end}> — located entity
+    *    mentions with 0-based char offsets (the planted tokens `customer`,
+    *    `part`, `order` stand in for NER spans);
+    *  - `other_entities`: comma-joined names of located entities OTHER than
+    *    the masking target (P2's `array_join(filter(...))` projection; the
+    *    target here is `other_entity_id`, the same key the masking pipeline
+    *    masks to "Target Company" — the supplier never appears as a located
+    *    span in the synthetic corpus);
+    *  - `topics` / `topics_type`: parallel string arrays (zip-exploded by
+    *    the topics pipelines).
+    *
+    * All additions are per-row projections — no extra joins or shuffles over
+    * [[chunkRows]]; at 100 TB the arrays ride the same scan. */
+  def chunkRowsFull(s: SparkSession, d: String): DataFrame = {
+    val c = chunkRows(s, d)
+    def span(key: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column,
+        token: String): org.apache.spark.sql.Column = {
+      val p = instr(col("text"), token)
+      struct(key.as("key"), name.as("name"), (p - 1).cast("int").as("start"),
+        (p - 1 + token.length).cast("int").as("end"))
+    }
+    c.withColumn("entities",
+      filter(
+        array(
+          span(col("other_entity_id"), col("other_entity_name"), "customer"),
+          span(col("part_entity_id"), col("part_entity_id"), "part"),
+          span(concat(lit("o"), col("document_id")),
+            concat(lit("o"), col("document_id")), "order")),
+        e => e.getField("start") >= 0))
+      .withColumn("other_entities",
+        array_join(transform(
+          filter(col("entities"), e => e.getField("key") =!= col("other_entity_id")),
+          e => e.getField("name")), ", "))
+      .withColumn("topics",
+        array(col("entity_sector"), col("entity_industry"), col("other_entity_name")))
+      .withColumn("topics_type", array(lit("SECT"), lit("REGI"), lit("COMP")))
+  }
+
   /** Corpus size for the deterministic text-assignment key; an eager tiny
     * aggregate (single-column scan of a dimension table), memoized per sfDir
     * so repeated query construction doesn't re-run the job. */

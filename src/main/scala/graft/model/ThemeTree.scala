@@ -59,4 +59,96 @@ object ThemeTree {
   /** "label:summary" stringification (`labels.py:296-298`). */
   def labelSummaries(root: ThemeNode): Seq[String] =
     leaves(root).map(n => s"${n.label}: ${n.summary}")
+
+  // ---- LLM-response JSON parse path (`mind_map_tools.py:289-296`) ----
+
+  /** Scrub an LLM tree response the way the reference does: strip markdown
+    * code fences and a leading `json` language tag, drop stray `⟩`
+    * characters, trim. (The reference's blanket `re.sub('json', '', r)` would
+    * also mangle CONTENT containing the substring "json"; scrubbing only the
+    * leading language tag is behavior-identical on well-formed responses
+    * without that corruption.) */
+  def scrubResponse(raw: String): String =
+    raw.replace("```", "").replace("⟩", "")
+      .replaceAll("^\\s*(?i:json)", "").trim
+
+  /** Parse a `{Node, Label, Summary, Children[, Keywords]}` tree from a raw
+    * LLM response. Two-stage fallback mirroring the reference's retry
+    * behavior: (1) parse the scrubbed text; (2) if that fails, re-parse the
+    * substring between the first '{' and last '}' (tolerates prose around
+    * the JSON). Returns the tree + root Keywords, or an error message. */
+  def parseThemeTree(raw: String): Either[String, (ThemeNode, Seq[String])] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+
+    def intOf(v: JValue): Option[Int] = v match {
+      case JInt(x) => Some(x.toInt)
+      case JLong(x) => Some(x.toInt)
+      case _ => None
+    }
+    def toNode(v: JValue): Either[String, ThemeNode] = v match {
+      case JObject(fields) =>
+        val m = fields.toMap
+        val node = m.get("Node").flatMap(intOf)
+        val label = m.get("Label").collect { case JString(x) => x }
+        val summary = m.get("Summary").collect { case JString(x) => x }
+          .getOrElse("")
+        val kids: Either[String, Seq[ThemeNode]] = m.get("Children") match {
+          case Some(JArray(xs)) =>
+            xs.foldLeft(Right(Seq.empty): Either[String, Seq[ThemeNode]]) {
+              case (Right(acc), x) => toNode(x).map(acc :+ _)
+              case (l, _) => l
+            }
+          case None | Some(JNothing) | Some(JNull) => Right(Seq.empty)
+          case Some(other) => Left(s"Children is not an array: $other")
+        }
+        (node, label) match {
+          case (Some(n), Some(l)) => kids.map(ThemeNode(n, l, summary, _))
+          case _ => Left(s"node missing Node/Label: ${m.keySet}")
+        }
+      case other => Left(s"not a JSON object: $other")
+    }
+    def attempt(s: String): Either[String, (ThemeNode, Seq[String])] =
+      scala.util.Try(JsonMethods.parse(s)).toEither
+        .left.map(e => s"parse error: ${e.getMessage}")
+        .flatMap { jv =>
+          toNode(jv).map { root =>
+            val keywords = jv \ "Keywords" match {
+              case JArray(xs) => xs.collect { case JString(x) => x }
+              case _ => Seq.empty
+            }
+            (root, keywords)
+          }
+        }
+
+    val scrubbed = scrubResponse(raw)
+    attempt(scrubbed).left.flatMap { firstErr =>
+      val i = scrubbed.indexOf('{')
+      val j = scrubbed.lastIndexOf('}')
+      if (i >= 0 && j > i) attempt(scrubbed.substring(i, j + 1))
+        .left.map(e => s"$firstErr; fallback: $e")
+      else Left(firstErr)
+    }
+  }
+
+  /** Render a tree back to the reference's JSON shape (inverse of
+    * [[parseThemeTree]]; used for round-trip property tests and as the
+    * serialization a downstream prompt would embed). */
+  def toJson(root: ThemeNode, keywords: Seq[String] = Seq.empty): String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def jNode(n: ThemeNode, withKeywords: Boolean): JObject = {
+      val base = List(
+        "Node" -> (JInt(n.node): JValue),
+        "Label" -> (JString(n.label): JValue),
+        "Summary" -> (JString(n.summary): JValue))
+      val kw = if (withKeywords && keywords.nonEmpty)
+        List("Keywords" -> (JArray(keywords.map(JString(_)).toList): JValue))
+      else Nil
+      val kids = List("Children" ->
+        (JArray(n.children.map(jNode(_, withKeywords = false)).toList): JValue))
+      JObject(base ++ kw ++ kids)
+    }
+    JsonMethods.compact(JsonMethods.render(jNode(root, withKeywords = true)))
+  }
 }

@@ -39,6 +39,35 @@ object SourceOps {
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(s"$dir/$sheet")
 
+  /** S7 with the reference's workbook-loading quirks
+    * (`Narrative_Miners/src/tool.py:10-26`): real result sheets carry a
+    * banner row above the header (pandas `header=1`) and spreadsheet index
+    * columns that arrive named `Unnamed: N`. This reader skips the banner,
+    * takes line 1 as the header, drops Unnamed/blank columns, parses `Date`,
+    * and stamps `Source_Type` — the full load_results contract.
+    *
+    * Line indexing uses zipWithIndex over the text lines (two passes over
+    * the sheet); sheets are small presentation tables, so this is a bounded
+    * driver-adjacent source, not a 100 TB path. */
+  def readWorkbookSheet(spark: SparkSession, path: String,
+      sourceType: String): DataFrame = {
+    val indexed = spark.read.textFile(path).rdd.zipWithIndex()
+    val header = indexed.filter(_._2 == 1L).map(_._1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(s"no header line in $path"))
+    val body = spark.createDataset(indexed.filter(_._2 >= 2L).map(_._1))(
+      org.apache.spark.sql.Encoders.STRING)
+    val parsed = spark.read.option("inferSchema", "true").csv(body)
+    val names = header.split(",", -1).map(_.trim)
+    val kept = names.zipWithIndex.filter { case (n, _) =>
+      n.nonEmpty && !n.contains("Unnamed") }
+    val named = parsed.select(kept.toSeq.map { case (n, i) => col(s"_c$i").as(n) }: _*)
+    val dated =
+      if (named.columns.contains("Date"))
+        named.withColumn("Date", to_date(col("Date")))
+      else named
+    dated.withColumn("Source_Type", lit(sourceType))
+  }
+
   /** S3/S4: typed knowledge-graph enrichment — every entity reference in the
     * chunk table joined against the entity dimension (suppliers + customers +
     * parts with sector/industry_group), counted by type and industry group.

@@ -116,13 +116,26 @@ object TextOps {
          |SELECT fp_md5, fp_roll, count(*) AS n_docs, min(doc_id) AS keeper
          |FROM fp GROUP BY fp_md5, fp_roll ORDER BY fp_md5""".stripMargin))
 
-  /** n-gram Jaccard near-dup: distinct shingle sets, bucket join on shingle,
-    * |A∩B| / |A∪B| — top-20 most-similar pairs (never thresholds to empty,
-    * deterministic at any SF). */
+  /** Document-frequency cap for the Jaccard candidate join: shingles shared
+    * by more than this many documents are dropped from the representation
+    * (standard df/prefix filtering). Without it a stop-shingle appearing in k
+    * docs emits k² candidate pairs — the quadratic hot-key tail at 100 TB.
+    * At τ=50 the worst single shingle contributes ≤ 50²/2 pairs regardless of
+    * corpus size. */
+  private val ShingleDfCap = 50
+
+  /** n-gram Jaccard near-dup: df-capped distinct shingle sets, bucket join on
+    * shingle, |A∩B| / |A∪B| over the capped vocabulary — top-20 most-similar
+    * pairs (never thresholds to empty, deterministic at any SF). Both sizes
+    * and intersections are computed over the SAME capped shingle sets, so the
+    * similarity is a true Jaccard on the df-filtered representation. */
   private val qNgramJaccard = Q(
     "q_ngram_jaccard",
     (s, d) => {
-      val sh = docShingles(s, d)
+      val sh0 = docShingles(s, d)
+      val ok = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ShingleDfCap).select(col("s"))
+      val sh = sh0.join(ok, Seq("s"), "left_semi")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = sh.select(col("doc_id").as("doc_a"), col("s"))
       val b = sh.select(col("doc_id").as("doc_b"), col("s"))
@@ -141,10 +154,12 @@ object TextOps {
     },
     Some(
       s"""WITH $shingleCte,
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $ShingleDfCap),
+         |capped AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT doc_a, doc_b, inter,
@@ -238,48 +253,83 @@ object TextOps {
          |LIMIT 50""".stripMargin
     })
 
-  /** SimHash: 16-bit fingerprint from signed per-bit votes of shingle hashes;
-    * near-pairs found by bucketing on the high byte (banded Hamming join —
-    * candidates share 8 bits) then filtering Hamming distance ≤ 3. */
+  private val SimhashBits = 60
+  private val SimhashBandBits = 12
+  private val SimhashBands = SimhashBits / SimhashBandBits // 5
+
+  /** 60-bit content hash shared by both engines: first 15 hex digits of md5
+    * (15×4 = 60 bits fits signed BIGINT in both). Codegen'd built-ins on the
+    * Spark side, hex fold on the DuckDB side. */
+  private def hash60(e: Column): Column =
+    conv(substring(md5(e), 1, 15), 16, 10).cast("long")
+
+  private def hash60Sql(e: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
+      s"string_split(substr(md5($e), 1, 15), ''), " +
+      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
+      s"(acc, x) -> acc * 16 + x)"
+
+  /** SimHash: 60-bit fingerprint from signed per-bit votes of shingle hashes;
+    * candidate pairs via 5 band tables of 12 bits each (the same banded trick
+    * the MinHash query uses) — any two fingerprints within Hamming distance 4
+    * leave at least one band untouched (5 bands, ≤4 flipped bits), so banding
+    * has guaranteed recall at that radius. Emits the top-50 candidate pairs
+    * by Hamming distance. At 100 TB the candidate join keys on (band, 12-bit
+    * key): |pairs| ∝ Σ bucket², never the n²/256 a fixed-width bucket gives. */
   private val qSimhash = Q(
     "q_simhash",
     (s, d) => {
-      val hashed = docShingles(s, d)
-        .withColumn("h", hash32(col("s")) % 65536)
-      val voteCols = (0 until 16).map(b =>
+      val hashed = docShingles(s, d).withColumn("h", hash60(col("s")))
+      val voteCols = (0 until SimhashBits).map(b =>
         sum(when((shiftright(col("h"), b) % 2) === 1, 1)
           .otherwise(-1)).as(s"bit$b"))
       val votes = hashed.groupBy(col("doc_id"))
         .agg(voteCols.head, voteCols.tail: _*)
       val fp = votes.select(col("doc_id"),
-        (0 until 16).map(b =>
+        (0 until SimhashBits).map(b =>
           when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
-      val withBucket = fp.withColumn("bucket", (col("fp") / 256).cast("long"))
-      withBucket.as("x").join(withBucket.as("y"), Seq("bucket"))
+      val bands = fp.select(col("doc_id"), col("fp"), explode(array(
+        (0 until SimhashBands).map(bd => struct(lit(bd).as("band"),
+          (shiftright(col("fp"), bd * SimhashBandBits)
+            % (1 << SimhashBandBits)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("fp"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      bands.as("x").join(bands.as("y"), Seq("band", "key"))
         .filter(col("x.doc_id") < col("y.doc_id"))
-        .withColumn("hamming", bit_count(col("x.fp").bitwiseXOR(col("y.fp"))))
-        .filter(col("hamming") <= 3)
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.fp").as("fp_a"), col("y.fp").as("fp_b"), col("hamming"))
+          col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
         .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
         .limit(50)
     },
     Some {
-      val voteCols = (0 until 16).map(b =>
+      val voteCols = (0 until SimhashBits).map(b =>
         s"sum(CASE WHEN (h // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS bit$b")
         .mkString(", ")
-      val fpExpr = (0 until 16).map(b =>
+      val fpExpr = (0 until SimhashBits).map(b =>
         s"CASE WHEN bit$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      val bandSel = (0 until SimhashBands).map(bd =>
+        s"SELECT doc_id, fp, $bd AS band, " +
+          s"(fp // ${1L << (bd * SimhashBandBits)}) % ${1 << SimhashBandBits} AS key FROM fp")
+        .mkString("\n  UNION ALL ")
       s"""WITH $shingleCte,
-         |hashed AS (SELECT doc_id, ${hash32Sql("s")} % 65536 AS h FROM sh),
+         |hashed AS (SELECT doc_id, ${hash60Sql("s")} AS h FROM sh),
          |votes AS (SELECT doc_id, $voteCols FROM hashed GROUP BY doc_id),
          |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS fp FROM votes),
-         |wb AS (SELECT doc_id, fp, fp // 256 AS bucket FROM fp)
-         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.fp AS fp_a, y.fp AS fp_b,
-         |       CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
-         |FROM wb x JOIN wb y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.fp, y.fp)) <= 3
+         |bands AS (
+         |  $bandSel
+         |),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |         x.fp AS fp_a, y.fp AS fp_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |)
+         |SELECT doc_a, doc_b, fp_a, fp_b,
+         |       CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+         |FROM cand
          |ORDER BY hamming, doc_a, doc_b
          |LIMIT 50""".stripMargin
     })

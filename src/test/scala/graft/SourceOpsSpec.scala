@@ -31,6 +31,25 @@ class SourceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("workbook sheet reader applies header=1 + Unnamed-drop quirks") {
+    // layout a real result sheet arrives in (tool.py:10-26): banner line,
+    // header with a spreadsheet index column, then data
+    val tmp = java.nio.file.Files.createTempDirectory("wb")
+    val f = tmp.resolve("results.csv")
+    java.nio.file.Files.writeString(f,
+      """Narrative Mining Results - Q3,,,,
+        |Unnamed: 0,Company,Date,Score,
+        |0,Acme,2024-01-05,3,
+        |1,Globex,2024-02-10,7,
+        |""".stripMargin)
+    val df = SourceOps.readWorkbookSheet(spark, f.toString, "News")
+    assert(df.columns.toSeq == Seq("Company", "Date", "Score", "Source_Type"))
+    assert(df.count() == 2)
+    assert(df.schema("Date").dataType.typeName == "date")
+    assert(df.filter(col("Source_Type") =!= "News").isEmpty)
+    assert(df.filter(col("Company") === "Acme" && col("Score") === 3).count() == 1)
+  }
+
   test("stage checkpoint builds once, then reads back") {
     val tmp = java.nio.file.Files.createTempDirectory("ckpt").toString
     var builds = 0

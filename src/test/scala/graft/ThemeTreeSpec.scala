@@ -35,4 +35,42 @@ class ThemeTreeSpec extends AnyFunSuite {
     assert(flat == Seq(ThemeTree.FlatNode(9, -1, "only", "just one", true, 0)))
     assert(ThemeTree.leaves(one).map(_.node) == Seq(9))
   }
+
+  test("JSON round-trip: toJson → parseThemeTree is the identity") {
+    val kws = Seq("efficiency", "spark")
+    val json = ThemeTree.toJson(ThemeTree.fixture, kws)
+    val Right((tree, keywords)) = ThemeTree.parseThemeTree(json)
+    assert(tree == ThemeTree.fixture)
+    assert(keywords == kws)
+    // flatten/leaves survive the round-trip identically
+    assert(ThemeTree.flatten(tree) == ThemeTree.flatten(ThemeTree.fixture))
+    assert(ThemeTree.leaves(tree).map(_.label) ==
+      ThemeTree.leaves(ThemeTree.fixture).map(_.label))
+  }
+
+  test("parse scrubs markdown fences and language tag like the reference") {
+    val fenced = "```json\n" + ThemeTree.toJson(ThemeTree.fixture) + "\n```"
+    val Right((tree, _)) = ThemeTree.parseThemeTree(fenced)
+    assert(tree == ThemeTree.fixture)
+    // stray ⟩ characters are dropped too (labels.py:144)
+    val noisy = "```json\n" + ThemeTree.toJson(ThemeTree.fixture) + "⟩\n```"
+    assert(ThemeTree.parseThemeTree(noisy).map(_._1) == Right(ThemeTree.fixture))
+  }
+
+  test("parse falls back to the braces substring when prose surrounds the JSON") {
+    val wrapped = "Here is the taxonomy you asked for:\n" +
+      ThemeTree.toJson(ThemeTree.fixture) + "\nLet me know if you need more."
+    val Right((tree, _)) = ThemeTree.parseThemeTree(wrapped)
+    assert(tree == ThemeTree.fixture)
+  }
+
+  test("parse tolerates missing Children (leaf) and rejects malformed input") {
+    val leafOnly = """{"Node": 3, "Label": "solo", "Summary": "s"}"""
+    assert(ThemeTree.parseThemeTree(leafOnly) ==
+      Right((ThemeNode(3, "solo", "s"), Seq.empty)))
+    assert(ThemeTree.parseThemeTree("not json at all").isLeft)
+    assert(ThemeTree.parseThemeTree("""{"Label": "no node id"}""").isLeft)
+    assert(ThemeTree.parseThemeTree("""{"Node": 1, "Label": "x",
+      "Children": "oops"}""").isLeft)
+  }
 }
