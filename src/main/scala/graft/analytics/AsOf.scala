@@ -72,5 +72,30 @@ object AsOf {
          |FROM merged WHERE is_probe = 1
          |ORDER BY sentence_id, entity_id, part_entity_id""".stripMargin))
 
-  def queries: Seq[Q] = Seq(qAsofJoin)
+  /** The SAME as-of semantics through the custom Catalyst operator
+    * (`graft.plans.AsOfJoin` logical plan → strategy → sorted-merge
+    * `SparkPlan`) — gated against the identical DuckDB oracle the composed
+    * version uses, so the custom path is value-verified end-to-end. */
+  private val qAsofPlan = Q(
+    "q_asof_plan",
+    (s, d) => {
+      val probes = Tables.chunkRows(s, d).select(
+        col("other_entity_id").as("cust"),
+        col("l_shipdate").as("ts"),
+        col("sentence_id"), col("entity_id"), col("part_entity_id"))
+      val refs = Tables.orders(s, d).select(
+        concat(lit("c"), col("o_custkey")).as("rcust"),
+        col("o_orderdate").as("rts"),
+        col("o_orderkey").as("asof_orderkey"))
+      graft.plans.AsOfJoinOps.asof(probes, refs,
+        leftKey = "cust", rightKey = "rcust",
+        leftTime = "ts", rightTime = "rts",
+        rightTiebreak = Seq("asof_orderkey"))
+        .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+          col("asof_orderkey"))
+        .orderBy(col("sentence_id"), col("entity_id"), col("part_entity_id"))
+    },
+    qAsofJoin.oracle)
+
+  def queries: Seq[Q] = Seq(qAsofJoin, qAsofPlan)
 }

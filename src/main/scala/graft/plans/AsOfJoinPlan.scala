@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+
+/** As-of join as a first-class Catalyst operator: custom `LogicalPlan` →
+  * `SparkStrategy` → `SparkPlan`, registered via `SparkSessionExtensions`
+  * (route (c) of the custom-operator preference order — the composed
+  * union+window formulation lives in `graft.analytics.AsOf` as route (a)).
+  *
+  * Semantics: for every left ("probe") row, the LATEST right ("reference")
+  * row with the same key and `rightTime <= leftTime`; right columns are null
+  * when no such row exists. Ties on `rightTime` resolve to the right row
+  * latest in the child's (key, time, ...) sort order — callers append
+  * tiebreak columns to `rightTime`'s ordering by pre-sorting semantics of
+  * the physical plan (see [[AsOfJoinExec.requiredChildOrdering]]).
+  *
+  * Scale shape: both sides hash-partition on the key (ONE shuffle each,
+  * enforced declaratively through `requiredChildDistribution`, so
+  * EnsureRequirements plans the exchanges and AQE can still resize them) and
+  * sort within partitions; the merge itself is a single forward scan per
+  * partition — O(|left| + |right|), no per-row lookups, no state beyond one
+  * buffered reference row. This is the plan a 100 TB as-of join wants.
+  *
+  * Keys and times must be non-null (the synthetic corpus guarantees it; a
+  * production build would null-filter or null-safe the comparators).
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression]) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner rule: logical [[AsOfJoin]] → physical [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sorted-merge as-of join. Children are required to arrive hash-clustered
+  * by key and sorted by (key, time) — Catalyst inserts the exchanges/sorts,
+  * which keeps them visible to AQE and reusable by neighboring operators. */
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Seq[Expression]) extends SparkPlan {
+
+  override def children: Seq[SparkPlan] = Seq(left, right)
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  /** The tiebreak columns make the within-(key,time) order deterministic:
+    * among reference rows tied on time, the LAST in tiebreak order wins —
+    * without this, sort ties fall back to shuffle arrival order and the
+    * operator's output would not be run-stable. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+        rightTiebreak.map(SortOrder(_, Ascending)))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lkB = BindReferences.bindReference(leftKey, lOut)
+    val ltB = BindReferences.bindReference(leftTime, lOut)
+    val rkB = BindReferences.bindReference(rightKey, rOut)
+    val rtB = BindReferences.bindReference(rightTime, rOut)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val nRight = rOut.size
+    val outTypes = output.map(_.dataType).toArray
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+      val resultProj = UnsafeProjection.create(outTypes)
+      val rBuf = rIter.buffered
+      // one buffered reference row of state: the latest right row matching
+      // the current key at or before the current left time
+      var lastMatch: InternalRow = null
+      var lastMatchKey: Any = null
+      lIter.map { lrow =>
+        val k = lkB.eval(lrow)
+        val t = ltB.eval(lrow)
+        while (rBuf.hasNext && {
+          val head = rBuf.head
+          val c = keyOrd.compare(rkB.eval(head), k)
+          c < 0 || (c == 0 && timeOrd.compare(rtB.eval(head), t) <= 0)
+        }) {
+          val r = rBuf.next()
+          val rkv = rkB.eval(r)
+          if (keyOrd.compare(rkv, k) == 0) {
+            // child rows are reused mutable buffers — copy the one we keep
+            lastMatch = r.copy()
+            lastMatchKey = rkv
+          }
+        }
+        val matched =
+          lastMatch != null && keyOrd.compare(lastMatchKey, k) == 0
+        joined(lrow, if (matched) lastMatch else nullRight)
+        resultProj(joined)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[SparkPlan]): SparkPlan =
+    copy(left = newChildren(0), right = newChildren(1))
+}
+
+/** `SparkSessionExtensions` hook: enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
+  * `builder.withExtensions(new GraftExtensions)`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+/** Column-level API over the custom operator. */
+object AsOfJoinOps {
+
+  /** Make the strategy available on an already-built session (idempotent);
+    * sessions built with [[GraftExtensions]] don't need this. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** leftDf asof-joined to rightDf: latest right row per key with
+    * rightTime <= leftTime appended to every left row (nulls when none).
+    * Keys/times are column names resolved against each side's analyzed plan
+    * (hand-built plans skip the analyzer's name resolution, so ambiguity
+    * between sides never arises). */
+  def asof(leftDf: DataFrame, rightDf: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      rightTiebreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graft.GraftShims
+    val spark = leftDf.sparkSession
+    ensureRegistered(spark)
+    val lPlan = GraftShims.analyzed(leftDf)
+    val rPlan = GraftShims.analyzed(rightDf)
+    def res(plan: LogicalPlan, name: String): Expression =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    val plan = AsOfJoin(lPlan, rPlan,
+      res(lPlan, leftKey), res(rPlan, rightKey),
+      res(lPlan, leftTime), res(rPlan, rightTime),
+      rightTiebreak.map(res(rPlan, _)))
+    GraftShims.ofRows(spark, plan)
+  }
+}

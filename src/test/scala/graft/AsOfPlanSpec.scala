@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{AsOfJoinOps, GraftExtensions}
+
+/** Custom as-of join operator: LogicalPlan → Strategy → sorted-merge
+  * SparkPlan, registered via SparkSessionExtensions. */
+class AsOfPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  // built WITH the extension — proves the SparkSessionExtensions path (the
+  // registry query instead goes through extraStrategies on any session)
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("as-of semantics on a known fixture: latest ref <= t, ties, no-match") {
+    import spark.implicits._
+    val probes = Seq(
+      ("a", 5, "p1"), ("a", 10, "p2"), ("a", 2, "p3"),
+      ("b", 7, "p4"),
+      ("c", 9, "p5")) // key with no refs at all
+      .toDF("k", "t", "probe")
+    val refs = Seq(
+      ("a", 3, 100L), ("a", 5, 200L), ("a", 5, 150L), ("a", 8, 300L),
+      ("b", 9, 400L)) // only ref is AFTER b's probe
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoinOps.asof(probes, refs, "k", "rk", "t", "rt",
+      rightTiebreak = Seq("v"))
+      .select(col("probe"), col("v"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("p1") == Some(200L)) // tie at t=5 -> max tiebreak wins
+    assert(out("p2") == Some(300L)) // latest ref <= 10
+    assert(out("p3") == None)       // no ref <= 2
+    assert(out("p4") == None)       // b's only ref is later
+    assert(out("p5") == None)       // key never present on right
+  }
+
+  test("custom plan output equals the composed union+window formulation") {
+    val dir = "/root/testdata/sf0.001"
+    val viaPlan = SparkEntry.queries("q_asof_plan")(spark, dir)
+    val viaWindow = SparkEntry.queries("q_asof_join")(spark, dir)
+    assert(viaPlan.schema.fieldNames.sameElements(viaWindow.schema.fieldNames))
+    assert(viaPlan.exceptAll(viaWindow).isEmpty &&
+      viaWindow.exceptAll(viaPlan).isEmpty)
+  }
+
+  test("physical plan is the custom exec over one exchange per side") {
+    import spark.implicits._
+    val probes = Seq(("a", 1)).toDF("k", "t")
+    val refs = Seq(("a", 1, 1L)).toDF("rk", "rt", "v")
+    val out = AsOfJoinOps.asof(probes, refs, "k", "rk", "t", "rt")
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfJoin")) // nodeName of AsOfJoinExec
+    assert("Exchange hashpartitioning".r.findAllIn(physical).size == 2)
+  }
+}
