@@ -53,23 +53,42 @@ object Oracle {
     """chunk_full AS (
       |  SELECT *,
       |    -- coalesce: DuckDB's array_to_string is NULL on an empty list,
-      |    -- Spark's array_join is '' — align on ''
+      |    -- Spark's array_join is '' — align on ''.
+      |    -- one entry per distinct non-target KEY (first occurrence), however
+      |    -- many spans the entities array carries
       |    coalesce(array_to_string(list_transform(
-      |      list_filter(entities, e -> e.key <> other_entity_id),
+      |      list_filter([
+      |        struct_pack(key := other_entity_id, name := other_entity_name,
+      |          "start" := strpos(text, 'customer') - 1),
+      |        struct_pack(key := part_entity_id, name := part_entity_id,
+      |          "start" := strpos(text, 'part') - 1),
+      |        struct_pack(key := 'o' || document_id, name := 'o' || document_id,
+      |          "start" := strpos(text, 'order') - 1)
+      |      ], e -> e."start" >= 0 AND e.key <> other_entity_id),
       |      e -> e.name), ', '), '') AS other_entities
       |  FROM (
       |    SELECT *,
-      |      list_filter([
-      |        struct_pack(key := other_entity_id, name := other_entity_name,
-      |          "start" := strpos(text, 'customer') - 1,
-      |          "end" := strpos(text, 'customer') + 7),
-      |        struct_pack(key := part_entity_id, name := part_entity_id,
-      |          "start" := strpos(text, 'part') - 1,
-      |          "end" := strpos(text, 'part') + 3),
-      |        struct_pack(key := 'o' || document_id, name := 'o' || document_id,
-      |          "start" := strpos(text, 'order') - 1,
-      |          "end" := strpos(text, 'order') + 4)
-      |      ], e -> e."start" >= 0) AS entities,
+      |      -- EVERY occurrence of each planted token, 0-based offsets,
+      |      -- ascending within token — mirrors Tables.chunkRowsFull
+      |      list_concat(list_concat(
+      |        list_transform(
+      |          list_filter(generate_series(1, greatest(len(text) - 7, 0)),
+      |            i -> substr(text, i, 8) = 'customer'),
+      |          i -> struct_pack(key := other_entity_id,
+      |            name := other_entity_name,
+      |            "start" := CAST(i - 1 AS INT), "end" := CAST(i + 7 AS INT))),
+      |        list_transform(
+      |          list_filter(generate_series(1, greatest(len(text) - 3, 0)),
+      |            i -> substr(text, i, 4) = 'part'),
+      |          i -> struct_pack(key := part_entity_id, name := part_entity_id,
+      |            "start" := CAST(i - 1 AS INT), "end" := CAST(i + 3 AS INT)))),
+      |        list_transform(
+      |          list_filter(generate_series(1, greatest(len(text) - 4, 0)),
+      |            i -> substr(text, i, 5) = 'order'),
+      |          i -> struct_pack(key := 'o' || document_id,
+      |            name := 'o' || document_id,
+      |            "start" := CAST(i - 1 AS INT), "end" := CAST(i + 4 AS INT))))
+      |      AS entities,
       |      [entity_sector, entity_industry, other_entity_name] AS topics,
       |      ['SECT', 'REGI', 'COMP'] AS topics_type
       |    FROM chunk

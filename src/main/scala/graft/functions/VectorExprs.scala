@@ -67,6 +67,48 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sum of unsigned byte values of a binary column, as a tight codegen'd Java
+  * loop. Replaces the interpreted `aggregate(split(text,''), ...)` per-char
+  * fold the media gate twin used — that HOF walks an expression tree per
+  * element and re-evaluates the split, O(n²) on long documents; this is one
+  * O(n) loop inside whole-stage codegen. Left-to-right over exact integers,
+  * so it is order-deterministic by construction. */
+case class ByteSum(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires binary input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_byte_sum"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    var s = 0L
+    var i = 0
+    while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |long $s = 0L;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $s += ($a[$i] & 0xff);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExprs {
 
   /** Idempotent session registration; expressions are then reachable from
@@ -76,7 +118,13 @@ object VectorExprs {
     registry.createOrReplaceTempFunction("graft_dot",
       { exprs: Seq[Expression] => DotProduct(exprs.head, exprs(1)) },
       "built-in")
+    registry.createOrReplaceTempFunction("graft_byte_sum",
+      { exprs: Seq[Expression] => ByteSum(exprs.head) },
+      "built-in")
   }
+
+  /** Codegen'd Σ(byte & 0xff) over a binary column. */
+  def byteSum(b: Column): Column = call_function("graft_byte_sum", b)
 
   /** Column builder — resolution happens at analysis time, so the session
     * only needs [[register]] called before the first action on the plan. */

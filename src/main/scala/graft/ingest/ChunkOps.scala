@@ -14,10 +14,11 @@ import graft.query.QueryAlgebra._
   */
 object ChunkOps {
 
-  /** Chunk rows + synthesized entity spans (first occurrence, 0-based
-    * offsets — the reference's char-span contract `search.py:430-448`).
-    * The span array is now first-class on [[Tables.chunkRowsFull]]; this
-    * alias remains for the masking pipeline's call sites. */
+  /** Chunk rows + synthesized entity spans (EVERY occurrence per token,
+    * 0-based offsets — the reference's char-span contract
+    * `search.py:430-448`). The span array is first-class on
+    * [[Tables.chunkRowsFull]]; this alias remains for the masking pipeline's
+    * call sites. */
   def withSpans(s: SparkSession, d: String): DataFrame =
     Tables.chunkRowsFull(s, d)
 
@@ -198,28 +199,40 @@ object ChunkOps {
     * independent Column-expression twin: span numbering by start order via
     * when-trees, right-to-left splice via a fold over the desc-sorted span
     * array — all codegen-free HOFs on the verification side only. The oracle
-    * pins n_rows to the chunk count and n_mismatch to 0. (Algorithm edge
-    * cases — overlap skipping, repeated keys — are property-tested in
-    * MaskingSpec; this gate pins the full-corpus behavior.) */
+    * pins n_rows to the chunk count and n_mismatch to 0. The span array now
+    * carries EVERY occurrence of every token, so repeated-span right-to-left
+    * masking with stable per-key numbering is exercised on every corpus row
+    * (`search.py:430-448, 634-677`), not just at property-test scale.
+    * (Overlap skipping remains property-tested in MaskingSpec — the planted
+    * tokens cannot overlap each other in text.) */
   private val qMaskMulti = Q(
     "q_mask_multi",
     (s, d) => {
-      val pC = instr(col("text"), "customer")
       val pP = instr(col("text"), "part")
       val pO = instr(col("text"), "order")
-      // stable numbering: per distinct non-target key in order of first span
-      // appearance (here: 'part' vs 'order' occurrence order)
+      // stable numbering: per distinct non-target KEY in order of first span
+      // appearance ('part' vs 'order' FIRST-occurrence order) — every span of
+      // a key shares its number, however many occurrences it has
       val partNum = when(pO > 0 && pO < pP, lit(2)).otherwise(lit(1))
       val orderNum = when(pP > 0 && pP < pO, lit(2)).otherwise(lit(1))
-      val spansArr = filter(
-        array(
-          struct((pC - 1).cast("int").as("start"), (pC + 7).cast("int").as("end"),
-            lit(Masking.TargetPlaceholder).as("ph")),
-          struct((pP - 1).cast("int").as("start"), (pP + 3).cast("int").as("end"),
-            concat(lit(Masking.OtherPrefix), partNum).as("ph")),
-          struct((pO - 1).cast("int").as("start"), (pO + 4).cast("int").as("end"),
-            concat(lit(Masking.OtherPrefix), orderNum).as("ph"))),
-        e => e.getField("start") >= 0)
+      // every occurrence of each token (same enumeration as chunkRowsFull)
+      def starts(token: String): Column = {
+        val tl = token.length
+        when(length(col("text")) >= tl,
+          transform(
+            filter(sequence(lit(1), length(col("text")) - (tl - 1)),
+              i => col("text").substr(i, lit(tl)) === token),
+            i => (i - 1).cast("int")))
+          .otherwise(array().cast("array<int>"))
+      }
+      def occ(token: String, ph: Column): Column =
+        transform(starts(token), p =>
+          struct(p.as("start"), (p + token.length).cast("int").as("end"),
+            ph.as("ph")))
+      val spansArr = concat(
+        occ("customer", lit(Masking.TargetPlaceholder)),
+        occ("part", concat(lit(Masking.OtherPrefix), partNum)),
+        occ("order", concat(lit(Masking.OtherPrefix), orderNum)))
       // right-to-left splice keeps earlier offsets valid (same order the UDF
       // applies replacements)
       val expectedMasked = aggregate(reverse(array_sort(spansArr)), col("text"),
@@ -279,6 +292,83 @@ object ChunkOps {
           .as("n_mismatch"))
     },
     Some("SELECT CAST(0 AS BIGINT) AS n_mismatch"))
+
+  /** Q3 gate: entity-membership predicates — `EntityQ` (any role) and
+    * `ReportingEntityQ` (reporting scope, `query_builder.py:292-298`) driven
+    * over the full chunk relation, with located-span membership via
+    * `exists(entities, ...)` so the gate also pins the span array's keys. */
+  private val qEntityMembership = Q(
+    "q_entity_membership",
+    (s, d) => Tables.chunkRowsFull(s, d)
+      .filter(EntityQ("c1").toColumn || ReportingEntityQ("s1").toColumn)
+      .groupBy(col("document_type"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(exists(col("entities"), e => e.getField("key") === "c1"), 1L)
+          .otherwise(0L)).as("n_located"),
+        sum(when(ReportingEntityQ("s1").toColumn, 1L).otherwise(0L))
+          .as("n_reporting"))
+      .orderBy(col("document_type")),
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |${Oracle.chunkFullCte}
+         |SELECT document_type, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN len(list_filter(entities, e -> e.key = 'c1')) > 0
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_located,
+         |       CAST(sum(CASE WHEN entity_id = 's1' AND is_reporting_entity
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_reporting
+         |FROM chunk_full
+         |WHERE (entity_id = 'c1' OR other_entity_id = 'c1' OR part_entity_id = 'c1')
+         |   OR (entity_id = 's1' AND is_reporting_entity)
+         |GROUP BY document_type ORDER BY document_type""".stripMargin))
+
+  /** Q5 gate: typed-entity predicates — one predicate per type routed to its
+    * denormalized column (`query_builder.py:226-271`), each counted on the
+    * same scan via conditional aggregation. */
+  private val qTypedEntity = Q(
+    "q_typed_entity",
+    (s, d) => {
+      val sect = TypedEntityQ("SECT", "NATION_3").toColumn
+      val regi = TypedEntityQ("REGI", "EUROPE").toColumn
+      val comp = TypedEntityQ("COMP", "Supplier#000000001").toColumn
+      val prod = TypedEntityQ("PROD", "p1").toColumn
+      Tables.chunkRows(s, d)
+        .agg(sum(when(sect, 1L).otherwise(0L)).as("n_sect"),
+          sum(when(regi, 1L).otherwise(0L)).as("n_regi"),
+          sum(when(comp, 1L).otherwise(0L)).as("n_comp"),
+          sum(when(prod, 1L).otherwise(0L)).as("n_prod"),
+          sum(when(sect && regi, 1L).otherwise(0L)).as("n_sect_and_regi"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT
+         |  CAST(sum(CASE WHEN entity_sector = 'NATION_3' THEN 1 ELSE 0 END) AS BIGINT) AS n_sect,
+         |  CAST(sum(CASE WHEN entity_industry = 'EUROPE' THEN 1 ELSE 0 END) AS BIGINT) AS n_regi,
+         |  CAST(sum(CASE WHEN entity_name = 'Supplier#000000001'
+         |           OR other_entity_name = 'Supplier#000000001' THEN 1 ELSE 0 END) AS BIGINT) AS n_comp,
+         |  CAST(sum(CASE WHEN part_entity_id = 'p1' THEN 1 ELSE 0 END) AS BIGINT) AS n_prod,
+         |  CAST(sum(CASE WHEN entity_sector = 'NATION_3' AND entity_industry = 'EUROPE'
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_sect_and_regi
+         |FROM chunk""".stripMargin))
+
+  /** Q6 gate: fiscal-year constraint composed with a source scope — monthly
+    * chunk counts inside FY1996, news+filings only. */
+  private val qFiscalYear = Q(
+    "q_fiscal_year",
+    (s, d) => Tables.chunkRows(s, d)
+      .filter(AllQ(FiscalYearQ(1996), SourceQ("news", "filings")).toColumn)
+      .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("entity_id")).as("n_entities"))
+      .orderBy(col("month")),
+    Some(
+      s"""WITH ${Oracle.chunkCte}
+         |SELECT strftime(timestamp_utc, '%Y-%m') AS month,
+         |       count(*) AS n_chunks,
+         |       count(DISTINCT entity_id) AS n_entities
+         |FROM chunk
+         |WHERE year(timestamp_utc) = 1996
+         |  AND document_type IN ('news', 'filings')
+         |GROUP BY 1 ORDER BY month""".stripMargin))
 
   /** Q1-Q10 driven end-to-end: one composed predicate tree on one scan —
     * similarity ∧ Any(keywords) ∧ source scope ∧ inclusive date range —
@@ -388,5 +478,6 @@ object ChunkOps {
 
   def queries: Seq[Q] = Seq(qExplodeRoles, qTopicsExplode, qOtherEntities,
     qEntitiesArray, qScrub, qPresentation, qMaskTarget, qMaskMulti,
-    qMaskRoundtrip, qQueryAlgebra, qSimilarityTopk, qSearchModes)
+    qMaskRoundtrip, qEntityMembership, qTypedEntity, qFiscalYear,
+    qQueryAlgebra, qSimilarityTopk, qSearchModes)
 }

@@ -92,6 +92,15 @@ object Labeler {
     * classifier, new results are appended, and all rows get their labels via
     * a join. At 100 TB the cache join is a plain equi-join the optimizer
     * places; the expensive external stage sees only the novel pairs. */
+  /** Fixed schema of the cache parquet. Reading WITH this schema (instead of
+    * inferring) makes an empty cache directory — which an append of zero rows
+    * to a previously nonexistent path can create — read as an empty frame
+    * rather than fail schema inference. */
+  private val cacheSchema = org.apache.spark.sql.types.StructType(
+    Seq("entity_id", "text", "label", "motivation").map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType)))
+
   def labelWithCache(df: DataFrame, clf: ExternalClassifier,
       cachePath: String): DataFrame = {
     val spark = df.sparkSession
@@ -103,7 +112,7 @@ object Labeler {
     val path = new org.apache.hadoop.fs.Path(cachePath)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cached: DataFrame =
-      if (fs.exists(path)) spark.read.parquet(cachePath)
+      if (fs.exists(path)) spark.read.schema(cacheSchema).parquet(cachePath)
       else Seq.empty[(String, String, String, String)]
         .toDF("entity_id", "text", "label", "motivation")
     val misses = unique.join(cached.select(col("entity_id"), col("text")),
@@ -115,7 +124,18 @@ object Labeler {
     // isEmpty probe before the write would run the expensive external calls
     // twice on a cold cache); an empty append is a no-op-cost footer write.
     fresh.write.mode("append").parquet(cachePath)
-    val lookup = spark.read.parquet(cachePath)
+    // Concurrent appenders racing on the same misses can leave duplicate
+    // (entity_id, text) rows in the cache; a plain join on such a cache
+    // would FAN OUT the output. Dedup on read makes the join safe under any
+    // append history (the classifier is deterministic, so duplicate rows
+    // agree on their labels and any survivor is correct). Expressed as an
+    // explicit key-grouped aggregate — same one-shuffle plan as
+    // dropDuplicates, but with fresh output attributes, which keeps
+    // downstream set operations over this join unambiguous.
+    val lookup = spark.read.schema(cacheSchema).parquet(cachePath)
+      .groupBy(col("entity_id"), col("text"))
+      .agg(first(col("label")).as("label"),
+        first(col("motivation")).as("motivation"))
     df.join(lookup, Seq("entity_id", "text"), "left")
   }
 
@@ -187,6 +207,41 @@ object Labeler {
       }
     }.toDF("entity_id", "text", "label", "motivation")
     df.join(labeled, Seq("entity_id", "text"), "left")
+  }
+
+  /** L7: retry/backoff decorator around any [[BatchedClassifier]] — the
+    * reference wraps every API call in a bounded-retry loop with exponential
+    * backoff (`labeling.py:106-127`, 3-5 attempts). Both the schedule and the
+    * sleeper are injected functions so tests assert the exact schedule with
+    * zero wall-clock; production uses the defaults. Retries wrap the CALL
+    * only — a malformed-but-delivered response is not an error (the parse
+    * fallback in [[labelBatchedPrompt]] owns that case), matching the
+    * reference's separation of transport failures from bad content.
+    *
+    * The decorator composes transparently: it IS a BatchedClassifier, so the
+    * whole labeling plan (dedup → batch → parse → merge-back) is unchanged
+    * and labels are identical whenever the inner classifier eventually
+    * succeeds within the attempt budget. */
+  final class RetryingClassifier(
+      inner: BatchedClassifier,
+      maxAttempts: Int = 4,
+      backoffMs: Int => Long = attempt => 250L << (attempt - 1),
+      sleep: Long => Unit = Thread.sleep) extends BatchedClassifier {
+    require(maxAttempts >= 1, "maxAttempts must be at least 1")
+    def chunkSize: Int = inner.chunkSize
+    def classifyBatch(rows: Seq[(String, String)]): String = {
+      var attempt = 1
+      while (true) {
+        try return inner.classifyBatch(rows)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            if (attempt >= maxAttempts) throw e
+            sleep(backoffMs(attempt))
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
   }
 
   /** The stub as a [[BatchedClassifier]]: renders a real JSON response (via

@@ -81,20 +81,32 @@ object MultimodalOps {
           fakeDecode(r.doc_id, b)
         }
       }.toDF()
-      // Independent twin: column arithmetic over the source text. The byte
-      // sum folds left-to-right into an exact integer, so the double division
-      // is bit-identical to the decoder's sum/length.
-      val chars = split(col("text"), "")
-      val byteSum = aggregate(chars, lit(0L), (acc, c) => acc + ascii(c))
+      // Independent twin: column arithmetic over the source text, entirely
+      // inside whole-stage codegen. The byte sum is the custom ByteSum
+      // expression (a tight Java loop — the earlier `aggregate(split(...))`
+      // HOF was interpreted and O(n²) on long documents); the 8-dim feature
+      // twin is one codegen'd ascii(substring(...)) per position, explicitly
+      // zero-padded so texts shorter than 8 chars match the decoder's
+      // fixed-width contract instead of producing a spurious length mismatch.
+      graft.functions.VectorExprs.register(s)
+      val byteSum = graft.functions.VectorExprs.byteSum(
+        to_binary(col("text"), lit("utf-8")))
+      val featTwin = array((1 to 8).map { i =>
+        when(length(col("text")) >= i,
+          (ascii(substring(col("text"), i, 1)).cast("double") / lit(255.0))
+            .cast("float"))
+          .otherwise(lit(0.0f))
+      }: _*)
       val twin = Tables.documents(s, d).select(
         col("doc_id"),
         octet_length(to_binary(col("text"), lit("utf-8"))).as("t_bytes"),
         byteSum.as("t_sum"),
-        transform(slice(chars, 1, 8),
-          c => (ascii(c).cast("double") / lit(255.0)).cast("float")).as("t_feat"))
+        featTwin.as("t_feat"))
         .withColumn("t_width", (lit(64) + col("t_bytes") % 640).cast("int"))
         .withColumn("t_height", (lit(64) + (col("t_bytes") * 7) % 480).cast("int"))
-        .withColumn("t_mean", col("t_sum").cast("double") / col("t_bytes"))
+        .withColumn("t_mean",
+          when(col("t_bytes") === 0, lit(0.0))
+            .otherwise(col("t_sum").cast("double") / col("t_bytes")))
       features.join(twin, Seq("doc_id"))
         .agg(count(lit(1)).as("n_rows"),
           sum(when(

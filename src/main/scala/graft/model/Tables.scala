@@ -159,38 +159,67 @@ object Tables {
     * `Tracking_Inflation_Drivers/src/search.py:263-264`):
     *
     *  - `entities`: array<struct{key,name,start,end}> — located entity
-    *    mentions with 0-based char offsets (the planted tokens `customer`,
-    *    `part`, `order` stand in for NER spans);
+    *    mentions with 0-based char offsets, EVERY occurrence of each planted
+    *    token (`customer`, `part`, `order` stand in for NER spans): the
+    *    reference locates and masks all occurrences right-to-left
+    *    (`search.py:430-448, 634-677`), so repeated-span behavior must be
+    *    exercised at corpus scale, not just in property tests;
     *  - `other_entities`: comma-joined names of located entities OTHER than
-    *    the masking target (P2's `array_join(filter(...))` projection; the
-    *    target here is `other_entity_id`, the same key the masking pipeline
-    *    masks to "Target Company" — the supplier never appears as a located
-    *    span in the synthetic corpus);
+    *    the masking target, one entry per DISTINCT key (P2's
+    *    `array_join(filter(...))` projection lists each entity once however
+    *    many spans it has; the target here is `other_entity_id`, the same key
+    *    the masking pipeline masks to "Target Company" — the supplier never
+    *    appears as a located span in the synthetic corpus);
     *  - `topics` / `topics_type`: parallel string arrays (zip-exploded by
     *    the topics pipelines).
     *
     * All additions are per-row projections — no extra joins or shuffles over
-    * [[chunkRows]]; at 100 TB the arrays ride the same scan. */
+    * [[chunkRows]]; at 100 TB the arrays ride the same scan. The occurrence
+    * enumeration is an interpreted HOF over char positions (O(|text|) per
+    * row) — fidelity-column cost only; no headline/hot-path query reads it. */
   def chunkRowsFull(s: SparkSession, d: String): DataFrame = {
     val c = chunkRows(s, d)
-    def span(key: org.apache.spark.sql.Column, name: org.apache.spark.sql.Column,
-        token: String): org.apache.spark.sql.Column = {
-      val p = instr(col("text"), token)
-      struct(key.as("key"), name.as("name"), (p - 1).cast("int").as("start"),
-        (p - 1 + token.length).cast("int").as("end"))
+    type Col = org.apache.spark.sql.Column
+    // all 0-based start offsets of `token` in text, ascending
+    def starts(token: String): Col = {
+      val tl = token.length
+      when(length(col("text")) >= tl,
+        transform(
+          filter(sequence(lit(1), length(col("text")) - (tl - 1)),
+            i => col("text").substr(i, lit(tl)) === token),
+          i => (i - 1).cast("int")))
+        .otherwise(array().cast("array<int>"))
     }
+    def spans(key: Col, name: Col, token: String): Col =
+      transform(starts(token), p =>
+        struct(key.as("key"), name.as("name"), p.as("start"),
+          (p + token.length).cast("int").as("end")))
     c.withColumn("entities",
-      filter(
-        array(
-          span(col("other_entity_id"), col("other_entity_name"), "customer"),
-          span(col("part_entity_id"), col("part_entity_id"), "part"),
-          span(concat(lit("o"), col("document_id")),
-            concat(lit("o"), col("document_id")), "order")),
-        e => e.getField("start") >= 0))
-      .withColumn("other_entities",
+      concat(
+        spans(col("other_entity_id"), col("other_entity_name"), "customer"),
+        spans(col("part_entity_id"), col("part_entity_id"), "part"),
+        spans(concat(lit("o"), col("document_id")),
+          concat(lit("o"), col("document_id")), "order")))
+      // one entry per distinct non-target KEY (first-span name), not one per
+      // span — built from the first occurrence of each token, which keeps
+      // the projection identical however many spans each entity has
+      .withColumn("other_entities", {
+        def firstSpan(key: Col, name: Col, token: String): Col = {
+          val p = instr(col("text"), token)
+          struct(key.as("key"), name.as("name"),
+            (p - 1).cast("int").as("start"))
+        }
         array_join(transform(
-          filter(col("entities"), e => e.getField("key") =!= col("other_entity_id")),
-          e => e.getField("name")), ", "))
+          filter(
+            array(
+              firstSpan(col("other_entity_id"), col("other_entity_name"), "customer"),
+              firstSpan(col("part_entity_id"), col("part_entity_id"), "part"),
+              firstSpan(concat(lit("o"), col("document_id")),
+                concat(lit("o"), col("document_id")), "order")),
+            e => e.getField("start") >= 0 &&
+              e.getField("key") =!= col("other_entity_id")),
+          e => e.getField("name")), ", ")
+      })
       .withColumn("topics",
         array(col("entity_sector"), col("entity_industry"), col("other_entity_name")))
       .withColumn("topics_type", array(lit("SECT"), lit("REGI"), lit("COMP")))

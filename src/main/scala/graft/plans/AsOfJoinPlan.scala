@@ -108,11 +108,15 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           c < 0 || (c == 0 && timeOrd.compare(rtB.eval(head), t) <= 0)
         }) {
           val r = rBuf.next()
-          val rkv = rkB.eval(r)
-          if (keyOrd.compare(rkv, k) == 0) {
-            // child rows are reused mutable buffers — copy the one we keep
+          if (keyOrd.compare(rkB.eval(r), k) == 0) {
+            // child rows are reused mutable buffers (UnsafeRow iterators and
+            // spill readers overwrite them on next()) — copy the row we keep
+            // AND derive the retained key from the COPY: a key eval'd from
+            // the transient buffer (e.g. a UTF8String view into the spill
+            // reader's byte array) would be silently clobbered by the next
+            // right row, corrupting the matched-key comparison below.
             lastMatch = r.copy()
-            lastMatchKey = rkv
+            lastMatchKey = rkB.eval(lastMatch)
           }
         }
         val matched =
@@ -160,7 +164,19 @@ object AsOfJoinOps {
     val spark = leftDf.sparkSession
     ensureRegistered(spark)
     val lPlan = GraftShims.analyzed(leftDf)
-    val rPlan = GraftShims.analyzed(rightDf)
+    val rPlan0 = GraftShims.analyzed(rightDf)
+    // Self-joins (or two frames sharing lineage) carry the SAME ExprIds on
+    // both sides; the analyzer's DeduplicateRelations protects Join but not a
+    // hand-built node, and overlapping ids make BindReferences silently bind
+    // right-side expressions to left-side slots. Re-alias the right side with
+    // fresh ExprIds whenever any id overlaps — same remedy the analyzer uses.
+    val rPlan: LogicalPlan =
+      if (lPlan.output.map(_.exprId).toSet
+            .intersect(rPlan0.output.map(_.exprId).toSet).nonEmpty) {
+        import org.apache.spark.sql.catalyst.expressions.Alias
+        import org.apache.spark.sql.catalyst.plans.logical.Project
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+      } else rPlan0
     def res(plan: LogicalPlan, name: String): Expression =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(

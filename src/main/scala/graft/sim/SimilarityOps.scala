@@ -187,6 +187,18 @@ object SimilarityOps {
          |GROUP BY label, dim
          |ORDER BY label, dim""".stripMargin))
 
+  /** Quantized per-label centroids as one row per centroid with the vector
+    * re-assembled in dimension order — the broadcast side of every IVF
+    * stage. */
+  private def centroidVectors(vs: DataFrame): DataFrame =
+    vs.select(col("label").as("c_label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg((sum(floor(col("x") * 1e6)).cast("long") / 1e6 /
+        count(lit(1))).as("cx"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        e => e.getField("cx")).as("cv"))
+
   /** IVF coarse pass: assign every vector to its nearest (dot-product)
     * quantized label-centroid — broadcast 10 centroids × corpus, argmax with
     * deterministic tiebreak — and report the assignment×label confusion
@@ -196,14 +208,7 @@ object SimilarityOps {
     "q_embed_ivf_assign",
     (s, d) => {
       val vs = vectors(s, d)
-      val cents = vs
-        .select(col("label").as("c_label"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("c_label"), col("pos"))
-        .agg((sum(floor(col("x") * 1e6)).cast("long") / 1e6 /
-          count(lit(1))).as("cx"))
-        .groupBy(col("c_label"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-          e => e.getField("cx")).as("cv"))
+      val cents = centroidVectors(vs)
       val assigned = vs.crossJoin(broadcast(cents))
         .withColumn("score", round(dot(col("v"), col("cv")), 6))
         .groupBy(col("vec_id"), col("label"))
@@ -242,6 +247,157 @@ object SimilarityOps {
          |FROM assigned GROUP BY label, assigned
          |ORDER BY label, assigned""".stripMargin))
 
+  // ---- IVF end-to-end search (probe → bucket scan → top-k) ----
+
+  /** Builder shared by the search and recall gates: the complete IVF query
+    * path. Every corpus vector is assigned to its nearest centroid (its
+    * "bucket", an EQUI-join key); each query vector probes its `nprobe`
+    * closest centroids and exact-scores ONLY the vectors assigned to those
+    * buckets. Candidate work per query is ~ |corpus|·nprobe/|centroids|
+    * instead of |corpus| — the sublinear ANN path — and the probe/bucket
+    * match is a hash equi-join on the centroid id, never a nested loop over
+    * the corpus. */
+  private def ivfTopk(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = centroidVectors(vs)
+    val assigned = vs.crossJoin(broadcast(cents))
+      .withColumn("score", round(dot(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
+        .as("bucket"))
+    val corpus = vs.join(assigned, Seq("vec_id"))
+    val q = vs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("qscore").desc, col("c_label"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("qscore", round(dot(col("qv"), col("cv")), 6))
+      .withColumn("pr", row_number().over(wp))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qv"), col("qn"), col("c_label").as("bucket"))
+    val wk = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    probes.join(corpus, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
+  }
+
+  /** Shared oracle CTE chain replicating [[ivfTopk]] (nprobe=3, k=5). */
+  private val ivfSqlCtes: String =
+    s"""expanded AS (
+       |  SELECT label AS c_label, i AS pos, v[i] AS x
+       |  FROM n, unnest(generate_series(1, len(v))) AS t(i)
+       |),
+       |cent_dims AS (
+       |  SELECT c_label, pos,
+       |         CAST(sum(floor(x * 1e6)) AS BIGINT) / 1e6 / count(*) AS cx
+       |  FROM expanded GROUP BY c_label, pos
+       |),
+       |cents AS (
+       |  SELECT c_label, list(cx ORDER BY pos) AS cv
+       |  FROM cent_dims GROUP BY c_label
+       |),
+       |assigned AS (
+       |  SELECT vec_id, c_label AS bucket FROM (
+       |    SELECT n.vec_id, c.c_label,
+       |           round(${dotSql("n.v", "c.cv")}, 6) AS score
+       |    FROM n CROSS JOIN cents c
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY score DESC, c_label ASC) = 1
+       |),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
+       |      WHERE vec_id % 100 = 0),
+       |probes AS (
+       |  SELECT q_id, qv, qn, c_label AS bucket FROM (
+       |    SELECT q.q_id, q.qv, q.qn, c.c_label,
+       |           round(${dotSql("q.qv", "c.cv")}, 6) AS qscore
+       |    FROM q CROSS JOIN cents c
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY q_id
+       |                             ORDER BY qscore DESC, c_label ASC) <= 3
+       |),
+       |ivf_topk AS (
+       |  SELECT q_id, vec_id, cos,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY cos DESC, vec_id) AS INT) AS rk
+       |  FROM (
+       |    SELECT p.q_id, c.vec_id,
+       |           round(${dotSql("p.qv", "c.v")} / (p.qn * c.nrm), 6) AS cos
+       |    FROM probes p
+       |    JOIN (SELECT n.*, a.bucket FROM n JOIN assigned a USING (vec_id)) c
+       |      ON p.bucket = c.bucket
+       |    WHERE c.vec_id <> p.q_id
+       |  )
+       |  QUALIFY rk <= 5
+       |)""".stripMargin
+
+  /** IVF end-to-end search results (nprobe=3 of 10 centroids, top-5): the
+    * whole probe → bucket-equi-join → exact-rescore path value-checked row
+    * by row against DuckDB running the identical algorithm. */
+  private val qIvfSearch = Q(
+    "q_embed_ivf_search",
+    (s, d) => ivfTopk(s, d, nprobe = 3, k = 5)
+      .orderBy(col("q_id"), col("rk")),
+    Some(
+      s"""WITH $vectorsCte,
+         |$ivfSqlCtes
+         |SELECT q_id, vec_id, cos, rk FROM ivf_topk
+         |ORDER BY q_id, rk""".stripMargin))
+
+  /** Recall@5 of the IVF search against the brute-force oracle — the ANN
+    * quality loop closed in-engine: both top-k sets are computed, joined,
+    * and the hit fraction reported. All-integer counts and one exact IEEE
+    * division keep the number bit-identical across engines. */
+  private val qIvfRecall = Q(
+    "q_embed_ivf_recall",
+    (s, d) => {
+      val vs = vectors(s, d)
+      val q = vs.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val bf = vs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"))
+      val ivf = ivfTopk(s, d, nprobe = 3, k = 5)
+        .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+      bf.join(ivf, Seq("q_id", "vec_id"), "left")
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_bf"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall",
+          col("n_hits").cast("double") / col("n_bf").cast("double"))
+    },
+    Some(
+      s"""WITH $vectorsCte,
+         |$ivfSqlCtes,
+         |bf AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, c.vec_id,
+         |           round(${dotSql("q.qv", "c.v")} / (q.qn * c.nrm), 6) AS cos
+         |    FROM q CROSS JOIN n c WHERE c.vec_id <> q.q_id
+         |  )
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |                             ORDER BY cos DESC, vec_id) <= 5
+         |)
+         |SELECT count(DISTINCT bf.q_id) AS n_queries,
+         |       CAST(count(*) AS BIGINT) AS n_bf,
+         |       CAST(sum(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |       CAST(sum(CASE WHEN i.q_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS recall
+         |FROM bf LEFT JOIN ivf_topk i
+         |  ON bf.q_id = i.q_id AND bf.vec_id = i.vec_id""".stripMargin))
+
   def queries: Seq[Q] = Seq(qCosineTopk, qNearDup, qLshBuckets, qCentroids,
-    qIvfAssign)
+    qIvfAssign, qIvfSearch, qIvfRecall)
 }

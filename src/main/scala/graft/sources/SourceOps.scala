@@ -17,8 +17,12 @@ object SourceOps {
   def cached(spark: SparkSession, checkpointDir: String, stage: String)
       (rebuild: => DataFrame): DataFrame = {
     val path = s"$checkpointDir/$stage"
-    val fs = new java.io.File(path)
-    if (fs.exists()) spark.read.parquet(path)
+    // Existence probe via the Hadoop FileSystem API — resolves against
+    // whatever FS the path's scheme names (HDFS/S3A/local), not just the
+    // driver's local disk like a java.io.File probe would.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) spark.read.parquet(path)
     else {
       val df = rebuild
       df.write.mode("overwrite").parquet(path)

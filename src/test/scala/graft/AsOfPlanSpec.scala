@@ -54,6 +54,48 @@ class AsOfPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       viaWindow.exceptAll(viaPlan).isEmpty)
   }
 
+  test("self-as-of-join: shared ExprIds are deduplicated, not misbound") {
+    import spark.implicits._
+    // same DataFrame on both sides — without re-aliasing, left and right
+    // outputs share ExprIds and BindReferences binds the right key to the
+    // left slot, which either throws or silently self-matches everything
+    val df = Seq(("a", 1, 10L), ("a", 3, 30L), ("b", 2, 20L))
+      .toDF("k", "t", "v")
+    val out = AsOfJoinOps.asof(df, df, "k", "k", "t", "t")
+    assert(out.columns.length == 6)
+    val rows = out.collect()
+    assert(rows.length == 3)
+    // every left row matches at least itself (t <= t, same key)
+    assert(rows.forall(r => !r.isNullAt(5)))
+    // ("a",3) must match the LATEST ref <= 3, i.e. itself (v=30)
+    val a3 = rows.find(r => r.getString(0) == "a" && r.getInt(1) == 3).get
+    assert(a3.getLong(5) == 30L)
+  }
+
+  test("string keys at volume match a window-based oracle") {
+    import spark.implicits._
+    // many right rows per string key across several partitions — regression
+    // cover for retained-key corruption from reused row buffers
+    val rnd = new scala.util.Random(7)
+    val keys = (0 until 40).map(i => s"entity_$i")
+    val probes = (0 until 2000).map { i =>
+      (keys(rnd.nextInt(keys.size)), rnd.nextInt(1000), i.toLong) }
+      .toDF("k", "t", "pid")
+    val refs = (0 until 5000).map { i =>
+      (keys(rnd.nextInt(keys.size)), rnd.nextInt(1000), i.toLong) }
+      .toDF("rk", "rt", "rid")
+    val out = AsOfJoinOps.asof(probes, refs, "k", "rk", "t", "rt",
+      rightTiebreak = Seq("rid"))
+      .select("pid", "rid")
+    // oracle: composed union-free formulation via a plain join + window argmax
+    import org.apache.spark.sql.expressions.Window
+    val cand = probes.join(refs, col("k") === col("rk") && col("rt") <= col("t"), "left")
+    val w = Window.partitionBy("pid").orderBy(col("rt").desc, col("rid").desc)
+    val oracle = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("pid", "rid")
+    assert(out.exceptAll(oracle).isEmpty && oracle.exceptAll(out).isEmpty)
+  }
+
   test("physical plan is the custom exec over one exchange per side") {
     import spark.implicits._
     val probes = Seq(("a", 1)).toDF("k", "t")

@@ -64,6 +64,23 @@ class EngineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expr.exceptAll(viaCache).isEmpty && viaCache.exceptAll(expr).isEmpty)
   }
 
+  test("duplicate cache rows (concurrent appends) cannot fan out the output") {
+    val cacheDir = java.nio.file.Files.createTempDirectory("labelcache2")
+      .resolve("labels").toString
+    val chunk = Tables.chunkRows(spark, dir)
+    val nIn = chunk.count()
+    val first = Labeler.labelWithCache(chunk, Labeler.StubClassifier, cacheDir)
+    assert(first.count() == nIn)
+    // simulate a racing job that appended the SAME (entity_id, text) results:
+    // duplicate every cache row, then label again — a join against the
+    // un-deduped cache would return 2x rows
+    val dup = spark.read.parquet(cacheDir)
+    dup.write.mode("append").parquet(cacheDir)
+    val second = Labeler.labelWithCache(chunk, Labeler.StubClassifier, cacheDir)
+    assert(second.count() == nIn)
+    assert(second.filter(col("label").isNull).isEmpty)
+  }
+
   test("scaffold completeness: |rows| == |months| x |entities|") {
     val panel = SparkEntry.queries("q_scaffold_month_entity")(spark, dir)
     val c = Tables.chunkRows(spark, dir)

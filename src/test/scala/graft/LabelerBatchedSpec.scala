@@ -68,6 +68,70 @@ class LabelerBatchedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == Tables.chunkRows(spark, dir).count())
   }
 
+  test("retry decorator: transient failures converge with the right schedule") {
+    // flaky stub: every batch's FIRST delivery attempt throws, the second
+    // succeeds. The classifier is serialized into tasks, so driver-side
+    // counters would only see a deserialized copy's state (same pitfall as
+    // the counting classifier above) — all observability goes through
+    // accumulators, which DO survive the round trip; the per-batch "failed
+    // already?" map is task-local by design (a batch never leaves its task).
+    val attempts = spark.sparkContext.longAccumulator("attempts")
+    val successes = spark.sparkContext.longAccumulator("successes")
+    val sleepsAcc = spark.sparkContext.collectionAccumulator[Long]("sleeps")
+    class Flaky extends Labeler.BatchedClassifier {
+      val chunkSize = 10
+      @transient private lazy val failedOnce =
+        new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+      def classifyBatch(rows: Seq[(String, String)]): String = {
+        attempts.add(1)
+        val key = rows.map(_._1).mkString("|")
+        if (failedOnce.putIfAbsent(key, true) == null)
+          throw new java.io.IOException("simulated 429")
+        val resp = Labeler.StubBatchedClassifier.classifyBatch(rows)
+        successes.add(1)
+        resp
+      }
+    }
+    val retrying = new Labeler.RetryingClassifier(new Flaky, maxAttempts = 4,
+      backoffMs = a => 100L << (a - 1), sleep = ms => { sleepsAcc.add(ms); () })
+    val base = Tables.chunkRows(spark, dir)
+    val out = Labeler.labelBatchedPrompt(base, retrying)
+      .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+        col("label"), col("motivation"))
+    val expected = Labeler.withStubLabels(base)
+      .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
+        col("label"), col("motivation"))
+    // labels identical to the never-failing path
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+    // every batch cost exactly 2 attempts (1 failure + 1 success)...
+    val nBatches = successes.value.longValue
+    assert(nBatches > 0 && attempts.value.longValue == 2 * nBatches)
+    // ...and exactly one backoff sleep per batch, all at the attempt-1 tier
+    val slept = new scala.collection.mutable.ArrayBuffer[Long]()
+    sleepsAcc.value.forEach(ms => slept += ms)
+    assert(slept.size == nBatches && slept.forall(_ == 100L))
+  }
+
+  test("retry decorator: a permanent failure rethrows after maxAttempts") {
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    object Dead extends Labeler.BatchedClassifier {
+      val chunkSize = 10
+      def classifyBatch(rows: Seq[(String, String)]): String = {
+        attempts.incrementAndGet()
+        throw new java.io.IOException("simulated outage")
+      }
+    }
+    val sleeps = new scala.collection.mutable.ArrayBuffer[Long]()
+    val retrying = new Labeler.RetryingClassifier(Dead, maxAttempts = 3,
+      backoffMs = a => 100L << (a - 1), sleep = sleeps += _)
+    val ex = intercept[java.io.IOException] {
+      retrying.classifyBatch(Seq(("id1", "some text")))
+    }
+    assert(ex.getMessage == "simulated outage")
+    assert(attempts.get() == 3)           // initial + 2 retries
+    assert(sleeps.toSeq == Seq(100L, 200L)) // exponential schedule, no sleep after final
+  }
+
   test("parseBatchResponse handles fences, ids, and partial bodies") {
     val ok = Labeler.parseBatchResponse(
       """```json

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-regression guard: pins the "plans you'd want at 100×" properties of
+  * every registered query so future edits can't silently trade a bounded
+  * broadcast for an unbounded nested-loop, or lose a pushed-down cap.
+  *
+  * This looks at PLANS, not results — the correctness gate (Verify + DuckDB)
+  * owns values; this spec owns asymptotics.
+  */
+class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Queries allowed to contain a nested-loop/cartesian join because the
+    * non-equi side is a PROVABLY BOUNDED broadcast (documented at each site):
+    * a sampled query slice, a fixed centroid set, a top-k peak set, or a
+    * scaffold dimension — none of which grow with the corpus. Adding a query
+    * here requires the same boundedness argument in its Scaladoc. */
+  private val boundedBroadcastAllowlist: Set[String] = Set(
+    "q_embed_cosine_topk",     // 25 sampled query vectors, broadcast
+    "q_embed_neardup",         // sampled probe slice, broadcast
+    "q_peak_lag",              // top-k peak sets per series, broadcast
+    "q_peaks_topk",            // same peak sets
+    "q_scaffold_month_entity", // months × entities scaffold (both tiny dims)
+    "q_exposure_panel",        // same scaffold shape
+    "q_index_align_ffill",     // dense date spine × series ids
+    "q_smooth_kernel",         // finite kernel offsets (≤ 9 rows)
+    "q_ml_kmeans_ivf",         // 10 broadcast centroids
+    "q_embed_centroids",       // same centroid set
+    "q_embed_ivf_assign",      // same centroid set
+    "q_embed_ivf_search",      // 10 broadcast centroids (probe stage)
+    "q_embed_ivf_recall",      // centroids + sampled brute-force query slice
+    "q_media_features",        // fixed 8-slot feature positions
+    "q_similarity_topk",       // single broadcast query vector
+    "q_search_modes",          // three fixed mode rows
+    "q_asof_join",             // union+window route: scalar bound subquery
+    "q_cost_estimate")         // single-row cost model join
+
+  test("no unbounded nested-loop or cartesian joins in any registered plan") {
+    val offenders = Registry.all.flatMap { q =>
+      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+      val hasNlj = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (hasNlj && !boundedBroadcastAllowlist.contains(q.name)) Some(q.name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"nested-loop joins outside the bounded-broadcast allowlist: " +
+        s"${offenders.mkString(", ")} — either fix the join to an equi-join " +
+        "or document the boundedness and extend the allowlist")
+  }
+
+  test("allowlist carries no dead entries (every name is a registered query)") {
+    val names = Registry.all.map(_.name).toSet
+    val dead = boundedBroadcastAllowlist.filterNot(names.contains)
+    assert(dead.isEmpty, s"allowlist entries not in the registry: $dead")
+  }
+
+  test("chunk star joins broadcast the entity dimensions") {
+    // the chunk relation joins lineitem against supplier/customer/part dims;
+    // at every SF the dim side is orders of magnitude smaller, so the plan
+    // must be a broadcast-hash join — a shuffle join here would add two
+    // full-fact exchanges at 100 TB
+    val plan = SparkEntry.queries("q_counts_sector_company")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the chunk star join to broadcast its dimension side")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("n-gram Jaccard plan keeps the shingle df-cap before the self-join") {
+    // the df <= 50 semi-join filter bounds the worst shingle's candidate
+    // pairs at τ²/2 — losing it reintroduces the quadratic hot-key tail
+    val qe = SparkEntry.queries("q_ngram_jaccard")(spark, dir).queryExecution
+    val optimized = qe.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"),
+      "df-cap semi-join missing from the n-gram Jaccard plan")
+    assert(optimized.contains("<= 50"),
+      "df <= 50 cap filter missing from the n-gram Jaccard plan")
+  }
+
+  test("exact dedup shuffles digests, not document text") {
+    val qe = SparkEntry.queries("q_dedup_exact")(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("md5") || qe.optimizedPlan.toString.contains("md5"),
+      "dedup should aggregate on a digest so the shuffle carries 32 B/row")
+  }
+}
