@@ -291,5 +291,44 @@ object Labeler {
       """SELECT (SELECT count(*) FROM lineitem) AS n_rows,
         |       CAST(0 AS BIGINT) AS n_mismatch""".stripMargin))
 
-  def queries: Seq[graft.Q] = Seq(qLabelBatched)
+  /** L2 gate, non-vacuous: the stub is internally consistent (label U ⇔
+    * motivation "unclear"), so the guard would never fire on raw stub output.
+    * This query INJECTS inconsistencies (every sentence_id ending in '3' gets
+    * its motivation blanked to "unclear", simulating a classifier returning a
+    * label without backing rationale) and verifies the guard demotes exactly
+    * those rows to 'U' — the post-guard label distribution plus the pinned
+    * invariant that no non-U label survives with an "unclear" motivation. */
+  private val qLabelGuard = graft.Q(
+    "q_label_guard",
+    (s, d) => {
+      val base = withStubLabels(graft.model.Tables.chunkRows(s, d))
+        .withColumn("motivation",
+          when(substring(col("sentence_id"), -1, 1) === "3", lit("unclear"))
+            .otherwise(col("motivation")))
+      guarded(base)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("label") =!= "U" && col("motivation") === "unclear", 1L)
+            .otherwise(0L)).as("n_inconsistent"))
+        .orderBy(col("label"))
+    },
+    Some(
+      s"""${graft.Oracle.labeledCte},
+         |blanked AS (
+         |  SELECT * REPLACE (
+         |    CASE WHEN substr(sentence_id, length(sentence_id), 1) = '3'
+         |         THEN 'unclear' ELSE motivation END AS motivation)
+         |  FROM labeled
+         |),
+         |guarded AS (
+         |  SELECT * REPLACE (
+         |    CASE WHEN motivation = 'unclear' THEN 'U' ELSE label END AS label)
+         |  FROM blanked
+         |)
+         |SELECT label, count(*) AS n_rows,
+         |       CAST(sum(CASE WHEN label <> 'U' AND motivation = 'unclear'
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_inconsistent
+         |FROM guarded GROUP BY label ORDER BY label""".stripMargin))
+
+  def queries: Seq[graft.Q] = Seq(qLabelBatched, qLabelGuard)
 }

@@ -30,6 +30,32 @@ object SourceOps {
     }
   }
 
+  /** Bucketed table writer — the co-located-join path for the fact-fact
+    * edges that stay shuffle joins at 100 TB (README "Shuffle inventory":
+    * lineitem⋈orders on the order key is the one scaling exchange in the
+    * chunk star join). Writing both sides `bucketBy(n, key).sortBy(key)`
+    * makes every later equi-join on that key EXCHANGE-FREE: the scans come
+    * up hash-partitioned and sorted, so the sort-merge join starts
+    * immediately — the shuffle is paid once at write time and amortized over
+    * every downstream query. Bucket count is a layout decision: pick so one
+    * bucket of the bigger table fits an executor's memory at target SF.
+    * The exchange elision is automatic; eliding the per-partition SORT as
+    * well additionally needs `spark.sql.legacy.bucketedTableScan
+    * .outputOrdering=true`, which is safe exactly because this writer
+    * guarantees single-file buckets (BucketedJoinSpec pins both
+    * properties). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    // repartition on the key into exactly `buckets` partitions first: the
+    // repartition hash and the bucket hash are the same Murmur3, so each
+    // write task holds exactly one bucket → ONE file per bucket. Spark only
+    // trusts the sortBy order at read time when buckets are single-file
+    // (multi-file buckets get re-sorted), so this is what makes downstream
+    // merges sort-free as well as exchange-free.
+    df.repartition(buckets, df.col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+
   /** S6/S7: tabular workbook sink/source analogue — the reference round-trips
     * result tables through multi-sheet Excel (`tool.py` ExcelManager,
     * `Narrative_Miners/src/tool.py:10-26`); the engine's equivalent is

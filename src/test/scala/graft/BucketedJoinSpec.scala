@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Tables
+import graft.sources.SourceOps
+
+/** Co-located joins via bucketing: both fact tables written
+  * `bucketBy(n, key).sortBy(key)` must join with NO exchange and NO sort —
+  * the write-once/join-many layout that removes the only scaling shuffle in
+  * the chunk star join (lineitem⋈orders) at 100 TB. */
+class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_wh").toString
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir", warehouse)
+    // force the sort-merge path so the assertion is about exchanges, not a
+    // broadcast dodging them
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // propagate the buckets' sortBy order to the scan's outputOrdering —
+    // off by default since Spark 3.0 because multi-file buckets would need a
+    // merge-sort per bucket; writeBucketed guarantees single-file buckets,
+    // which is exactly the regime the flag is safe (and profitable) in
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bucketed fact-fact join plans with zero exchanges and zero sorts") {
+    SourceOps.writeBucketed(Tables.lineitem(spark, dir), "li_b", "l_orderkey", 8)
+    SourceOps.writeBucketed(Tables.orders(spark, dir), "ord_b", "o_orderkey", 8)
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"sortBy buckets should make the merge sort-free:\n$plan")
+    // and it computes the same thing as the plain shuffled join
+    val plain = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+    assert(joined.count() == plain.count())
+  }
+
+  test("aggregation on the bucket key also skips the exchange") {
+    val agg = spark.table("li_b")
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"groupBy on the bucket key should reuse the bucketing:\n$plan")
+    val expected = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
+    assert(agg.exceptAll(expected).isEmpty && expected.exceptAll(agg).isEmpty)
+  }
+}
