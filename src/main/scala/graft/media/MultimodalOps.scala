@@ -122,6 +122,65 @@ object MultimodalOps {
         |       CAST(0 AS BIGINT) AS n_mismatch
         |FROM documents""".stripMargin))
 
+  /** Resize planning — the metadata half of an image-resize stage: fit the
+    * fake dimensions into a 224×224 target preserving aspect ratio, all in
+    * INTEGER arithmetic (`(short_side * 224) div long_side`) so the result
+    * is engine-exact with no float rounding to disagree about. The pixel
+    * half of a real resize lives behind the same partition-wise decode
+    * barrier as [[qMediaFeatures]]; the planning math here is what the
+    * pipeline schedules and audits on. */
+  private val qMediaResize = Q(
+    "q_media_resize",
+    (s, d) => mediaTable(s, d)
+      .select(col("doc_id"),
+        (lit(64) + col("n_chars") % 640).cast("long").as("w"),
+        (lit(64) + (col("n_chars") * 7) % 480).cast("long").as("h"))
+      .select(
+        col("doc_id"),
+        col("w").cast("int").as("width"),
+        col("h").cast("int").as("height"),
+        // `div` = exact integral division (codegen'd IntegralDivide)
+        when(col("w") >= col("h"), lit(224))
+          .otherwise(expr("(w * 224) div h")).cast("int").as("out_w"),
+        when(col("w") >= col("h"), expr("(h * 224) div w"))
+          .otherwise(lit(224)).cast("int").as("out_h"))
+      .orderBy(col("doc_id")),
+    Some(
+      """SELECT doc_id,
+        |       CAST(64 + n_chars % 640 AS INT) AS width,
+        |       CAST(64 + (n_chars * 7) % 480 AS INT) AS height,
+        |       CAST(CASE WHEN (64 + n_chars % 640) >= (64 + (n_chars * 7) % 480)
+        |            THEN 224
+        |            ELSE ((64 + n_chars % 640) * 224) // (64 + (n_chars * 7) % 480)
+        |            END AS INT) AS out_w,
+        |       CAST(CASE WHEN (64 + n_chars % 640) >= (64 + (n_chars * 7) % 480)
+        |            THEN ((64 + (n_chars * 7) % 480) * 224) // (64 + n_chars % 640)
+        |            ELSE 224 END AS INT) AS out_h
+        |FROM documents ORDER BY doc_id""".stripMargin))
+
+  /** Frame sampling — every 4th frame of each "video" payload exploded to a
+    * row with a deterministic per-frame feature (a real pipeline decodes the
+    * sampled frames only; the row explosion, stride arithmetic, and schema
+    * are that pipeline's exact shape). Generates rows from metadata, so the
+    * payload column is pruned from the scan entirely. */
+  private val qMediaFrameSample = Q(
+    "q_media_framesample",
+    (s, d) => mediaTable(s, d)
+      .select(col("doc_id"),
+        (lit(1) + col("doc_id") % 16).cast("int").as("frames"))
+      .select(col("doc_id"), col("frames"),
+        explode(sequence(lit(0), col("frames") - 1, lit(4))).as("frame_idx"))
+      .select(col("doc_id"), col("frames"), col("frame_idx").cast("int").as("frame_idx"),
+        ((col("doc_id") * 31 + col("frame_idx")) % 255).cast("long").as("frame_sig"))
+      .orderBy(col("doc_id"), col("frame_idx")),
+    Some(
+      """SELECT doc_id, CAST(1 + doc_id % 16 AS INT) AS frames,
+        |       CAST(f AS INT) AS frame_idx,
+        |       CAST((doc_id * 31 + f) % 255 AS BIGINT) AS frame_sig
+        |FROM documents,
+        |     unnest(generate_series(0, CAST(doc_id % 16 AS BIGINT), 4)) AS t(f)
+        |ORDER BY doc_id, frame_idx""".stripMargin))
+
   /** DETERMINISTIC FAKE of the codec: derives "dimensions" and a feature
     * vector purely from the bytes. Replace with e.g. a JNI image decoder. */
   private def fakeDecode(docId: Long, b: Array[Byte]): MediaFeatures = {
@@ -135,5 +194,6 @@ object MultimodalOps {
     MediaFeatures(docId, n, 64 + n % 640, 64 + (n * 7) % 480, mean, feat)
   }
 
-  def queries: Seq[Q] = Seq(qMediaMetadata, qMediaFeatures)
+  def queries: Seq[Q] = Seq(qMediaMetadata, qMediaFeatures, qMediaResize,
+    qMediaFrameSample)
 }

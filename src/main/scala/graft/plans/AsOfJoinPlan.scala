@@ -64,6 +64,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     left.output ++ right.output.map(_.withNullability(true))
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
+  /** The merge streams left rows through in order, so the operator PRESERVES
+    * the left child's (key, time) sort — declaring it lets Catalyst elide
+    * the re-sort when a downstream operator (a window over the same key, a
+    * second as-of join, a sort-merge join) wants that ordering back. */
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil

@@ -46,6 +46,19 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("week_start"),
         col("event_type"), col("cnt"))
 
+  /** Streaming ingestion dedup — the training-data pipeline's exactly-once
+    * guard at the stream boundary (re-delivered files, at-least-once
+    * upstreams). `dropDuplicatesWithinWatermark` keys state on `event_id`
+    * only and EVICTS entries once the watermark passes them, so state stays
+    * bounded by the duplicate-arrival horizon (7 days here) instead of
+    * growing with the full stream history — the property that lets this run
+    * indefinitely; a plain stream `dropDuplicates` would accumulate every id
+    * ever seen. */
+  def dedupedEvents(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "7 days")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch twin over the same window expression. */
   def weeklyCountsBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

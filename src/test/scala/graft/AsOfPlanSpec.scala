@@ -96,6 +96,18 @@ class AsOfPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.exceptAll(oracle).isEmpty && oracle.exceptAll(out).isEmpty)
   }
 
+  test("declared output ordering elides a downstream re-sort on (key, time)") {
+    import spark.implicits._
+    val probes = Seq(("a", 1), ("a", 2), ("b", 1)).toDF("k", "t")
+    val refs = Seq(("a", 1, 1L), ("b", 1, 2L)).toDF("rk", "rt", "v")
+    val sorted = AsOfJoinOps.asof(probes, refs, "k", "rk", "t", "rt")
+      .sortWithinPartitions(col("k"), col("t"))
+    val physical = sorted.queryExecution.executedPlan.toString
+    // only the exec's two required child sorts — no third sort on top
+    assert("Sort \\[".r.findAllIn(physical).size == 2,
+      s"expected the downstream (k, t) sort to be elided:\n$physical")
+  }
+
   test("physical plan is the custom exec over one exchange per side") {
     import spark.implicits._
     val probes = Seq(("a", 1)).toDF("k", "t")

@@ -40,4 +40,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     } finally query.stop()
   }
+
+  test("streaming dedup collapses a re-delivered file to the batch distinct set") {
+    // stage the SAME events file twice — an at-least-once upstream
+    // re-delivering a whole file is the classic ingestion-dedup case
+    val staged = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events_a.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events_b.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val deduped = EventStream.dedupedEvents(
+      EventStream.readStream(spark, staged.toString))
+      .select(org.apache.spark.sql.functions.col("event_id"))
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName("deduped_events")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("deduped_events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+        .select(org.apache.spark.sql.functions.col("event_id")).distinct()
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally query.stop()
+  }
 }
