@@ -398,6 +398,53 @@ object SimilarityOps {
          |FROM bf LEFT JOIN ivf_topk i
          |  ON bf.q_id = i.q_id AND bf.vec_id = i.vec_id""".stripMargin))
 
+  /** Int8 embedding quantization — the storage/bandwidth path for a 100 TB
+    * vector table (4 bytes/dim → 1, with the scale per vector): per-vector
+    * max-abs scaling, FLOOR-based quantization (floor is bit-deterministic
+    * in both engines; `round` would reintroduce HALF_UP-vs-half-even skew at
+    * exact midpoints), and the dequantization error bounded by scale/127 BY
+    * CONSTRUCTION — the gate verifies that bound on every vector and pins an
+    * exact integer checksum of all quantized values. */
+  private val qEmbedQuantize = Q(
+    "q_embed_quantize",
+    (s, d) => {
+      val maxabs = array_max(transform(col("v"), x => abs(x)))
+      vectors(s, d)
+        .withColumn("ma", maxabs)
+        .withColumn("qv",
+          when(col("ma") > 0.0,
+            transform(col("v"), x => floor(x * 127.0 / col("ma")).cast("long")))
+            .otherwise(transform(col("v"), _ => lit(0L))))
+        .withColumn("err_ok",
+          when(col("ma") > 0.0,
+            array_max(zip_with(col("v"), col("qv"),
+              (x, q) => abs(x - (q * col("ma")) / 127.0))) < col("ma") / 127.0)
+            .otherwise(lit(true)))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(aggregate(col("qv"), lit(0L), (acc, q) => acc + q))
+            .cast("long").as("q_checksum"),
+          min(col("err_ok")).as("all_within_bound"))
+    },
+    Some(
+      s"""WITH $vectorsCte,
+         |quant AS (
+         |  SELECT vec_id, v,
+         |         list_max(list_transform(v, x -> abs(x))) AS ma,
+         |         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0.0
+         |              THEN list_transform(v,
+         |                x -> CAST(floor(x * 127.0 /
+         |                  list_max(list_transform(v, y -> abs(y)))) AS BIGINT))
+         |              ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+         |  FROM n
+         |)
+         |SELECT count(*) AS n_vecs,
+         |       CAST(sum(${listFoldSql("qv").replace("CAST(0 AS DOUBLE)", "CAST(0 AS BIGINT)")}) AS BIGINT) AS q_checksum,
+         |       bool_and(CASE WHEN ma > 0.0
+         |         THEN list_max(list_transform(list_zip(v, qv),
+         |                p -> abs(p[1] - (p[2] * ma) / 127.0))) < ma / 127.0
+         |         ELSE TRUE END) AS all_within_bound
+         |FROM quant""".stripMargin))
+
   def queries: Seq[Q] = Seq(qCosineTopk, qNearDup, qLshBuckets, qCentroids,
-    qIvfAssign, qIvfSearch, qIvfRecall)
+    qIvfAssign, qIvfSearch, qIvfRecall, qEmbedQuantize)
 }
