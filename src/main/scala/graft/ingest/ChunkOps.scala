@@ -216,17 +216,8 @@ object ChunkOps {
       val partNum = when(pO > 0 && pO < pP, lit(2)).otherwise(lit(1))
       val orderNum = when(pP > 0 && pP < pO, lit(2)).otherwise(lit(1))
       // every occurrence of each token (same enumeration as chunkRowsFull)
-      def starts(token: String): Column = {
-        val tl = token.length
-        when(length(col("text")) >= tl,
-          transform(
-            filter(sequence(lit(1), length(col("text")) - (tl - 1)),
-              i => col("text").substr(i, lit(tl)) === token),
-            i => (i - 1).cast("int")))
-          .otherwise(array().cast("array<int>"))
-      }
       def occ(token: String, ph: Column): Column =
-        transform(starts(token), p =>
+        transform(Tables.tokenStarts(col("text"), token), p =>
           struct(p.as("start"), (p + token.length).cast("int").as("end"),
             ph.as("ph")))
       val spansArr = concat(

@@ -177,21 +177,34 @@ object Tables {
     * [[chunkRows]]; at 100 TB the arrays ride the same scan. The occurrence
     * enumeration is an interpreted HOF over char positions (O(|text|) per
     * row) — fidelity-column cost only; no headline/hot-path query reads it. */
+  /** All 0-based start offsets of `token` in `text`, ascending —
+    * non-overlapping enumeration (the reference's `finditer` semantics; our
+    * planted tokens cannot self-overlap, so this equals the full scan).
+    * Computed as a fold over `split(text, token)` segment lengths:
+    * O(#occurrences) interpreted lambda steps per row instead of the
+    * O(|text|) per-position probe a sequence+substr scan costs — the HOF's
+    * input array is evaluated once, and each step touches only its segment.
+    * Token must be regex-free (ours are alphanumeric). */
+  def tokenStarts(text: org.apache.spark.sql.Column,
+      token: String): org.apache.spark.sql.Column = {
+    val tl = token.length
+    val segs = split(text, token)
+    aggregate(
+      slice(segs, lit(1), size(segs) - 1),
+      struct(lit(0).cast("int").as("pos"),
+        array().cast("array<int>").as("arr")),
+      (st, seg) => struct(
+        (st.getField("pos") + length(seg) + tl).cast("int").as("pos"),
+        concat(st.getField("arr"),
+          array((st.getField("pos") + length(seg)).cast("int"))).as("arr")),
+      st => st.getField("arr"))
+  }
+
   def chunkRowsFull(s: SparkSession, d: String): DataFrame = {
     val c = chunkRows(s, d)
     type Col = org.apache.spark.sql.Column
-    // all 0-based start offsets of `token` in text, ascending
-    def starts(token: String): Col = {
-      val tl = token.length
-      when(length(col("text")) >= tl,
-        transform(
-          filter(sequence(lit(1), length(col("text")) - (tl - 1)),
-            i => col("text").substr(i, lit(tl)) === token),
-          i => (i - 1).cast("int")))
-        .otherwise(array().cast("array<int>"))
-    }
     def spans(key: Col, name: Col, token: String): Col =
-      transform(starts(token), p =>
+      transform(tokenStarts(col("text"), token), p =>
         struct(key.as("key"), name.as("name"), p.as("start"),
           (p + token.length).cast("int").as("end")))
     c.withColumn("entities",
@@ -232,5 +245,5 @@ object Tables {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def docCount(s: SparkSession, d: String): Long =
     docCountCache.computeIfAbsent(d,
-      _ => documents(s, d).agg(max(col("doc_id"))).head.getLong(0) + 1)
+      _ => documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1)
 }

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-up invariant checker: runs every SELF-VERIFYING gate (the queries
+  * whose oracle pins a mismatch count to zero or a bound to TRUE) at an
+  * arbitrary SF and asserts the pinned invariant from the result row itself.
+  *
+  * The DuckDB gate runs at sf0.01; this tool exists to show the invariants
+  * are properties of the ALGORITHMS, not of the corpus size — run it at
+  * sf0.1 (10× the gate) or any larger SF:
+  *
+  * {{{
+  * SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 /opt/spark/bin/spark-submit \
+  *   --master 'local[32]' --driver-memory 16g \
+  *   --class graft.tools.InvariantCheck <jar>
+  * }}}
+  *
+  * Exits 0 printing one OK line per invariant; exits 1 naming violations.
+  * Budget ~15 min at sf0.1 on a contended box — the MLlib
+  * approxSimilarityJoin inside q_ml_minhash_neardup dominates; this is a
+  * per-release deep check, not a per-commit gate.
+  */
+object InvariantCheck {
+
+  /** query name → (column to read, predicate on its value, description). */
+  private val invariants: Seq[(String, String, Any => Boolean, String)] = Seq(
+    ("q_mask_multi", "n_mismatch", v => v == 0L,
+      "multi-span mask UDF == column-expression twin on every row"),
+    ("q_mask_roundtrip", "n_mismatch", v => v == 0L,
+      "mask→unmask round-trip == direct splice on every row"),
+    ("q_label_batched", "n_mismatch", v => v == 0L,
+      "batched-prompt labels == codegen stub labels on every row"),
+    ("q_media_features", "n_mismatch", v => v == 0L,
+      "partition-wise decode == codegen byte-arithmetic twin on every row"),
+    ("q_ml_kmeans_ivf", "n_mismatch", v => v == 0L,
+      "KMeans assignment == independent nearest-centroid loop on every vector"),
+    ("q_ml_minhash_neardup", "n_dist_mismatch", v => v == 0L,
+      "MLlib LSH candidate Jaccard == independent sorted-merge recompute"),
+    ("q_embed_quantize", "all_within_bound", v => v == true,
+      "int8 dequantization error < scale/127 on every vector"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val qs = graft.SparkEntry.queries
+    val failures = invariants.flatMap { case (name, column, ok, desc) =>
+      try {
+        val v = qs(name)(spark, sfDir).select(column).head().get(0)
+        if (ok(v)) { println(s"[invariant] OK $name: $desc"); None }
+        else Some(s"$name: $column = $v VIOLATES '$desc'")
+      } catch {
+        case e: Throwable => Some(s"$name: failed to run: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach(f => System.err.println(s"[invariant] FAIL $f"))
+      sys.exit(1)
+    }
+    println(s"[invariant] all ${invariants.size} invariants hold at $sfDir")
+  }
+}
