@@ -84,6 +84,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
         rightTiebreak.map(SortOrder(_, Ascending)))
 
+  /* Per-row cost note: the key/time expressions are AttributeReferences in
+   * every caller (AsOfJoinOps resolves column names to child attributes), so
+   * after bindReference they are BoundReferences whose eval is a direct
+   * row-accessor call — no interpreted expression-tree walk remains on the
+   * merge path; whole-stage codegen would buy only the virtual-call overhead
+   * here. Computed key expressions WOULD eval interpreted; callers should
+   * project them into columns first. */
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output

@@ -92,6 +92,19 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "df <= 50 cap filter missing from the n-gram Jaccard plan")
   }
 
+  test("top-k per group gets the WindowGroupLimit pushdown") {
+    // Spark plans rank-filter windows as Partial+Final WindowGroupLimit —
+    // a map-side top-k so the shuffle carries at most k rows per group
+    // instead of every row. The pushdown only fires for the
+    // row_number/rank/dense_rank + `<= k` filter shape; this pins that the
+    // query keeps that shape (a rewrite via e.g. collect_list+slice or a
+    // post-window sort would silently lose it).
+    val plan = SparkEntry.queries("q_topk_per_group")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "expected the rank filter to push down as WindowGroupLimit")
+  }
+
   test("exact dedup shuffles digests, not document text") {
     val qe = SparkEntry.queries("q_dedup_exact")(spark, dir).queryExecution
     val plan = qe.executedPlan.toString
