@@ -69,10 +69,13 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     // Constant-work calibration: ~32M-row in-memory range aggregate, no I/O.
+    // Materialized via head(), NOT count(): count() re-aggregates to
+    // count(1) and column pruning deletes the sum arithmetic entirely,
+    // leaving an empty-body range loop that measures nothing.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(0, 32L * 1000 * 1000, 1, 32)
-        .selectExpr("sum(id * 3 % 7) as s").count()
+        .selectExpr("sum(id * 3 % 7) as s").head()
       (System.nanoTime() - t0) / 1e9
     }
     val qs0 = SparkEntry.queries
@@ -95,7 +98,11 @@ object Bench {
     val failed = headline.filterNot(qs0.contains) ++
       results.filter(_._2 < 0).map(_._1)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calibJson = calib.map(c => f"$c%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: the f-interpolator is locale-sensitive and would emit
+    // comma decimals (broken JSON) on comma-decimal default locales
+    val calibJson = calib
+      .map(c => String.format(java.util.Locale.ROOT, "%.3f", Double.box(c)))
+      .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -86,12 +86,6 @@ object Labeler {
       }
   }
 
-  /** S10: cache-aside labeling (`labeling.py:78-104` — md5-keyed result
-    * cache checked before every API call). The cache is a persisted parquet
-    * map table keyed by (entity_id, text); only cache MISSES reach the
-    * classifier, new results are appended, and all rows get their labels via
-    * a join. At 100 TB the cache join is a plain equi-join the optimizer
-    * places; the expensive external stage sees only the novel pairs. */
   /** Fixed schema of the cache parquet. Reading WITH this schema (instead of
     * inferring) makes an empty cache directory — which an append of zero rows
     * to a previously nonexistent path can create — read as an empty frame
@@ -101,6 +95,12 @@ object Labeler {
       org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType)))
 
+  /** S10: cache-aside labeling (`labeling.py:78-104` — md5-keyed result
+    * cache checked before every API call). The cache is a persisted parquet
+    * map table keyed by (entity_id, text); only cache MISSES reach the
+    * classifier, new results are appended, and all rows get their labels via
+    * a join. At 100 TB the cache join is a plain equi-join the optimizer
+    * places; the expensive external stage sees only the novel pairs. */
   def labelWithCache(df: DataFrame, clf: ExternalClassifier,
       cachePath: String): DataFrame = {
     val spark = df.sparkSession

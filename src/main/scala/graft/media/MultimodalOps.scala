@@ -185,7 +185,11 @@ object MultimodalOps {
     * vector purely from the bytes. Replace with e.g. a JNI image decoder. */
   private def fakeDecode(docId: Long, b: Array[Byte]): MediaFeatures = {
     val n = b.length
-    val mean = if (n == 0) 0.0 else b.map(_ & 0xff).sum.toDouble / n
+    // Long accumulator — an Int sum overflows past ~21 MB of payload, which
+    // would false-fail the gate against the Long-summing ByteSum twin
+    val mean =
+      if (n == 0) 0.0
+      else b.foldLeft(0L)((s, x) => s + (x & 0xff)).toDouble / n
     // double-divide then narrow: Spark's `/` on numeric columns is always a
     // double division, so the column-arithmetic twin in qMediaFeatures can
     // only reproduce float values produced the same way

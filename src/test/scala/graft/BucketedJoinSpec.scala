@@ -33,11 +33,14 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  override def beforeAll(): Unit = {
+    SourceOps.writeBucketed(Tables.lineitem(spark, dir), "li_b", "l_orderkey", 8)
+    SourceOps.writeBucketed(Tables.orders(spark, dir), "ord_b", "o_orderkey", 8)
+  }
+
   override def afterAll(): Unit = spark.stop()
 
   test("bucketed fact-fact join plans with zero exchanges and zero sorts") {
-    SourceOps.writeBucketed(Tables.lineitem(spark, dir), "li_b", "l_orderkey", 8)
-    SourceOps.writeBucketed(Tables.orders(spark, dir), "ord_b", "o_orderkey", 8)
     val joined = spark.table("li_b")
       .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
     val plan = joined.queryExecution.executedPlan.toString
