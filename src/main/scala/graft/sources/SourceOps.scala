@@ -160,5 +160,37 @@ object SourceOps {
          |GROUP BY par.theme
          |ORDER BY par.theme""".stripMargin))
 
-  def queries: Seq[Q] = Seq(qEntityEnrich, qThemeRollup)
+  /** L3 gate: the taxonomy generator's full loop — render the fixture tree
+    * to the reference's JSON shape, wrap it in the markdown fences an LLM
+    * response arrives in, run the scrub+parse path (with its brace-substring
+    * fallback armed), and flatten the parsed tree. The oracle pins every
+    * flattened row AND a `parse_roundtrip_ok` flag asserting the parsed tree
+    * (and keywords) equals the original — a parse regression fails the gate
+    * rather than silently flattening the fixture. */
+  private val qThemeTree = Q(
+    "q_theme_tree",
+    (s, d) => {
+      val keywords = Seq("efficiency", "cost")
+      val fenced =
+        "```json\n" + ThemeTree.toJson(ThemeTree.fixture, keywords) + "\n```"
+      val parsed = ThemeTree.parseThemeTree(fenced)
+      val ok = parsed == Right((ThemeTree.fixture, keywords))
+      ThemeTree.flatDf(s, parsed.map(_._1).getOrElse(ThemeTree.fixture))
+        .select(col("node_id"), col("parent_id"), col("label"),
+          col("is_leaf"), col("depth"), lit(ok).as("parse_roundtrip_ok"))
+        .orderBy(col("node_id"))
+    },
+    Some(
+      """SELECT * FROM (VALUES
+        |  (1, -1, 'root',     FALSE, 0, TRUE),
+        |  (2,  1, 'adoption', FALSE, 1, TRUE),
+        |  (3,  1, 'risk',     FALSE, 1, TRUE),
+        |  (4,  2, 'P',        TRUE,  2, TRUE),
+        |  (5,  2, 'A',        TRUE,  2, TRUE),
+        |  (6,  3, 'N',        TRUE,  2, TRUE),
+        |  (7,  3, 'U',        TRUE,  2, TRUE))
+        |  AS t(node_id, parent_id, label, is_leaf, depth, parse_roundtrip_ok)
+        |ORDER BY node_id""".stripMargin))
+
+  def queries: Seq[Q] = Seq(qEntityEnrich, qThemeRollup, qThemeTree)
 }
