@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
@@ -108,30 +108,38 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(nRight)
       val resultProj = UnsafeProjection.create(outTypes)
       val rBuf = rIter.buffered
-      // one buffered reference row of state: the latest right row matching
-      // the current key at or before the current left time
+      // Retained-match state. Child rows are reused mutable buffers
+      // (UnsafeRow iterators and spill readers overwrite them on next()), so
+      // the buffered match MUST be copied out — into ONE reusable UnsafeRow
+      // holder (memcpy, no per-row allocation), and the retained key MUST be
+      // derived from that copy, never from the transient buffer: a key
+      // eval'd from the live buffer (e.g. a UTF8String view into the spill
+      // reader's byte array) is silently clobbered by the next right row,
+      // corrupting the matched-key comparison (AsOfSpillCheck proves it).
+      val holder = new UnsafeRow(nRight)
+      holder.pointTo(new Array[Byte](64), 64)
       var lastMatch: InternalRow = null
       var lastMatchKey: Any = null
       lIter.map { lrow =>
         val k = lkB.eval(lrow)
         val t = ltB.eval(lrow)
-        while (rBuf.hasNext && {
-          val head = rBuf.head
-          val c = keyOrd.compare(rkB.eval(head), k)
-          c < 0 || (c == 0 && timeOrd.compare(rtB.eval(head), t) <= 0)
-        }) {
-          val r = rBuf.next()
-          if (keyOrd.compare(rkB.eval(r), k) == 0) {
-            // child rows are reused mutable buffers (UnsafeRow iterators and
-            // spill readers overwrite them on next()) — copy the row we keep
-            // AND derive the retained key from the COPY: a key eval'd from
-            // the transient buffer (e.g. a UTF8String view into the spill
-            // reader's byte array) would be silently clobbered by the next
-            // right row, corrupting the matched-key comparison below.
-            lastMatch = r.copy()
-            lastMatchKey = rkB.eval(lastMatch)
-          }
+        // advance: consume right rows while key < k, or key == k with
+        // time <= t; each consumed row's key is eval'd exactly once, and
+        // the retained key is derived once per LEFT row after the loop
+        var consumedMatch = false
+        var done = false
+        while (!done && rBuf.hasNext) {
+          val c = keyOrd.compare(rkB.eval(rBuf.head), k)
+          if (c < 0) { rBuf.next(); () }
+          else if (c == 0 && timeOrd.compare(rtB.eval(rBuf.head), t) <= 0) {
+            rBuf.next() match {
+              case u: UnsafeRow => holder.copyFrom(u); lastMatch = holder
+              case other => lastMatch = other.copy()
+            }
+            consumedMatch = true
+          } else done = true
         }
+        if (consumedMatch) lastMatchKey = rkB.eval(lastMatch)
         val matched =
           lastMatch != null && keyOrd.compare(lastMatchKey, k) == 0
         joined(lrow, if (matched) lastMatch else nullRight)
