@@ -95,10 +95,19 @@ object Bench {
     // times(name) accumulates one entry per pass; -1 marks a failed rep
     val times = scala.collection.mutable.Map(
       (present ++ extras).map(_ -> List.empty[Double]): _*)
+    // headline passes run FIRST and alone — extras must not perturb the
+    // page-cache/GC conditions of headline reps 2-3, or `total` stops being
+    // comparable to rounds benched before extras existed; the extras block
+    // repeats the same interleaved protocol (with its own calibration
+    // samples) after the headline block completes
     val calib = (1 to passes).map { _ =>
       val c = calibrate()
-      (present ++ extras).foreach { name =>
-        times(name) :+= once(name, qs0(name)) }
+      present.foreach { name => times(name) :+= once(name, qs0(name)) }
+      c
+    }
+    val calibExtras = (1 to passes).map { _ =>
+      val c = calibrate()
+      extras.foreach { name => times(name) :+= once(name, qs0(name)) }
       c
     }
     def minOf(name: String): Double = {
@@ -110,16 +119,21 @@ object Bench {
       .mkString("{", ",", "}")
     val extrasJson = extras.map(name => "\"" + name + "\":" + minOf(name))
       .mkString("{", ",", "}")
-    val failed = headline.filterNot(qs0.contains) ++
-      results.filter(_._2 < 0).map(_._1)
+    // extras participate in failure gating exactly like headline queries —
+    // a broken or unregistered showcase operator must not exit 0
+    val failed = (headline ++ extraHeadline).filterNot(qs0.contains) ++
+      results.filter(_._2 < 0).map(_._1) ++
+      extras.filter(minOf(_) < 0)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit
     // comma decimals (broken JSON) on comma-decimal default locales
-    val calibJson = calib
+    def fmtCalib(cs: Seq[Double]): String = cs
       .map(c => String.format(java.util.Locale.ROOT, "%.3f", Double.box(c)))
       .mkString("[", ",", "]")
+    val calibJson = fmtCalib(calib)
+    val calibExtrasJson = fmtCalib(calibExtras)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

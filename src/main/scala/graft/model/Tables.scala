@@ -184,7 +184,14 @@ object Tables {
     * O(#occurrences) interpreted lambda steps per row instead of the
     * O(|text|) per-position probe a sequence+substr scan costs — the HOF's
     * input array is evaluated once, and each step touches only its segment.
-    * Token must be regex-free (ours are alphanumeric). */
+    * Token must be regex-free (ours are alphanumeric).
+    *
+    * OFFSET UNIT: Spark's `length` counts Unicode CODE POINTS, while the
+    * masking UDF consuming these spans splices with `String.substring`
+    * (UTF-16 code units). The two coincide exactly on BMP-only text — the
+    * synthetic corpus is ASCII — but a corpus with supplementary-plane
+    * characters (emoji etc.) needs a code-point→code-unit offset conversion
+    * between producer and consumer before the spans are spliced. */
   def tokenStarts(text: org.apache.spark.sql.Column,
       token: String): org.apache.spark.sql.Column = {
     val tl = token.length

@@ -12,7 +12,14 @@ import graft.model.Tables
   * enumerator feeding the entities array, both mask gates, and the
   * other_entities projection. Compared against an independent reference:
   * `String.indexOf` non-overlapping scan (the reference's `finditer`
-  * semantics). */
+  * semantics).
+  *
+  * SCOPE: generators are ASCII-only, deliberately — the oracle measures
+  * UTF-16 code units (java.lang.String) while tokenStarts measures code
+  * points (Spark `length`), and the two units coincide only on BMP text.
+  * The corpus contract is ASCII (see the tokenStarts Scaladoc's offset-unit
+  * note); this spec certifies the enumeration on that contract, not a
+  * unicode-offset equivalence. */
 class TokenStartsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = SparkSession.builder()
