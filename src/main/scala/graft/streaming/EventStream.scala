@@ -59,6 +59,21 @@ object EventStream {
       .withWatermark("ts", "7 days")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment — each event joined against a static
+    * (batch-loaded) dimension table, the standard pattern for decorating a
+    * stream with slowly-changing reference data. The static side is read
+    * fresh per micro-batch by Structured Streaming's stream-static join
+    * machinery; a broadcast hint keeps it a broadcast-hash join per batch,
+    * so the stream side never shuffles. `dimSize` maps the synthetic
+    * user-id space onto the dimension's key range. */
+  def enrichedEvents(stream: DataFrame, dim: DataFrame,
+      dimSize: Long): DataFrame =
+    stream
+      .withColumn("cust_key", pmod(col("user_id"), lit(dimSize)))
+      .join(broadcast(dim), col("cust_key") === col("c_custkey"))
+      .select(col("event_id"), col("event_type"), col("c_name"),
+        col("c_nationkey"))
+
   /** Batch twin over the same window expression. */
   def weeklyCountsBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -41,6 +41,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("stream-static enrichment equals the batch join once drained") {
+    import org.apache.spark.sql.functions._
+    val staged = java.nio.file.Files.createTempDirectory("events_enrich")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val dim = graft.model.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val n = dim.count()
+    val enriched = EventStream.enrichedEvents(
+      EventStream.readStream(spark, staged.toString), dim, n)
+    val query = enriched.writeStream
+      .format("memory")
+      .queryName("enriched_events")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("enriched_events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        .withColumn("cust_key", pmod(col("user_id"), lit(n)))
+        .join(dim, col("cust_key") === col("c_custkey"))
+        .select(col("event_id"), col("event_type"), col("c_name"),
+          col("c_nationkey"))
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally query.stop()
+  }
+
   test("streaming dedup collapses a re-delivered file to the batch distinct set") {
     // stage the SAME events file twice — an at-least-once upstream
     // re-delivering a whole file is the classic ingestion-dedup case
