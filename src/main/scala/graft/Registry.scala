@@ -22,6 +22,7 @@ object Registry {
       graft.ingest.ChunkOps.queries ++
       graft.graph.GraphOps.queries ++
       graft.text.TextOps.queries ++
+      graft.text.CorpusOps.queries ++
       graft.sim.SimilarityOps.queries ++
       graft.media.MultimodalOps.queries ++
       graft.summarize.SummarizeOps.queries ++

@@ -1,0 +1,367 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.Q
+import graft.model.Tables
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs on
+  * top of the pairwise dedup/sketch family in [[TextOps]]: duplicate-cluster
+  * resolution (connected components over near-dup candidate pairs),
+  * Gopher-style repetition filters, PII scrubbing, deterministic hash-based
+  * dataset splits, distribution sketches (quantiles), heavy-hitter vocabulary,
+  * and BM25 keyword relevance.
+  *
+  * Like everything in `graft.text`, each operator is expressed in codegen'd
+  * built-ins wherever possible and every query carries an exact DuckDB oracle
+  * (the connected-components oracle is a recursive CTE computing min-reachable
+  * id, so even the iterative operator is value-gated, not just rows-gated).
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------- clusters
+
+  /** Duplicate-cluster resolution: the step AFTER near-dup pair generation
+    * that every corpus dedup actually needs — candidate pairs from the
+    * MinHash band join ([[TextOps.lshCandidatePairs]]) are treated as edges
+    * of an undirected graph and resolved into connected components, so a
+    * cluster {A~B, B~C} keeps ONE canonical doc even though A and C never
+    * shared a band.
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping —
+    * each round every node takes the min label among itself and its
+    * neighbors (one equi-join + partial-aggregated min), then labels are
+    * short-circuited through one more self-join (label := label(label)),
+    * giving O(log diameter) rounds instead of O(diameter). Convergence is
+    * detected by the monotone label sum (labels only ever decrease), so each
+    * round costs exactly one action. This is the standard distributed-CC
+    * shape (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    * at 100 TB every round is two hash joins on the doc-id key, there is no
+    * driver-side graph state, and the loop would be wrapped with
+    * `localCheckpoint` every few rounds to truncate lineage.
+    *
+    * Output: every document with its cluster id (= min doc_id of its
+    * component; singletons are their own cluster) and the cluster size. */
+  private val qDupClusters = Q(
+    "q_dup_clusters",
+    (s, d) => {
+      val cand = TextOps.lshCandidatePairs(s, d)
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = Tables.documents(s, d)
+        .select(col("doc_id"), col("doc_id").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")),
+            Seq("dst"))
+          .groupBy(col("src")).agg(min(col("nl")).as("nbr_min"))
+          .withColumnRenamed("src", "doc_id")
+        val relabeled = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label")))
+              .as("label"))
+        // pointer jumping: follow the label one hop (label ids ARE doc ids,
+        // so every label has a row); halves the remaining chain length
+        val ptr = relabeled
+          .select(col("doc_id").as("pid"), col("label").as("plabel"))
+        val next = relabeled.join(ptr, relabeled("label") === ptr("pid"))
+          .select(relabeled("doc_id"), col("plabel").as("label"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nextSum = next.agg(sum(col("label"))).first().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        rounds += 1
+      }
+      val out = labels
+        .withColumnRenamed("label", "cluster")
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .select(col("doc_id"), col("cluster"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+      edges.unpersist()
+      out
+    },
+    Some(
+      s"""WITH RECURSIVE ${TextOps.lshCandCte},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand
+         |),
+         |reach AS (
+         |  SELECT doc_id AS doc, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
+         |),
+         |cc AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)
+         |SELECT doc AS doc_id, cluster,
+         |       count(*) OVER (PARTITION BY cluster) AS cluster_size
+         |FROM cc ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------------- repetition
+
+  /** Gopher-style repetition filters (Rae et al. 2021 §A1.1 shape): per-doc
+    * duplicate-word fraction and top-bigram fraction, with pass/fail flags at
+    * fixed thresholds. Two grouped aggregations keyed on doc_id — no joins
+    * wider than the corpus, map-side partial aggregation on both. */
+  private val qRepetitionFilter = Q(
+    "q_repetition_filter",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      val n = size(words)
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        n.cast("long").as("n_words"),
+        round(lit(1.0) - size(array_distinct(words)).cast("double") / n, 6)
+          .as("dup_word_frac"))
+      val bigrams = Tables.documents(s, d)
+        .select(col("doc_id"), explode(
+          zip_with(slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+        .select(col("doc_id"),
+          round(col("top_bg").cast("double") / col("n_bg"), 6)
+            .as("top_bigram_frac"))
+      base.join(bigrams, Seq("doc_id"))
+        .withColumn("keep",
+          col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |m AS (
+        |  SELECT doc_id, len(words) AS n_words,
+        |         round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+        |           AS dup_word_frac
+        |  FROM ws
+        |),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(generate_series(1, len(words) - 1),
+        |           i -> words[i] || ' ' || words[i+1])) AS b
+        |  FROM ws
+        |),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bt AS (
+        |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+        |  FROM bc GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+        |       dup_word_frac <= 0.6 AND top_bigram_frac <= 0.1 AS keep
+        |FROM m JOIN bt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin))
+
+  // -------------------------------------------------------------------- PII
+
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\+1-555-[0-9]{4}"
+
+  /** PII scrubbing: regex redaction of emails/phone numbers with per-doc
+    * counts and a residue check. The synthetic corpus carries no PII, so the
+    * fixture PLANTS deterministic identifiers derived from doc_id (same
+    * transform on both engines — the operator under test is the scrub, the
+    * planted text is the fixture, like the media decode stand-in). Pure
+    * codegen'd regexp built-ins; scales as a map-only pass. */
+  private val qPiiScrub = Q(
+    "q_pii_scrub",
+    (s, d) => {
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val scrubbed = regexp_replace(
+        regexp_replace(planted, lit(EmailPat), lit("<EMAIL>")),
+        lit(PhonePat), lit("<PHONE>"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(planted, lit(EmailPat)).cast("long").as("n_emails"),
+        regexp_count(planted, lit(PhonePat)).cast("long").as("n_phones"),
+        length(scrubbed).cast("long").as("scrubbed_len"),
+        (!(regexp_like(scrubbed, lit(EmailPat)) ||
+          regexp_like(scrubbed, lit(PhonePat)))).as("clean"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |           || '@example.com or call +1-555-'
+         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
+         |  FROM documents
+         |),
+         |sc AS (
+         |  SELECT doc_id, planted,
+         |         regexp_replace(regexp_replace(planted, '$EmailPat', '<EMAIL>', 'g'),
+         |                        '$PhonePat', '<PHONE>', 'g') AS scrubbed
+         |  FROM p
+         |)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(planted, '$EmailPat')) AS n_emails,
+         |       len(regexp_extract_all(planted, '$PhonePat')) AS n_phones,
+         |       length(scrubbed) AS scrubbed_len,
+         |       NOT (regexp_matches(scrubbed, '$EmailPat')
+         |            OR regexp_matches(scrubbed, '$PhonePat')) AS clean
+         |FROM sc ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------------------ split
+
+  /** Deterministic hash-based train/val/test split (80/10/10): bucket =
+    * md5(doc_id) mod 10, so membership is a pure function of the key —
+    * reproducible across runs, engines, and scale, with no RNG state to
+    * coordinate across 1000 executors (the reason hash splits, not
+    * `rand()`, are how training pipelines split corpora). */
+  private val qHashSplit = Q(
+    "q_hash_split",
+    (s, d) => {
+      val bucket =
+        TextOps.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 10
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 8, lit("train"))
+            .when(bucket === 8, lit("val"))
+            .otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("pct", round(
+          col("n_docs") / sum(col("n_docs")).over(Window.partitionBy()), 6))
+        .orderBy(col("split"))
+    },
+    Some {
+      val h = TextOps.hash32Sql("'split:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH b AS (
+         |  SELECT doc_id, n_chars, $h % 10 AS bucket FROM documents
+         |),
+         |agg AS (
+         |  SELECT CASE WHEN bucket < 8 THEN 'train'
+         |              WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+         |         count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |  FROM b GROUP BY 1
+         |)
+         |SELECT split, n_docs, sum_chars,
+         |       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS pct
+         |FROM agg ORDER BY split""".stripMargin
+    })
+
+  // -------------------------------------------------------------- quantiles
+
+  /** Distribution sketch gate: exact percentiles per source (Spark
+    * `percentile` = continuous interpolation, DuckDB `quantile_cont`) plus a
+    * pinned within-5% check of `percentile_approx` — the sketch that replaces
+    * the exact sort at 100 TB — against the exact value. Same self-verifying
+    * pattern as `q_approx_distinct`. */
+  private val qQuantileGate = Q(
+    "q_quantile_gate",
+    (s, d) => Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        round(expr("percentile(n_chars, 0.5D)"), 6).as("p50"),
+        round(expr("percentile(n_chars, 0.9D)"), 6).as("p90"),
+        expr("approx_percentile(n_chars, 0.5D, 10000)").as("p50a"))
+      .withColumn("approx_ok",
+        abs(col("p50a") - col("p50")) <= greatest(col("p50") * 0.05, lit(1.0)))
+      .select(col("source"), col("p50"), col("p90"), col("approx_ok"))
+      .orderBy(col("source")),
+    Some(
+      """SELECT source,
+        |       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+        |       TRUE AS approx_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+
+  // ---------------------------------------------------------- heavy hitters
+
+  /** Heavy-hitter vocabulary: global top-20 terms by total frequency with
+    * document frequency — the classic skewed aggregation; both counts are
+    * algebraic so the explode never leaves the map side un-combined, and the
+    * distinct-doc count aggregates (term, doc) pairs before the final merge. */
+  private val qHeavyHitters = Q(
+    "q_heavy_hitters",
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20),
+    Some(
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |)
+        |SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM t GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin))
+
+  // ------------------------------------------------------------------- BM25
+
+  private val Bm25Terms = Seq("spark", "customer", "vector")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 keyword relevance (Robertson/Spärck Jones; the lexical leg of the
+    * reference's hybrid search modes): per-term tf via word-boundary
+    * regexp_count, df/avgdl corpus statistics in one aggregate, score =
+    * Σ idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)). The stats side is a single
+    * broadcast row (bounded — see PlanGuardSpec allowlist); everything else
+    * is a map-only pass over the corpus. */
+  private val qBm25 = Q(
+    "q_bm25",
+    (s, d) => {
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        regexp_count(col("text"), lit(s"\\b$t\\b")).cast("double").as(s"tf$i")
+      }
+      val base = Tables.documents(s, d).select(
+        col("doc_id") +: size(split(col("text"), " ")).cast("double").as("dl")
+          +: tfCols: _*)
+      val statAggs = avg(col("dl")).as("avgdl") ::
+        count(lit(1)).cast("double").as("n_docs") ::
+        Bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i")).toList
+      val stats = base.agg(statAggs.head, statAggs.tail: _*)
+      val score = Bm25Terms.indices.map { i =>
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+        idf * col(s"tf$i") * (Bm25K1 + 1.0) /
+          (col(s"tf$i") + Bm25K1 * (1.0 - Bm25B + Bm25B * col("dl") / col("avgdl")))
+      }.reduce(_ + _)
+      base.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(score, 6).as("bm25"))
+        .filter(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some {
+      val tfSel = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(regexp_extract_all(text, '\\b$t\\b')) AS tf$i"
+      }.mkString(", ")
+      val dfSel = Bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i").mkString(", ")
+      val score = Bm25Terms.indices.map { i =>
+        s"ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * tf$i * ${Bm25K1 + 1.0} " +
+          s"/ (tf$i + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl))"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl, $tfSel
+         |  FROM documents
+         |),
+         |stats AS (
+         |  SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs, $dfSel
+         |  FROM base
+         |)
+         |SELECT doc_id, round($score, 6) AS bm25
+         |FROM base CROSS JOIN stats
+         |WHERE round($score, 6) > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+    })
+
+  def queries: Seq[Q] = Seq(qDupClusters, qRepetitionFilter, qPiiScrub,
+    qHashSplit, qQuantileGate, qHeavyHitters, qBm25)
+}

@@ -44,10 +44,10 @@ object TextOps {
     * all codegen'd built-ins, so the sketching pipelines stay inside
     * whole-stage codegen (the char-fold variant above measured 100×
     * slower in the interpreted path). */
-  private def hash32(e: Column): Column =
+  private[text] def hash32(e: Column): Column =
     conv(substring(md5(e), 1, 8), 16, 10).cast("long")
 
-  private def hash32Sql(e: String): String =
+  private[text] def hash32Sql(e: String): String =
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
       s"string_split(substr(md5($e), 1, 8), ''), " +
       s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
@@ -72,7 +72,7 @@ object TextOps {
 
   /** DuckDB CTE producing (doc_id, s) distinct shingles — twin of
     * [[shingles]] + explode + distinct. */
-  private val shingleCte: String =
+  private[text] val shingleCte: String =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
       |sh AS (
       |  SELECT DISTINCT doc_id,
@@ -85,7 +85,7 @@ object TextOps {
     * partition; repartition before the explode so shingle work parallelizes
     * (at 100 TB the scan has thousands of splits and this is a no-op cost-
     * wise — it keeps the local plan honest about downstream parallelism). */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  private[text] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
@@ -174,29 +174,60 @@ object TextOps {
   private val minhashB = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
   private val MinhashP = 2147483647L
 
-  /** MinHash + LSH banding: 8 permutation hashes over the shingle base hash,
-    * min per doc → signature; 4 bands of 2 rows; docs sharing a band bucket
-    * become candidates; candidates verified with exact Jaccard ≥ 0.04.
-    * The only joins are (a) band-bucket equi-join on tiny keys and (b) the
+  /** MinHash band-bucket candidate pairs (doc_a < doc_b, distinct): 8
+    * permutation hashes over the shingle base hash, min per doc → signature;
+    * 4 bands of 2 rows; docs sharing a band bucket become candidates. Shared
+    * by the LSH near-dup query and the duplicate-cluster connected-components
+    * query ([[CorpusOps]]). */
+  private[text] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val hashed = docShingles(s, d).withColumn("h", hash32(col("s")))
+    val mhCols = minhashA.indices.map(j =>
+      min((col("h") * minhashA(j) + minhashB(j)) % MinhashP).as(s"mh$j"))
+    val sig = hashed.groupBy(col("doc_id"))
+      .agg(mhCols.head, mhCols.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(bd => struct(lit(bd).as("band"),
+        concat_ws("_", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}"))
+          .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** DuckDB CTE chain ending in `cand(doc_a, doc_b)` — twin of
+    * [[lshCandidatePairs]] (includes the shingle CTEs). */
+  private[text] val lshCandCte: String = {
+    val mh = minhashA.indices.map(j =>
+      s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashP) AS mh$j")
+      .mkString(", ")
+    val bandSel = (0 until 4).map(bd =>
+      s"SELECT doc_id, $bd AS band, CAST(mh${2 * bd} AS VARCHAR) || '_' || " +
+        s"CAST(mh${2 * bd + 1} AS VARCHAR) AS key FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""$shingleCte,
+       |hashed AS (SELECT doc_id, ${hash32Sql("s")} AS h FROM sh),
+       |sig AS (SELECT doc_id, $mh FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSel
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+       |)""".stripMargin
+  }
+
+  /** MinHash + LSH banding near-dup: band-bucket candidates
+    * ([[lshCandidatePairs]]) verified with exact Jaccard ≥ 0.04. The only
+    * joins are (a) band-bucket equi-join on tiny keys and (b) the
     * verification join restricted to candidates — the all-pairs matrix never
     * exists. */
   private val qMinhashLsh = Q(
     "q_minhash_lsh",
     (s, d) => {
-      val hashed = docShingles(s, d).withColumn("h", hash32(col("s")))
-      val mhCols = minhashA.indices.map(j =>
-        min((col("h") * minhashA(j) + minhashB(j)) % MinhashP).as(s"mh$j"))
-      val sig = hashed.groupBy(col("doc_id"))
-        .agg(mhCols.head, mhCols.tail: _*)
-      val bands = sig.select(col("doc_id"), explode(array(
-        (0 until 4).map(bd => struct(lit(bd).as("band"),
-          concat_ws("_", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}"))
-            .as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val cand = lshCandidatePairs(s, d)
       val sh = docShingles(s, d)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
@@ -217,24 +248,7 @@ object TextOps {
         .limit(50)
     },
     Some {
-      val mh = minhashA.indices.map(j =>
-        s"min((h * ${minhashA(j)} + ${minhashB(j)}) % $MinhashP) AS mh$j")
-        .mkString(", ")
-      val bandSel = (0 until 4).map(bd =>
-        s"SELECT doc_id, $bd AS band, CAST(mh${2 * bd} AS VARCHAR) || '_' || " +
-          s"CAST(mh${2 * bd + 1} AS VARCHAR) AS key FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH $shingleCte,
-         |hashed AS (SELECT doc_id, ${hash32Sql("s")} AS h FROM sh),
-         |sig AS (SELECT doc_id, $mh FROM hashed GROUP BY doc_id),
-         |bands AS (
-         |  $bandSel
-         |),
-         |cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-         |),
+      s"""WITH $lshCandCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter

@@ -47,7 +47,8 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_similarity_topk",       // single broadcast query vector
     "q_search_modes",          // three fixed mode rows
     "q_asof_join",             // union+window route: scalar bound subquery
-    "q_cost_estimate")         // single-row cost model join
+    "q_cost_estimate",         // single-row cost model join
+    "q_bm25")                  // single-row corpus-stats (df/avgdl) broadcast
 
   test("no unbounded nested-loop or cartesian joins in any registered plan") {
     val offenders = Registry.all.flatMap { q =>
