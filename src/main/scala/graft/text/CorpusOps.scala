@@ -24,24 +24,78 @@ object CorpusOps {
 
   // ---------------------------------------------------------------- clusters
 
+  /** Distributed connected components by iterative min-label propagation with
+    * pointer jumping — each round every node takes the min label among itself
+    * and its neighbors (one equi-join + partial-aggregated min), then labels
+    * are short-circuited through one more self-join (label := label(label)),
+    * giving O(log diameter) rounds instead of O(diameter). Convergence is an
+    * exact count of changed labels per round (NOT a label-sum probe, which
+    * can silently overflow Long on large id domains), so each round costs
+    * exactly one action over the already-persisted frame. This is the
+    * standard distributed-CC shape (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): at 100 TB every round is two hash joins on the
+    * vertex-id key and there is no driver-side graph state; lineage is
+    * truncated with `localCheckpoint` every 5 rounds so the analyzer cost
+    * stays flat no matter how many rounds a high-diameter graph needs.
+    *
+    * @param vertices one `doc_id` column (Long ids; labels are vertex ids)
+    * @param symEdges symmetric edge list `(src, dst)` — both directions
+    *                 present for every undirected edge
+    * @return `(doc_id, label)` where label = min vertex id of the component
+    */
+  def connectedComponents(vertices: DataFrame, symEdges: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = symEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    var cached = vertices.select(col("doc_id"), col("doc_id").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")),
+          Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nbr_min"))
+        .withColumnRenamed("src", "doc_id")
+      val relabeled = labels.select(col("doc_id"), col("label").as("prev"))
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("prev"),
+          least(col("prev"), coalesce(col("nbr_min"), col("prev")))
+            .as("label"))
+      // pointer jumping: follow the label one hop (label ids ARE vertex ids,
+      // so every label has a row); halves the remaining chain length
+      val ptr = relabeled
+        .select(col("doc_id").as("pid"), col("label").as("plabel"))
+      var next = relabeled.join(ptr, relabeled("label") === ptr("pid"))
+        .select(relabeled("doc_id"), col("prev"), col("plabel").as("label"))
+      // truncate the accumulated per-round join lineage before the analyzer
+      // cost compounds (localCheckpoint is eager; the cut plan is what the
+      // next round builds on)
+      if (rounds % 5 == 4) next = next.localCheckpoint()
+      val persisted = next.persist(StorageLevel.MEMORY_AND_DISK)
+      val nChanged = persisted
+        .agg(count(when(col("prev") =!= col("label"), 1)).as("c"))
+        .first().getLong(0)
+      cached.unpersist()
+      cached = persisted
+      labels = persisted.select(col("doc_id"), col("label"))
+      converged = nChanged == 0L
+      rounds += 1
+    }
+    if (!converged)
+      // loud, not silent: unconverged labels are WRONG cluster ids
+      System.err.println(s"[graft] WARNING: connectedComponents hit the " +
+        s"$maxRounds-round cap without converging; labels may be incomplete")
+    edges.unpersist()
+    labels
+  }
+
   /** Duplicate-cluster resolution: the step AFTER near-dup pair generation
     * that every corpus dedup actually needs — candidate pairs from the
     * MinHash band join ([[TextOps.lshCandidatePairs]]) are treated as edges
-    * of an undirected graph and resolved into connected components, so a
+    * of an undirected graph and resolved via [[connectedComponents]], so a
     * cluster {A~B, B~C} keeps ONE canonical doc even though A and C never
     * shared a band.
-    *
-    * Algorithm: iterative min-label propagation with pointer jumping —
-    * each round every node takes the min label among itself and its
-    * neighbors (one equi-join + partial-aggregated min), then labels are
-    * short-circuited through one more self-join (label := label(label)),
-    * giving O(log diameter) rounds instead of O(diameter). Convergence is
-    * detected by the monotone label sum (labels only ever decrease), so each
-    * round costs exactly one action. This is the standard distributed-CC
-    * shape (Kiveris et al., "Connected Components in MapReduce and Beyond"):
-    * at 100 TB every round is two hash joins on the doc-id key, there is no
-    * driver-side graph state, and the loop would be wrapped with
-    * `localCheckpoint` every few rounds to truncate lineage.
     *
     * Output: every document with its cluster id (= min doc_id of its
     * component; singletons are their own cluster) and the cluster size. */
@@ -51,45 +105,12 @@ object CorpusOps {
       val cand = TextOps.lshCandidatePairs(s, d)
       val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = Tables.documents(s, d)
-        .select(col("doc_id"), col("doc_id").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 20) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")),
-            Seq("dst"))
-          .groupBy(col("src")).agg(min(col("nl")).as("nbr_min"))
-          .withColumnRenamed("src", "doc_id")
-        val relabeled = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nbr_min"), col("label")))
-              .as("label"))
-        // pointer jumping: follow the label one hop (label ids ARE doc ids,
-        // so every label has a row); halves the remaining chain length
-        val ptr = relabeled
-          .select(col("doc_id").as("pid"), col("label").as("plabel"))
-        val next = relabeled.join(ptr, relabeled("label") === ptr("pid"))
-          .select(relabeled("doc_id"), col("plabel").as("label"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val nextSum = next.agg(sum(col("label"))).first().getLong(0)
-        labels.unpersist()
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        rounds += 1
-      }
-      val out = labels
+      connectedComponents(Tables.documents(s, d).select(col("doc_id")), edges)
         .withColumnRenamed("label", "cluster")
         .withColumn("cluster_size",
           count(lit(1)).over(Window.partitionBy(col("cluster"))))
         .select(col("doc_id"), col("cluster"), col("cluster_size"))
         .orderBy(col("doc_id"))
-      edges.unpersist()
-      out
     },
     Some(
       s"""WITH RECURSIVE ${TextOps.lshCandCte},
@@ -245,7 +266,7 @@ object CorpusOps {
          |agg AS (
          |  SELECT CASE WHEN bucket < 8 THEN 'train'
          |              WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
-         |         count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |  FROM b GROUP BY 1
          |)
          |SELECT split, n_docs, sum_chars,
@@ -330,7 +351,8 @@ object CorpusOps {
         val idf = log(lit(1.0) +
           (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
         idf * col(s"tf$i") * (Bm25K1 + 1.0) /
-          (col(s"tf$i") + Bm25K1 * (1.0 - Bm25B + Bm25B * col("dl") / col("avgdl")))
+          (col(s"tf$i") +
+            lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
       }.reduce(_ + _)
       base.crossJoin(broadcast(stats))
         .select(col("doc_id"), round(score, 6).as("bm25"))
