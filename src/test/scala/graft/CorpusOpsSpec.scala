@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.CorpusOps
+
+/** Convergence proof for the distributed connected-components loop behind
+  * `q_dup_clusters` — the oracle gate exercises it on LSH candidate graphs
+  * (small, dense clusters: diameter ~2), so this spec drives the shape the
+  * gate can't: a long PATH graph, whose diameter forces multiple
+  * label-propagation rounds and whose correct answer (every node → min id)
+  * fails loudly if pointer jumping or the changed-label convergence count is
+  * wrong. */
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def vertices(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    ids.toDF("doc_id")
+  }
+
+  /** Symmetric edge list for an undirected path over `ids` in order. */
+  private def pathEdges(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val es = ids.zip(ids.tail)
+    (es ++ es.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("long path graph converges to the min id (multi-round regime)") {
+    // diameter 63: plain propagation needs 63 rounds; pointer jumping must
+    // land it within the default 20-round cap (O(log d) ~ 6-7 rounds)
+    val ids = (0L to 63L)
+    val labels = CorpusOps.connectedComponents(vertices(ids), pathEdges(ids))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 64)
+    assert(labels.values.forall(_ == 0L),
+      s"all path nodes must label to min id 0, got ${labels.filter(_._2 != 0L)}")
+  }
+
+  test("disjoint components and singletons keep separate min-id labels") {
+    val a = (10L to 25L)   // path component, min 10
+    val b = (100L to 140L) // longer path component, min 100
+    val single = Seq(999L) // no edges at all
+    val labels = CorpusOps.connectedComponents(
+      vertices(a ++ b ++ single), pathEdges(a).union(pathEdges(b)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.forall(labels(_) == 10L))
+    assert(b.forall(labels(_) == 100L))
+    assert(labels(999L) == 999L)
+  }
+
+  test("round cap exhaustion still returns one row per vertex") {
+    // maxRounds=1 cannot finish a diameter-15 path: the loop must exit at
+    // the cap (warning on stderr) and hand back a complete, if unconverged,
+    // labeling — never lose or duplicate vertices
+    val ids = (0L to 15L)
+    val out = CorpusOps.connectedComponents(
+      vertices(ids), pathEdges(ids), maxRounds = 1)
+    assert(out.select(col("doc_id")).distinct().count() == 16)
+  }
+}
