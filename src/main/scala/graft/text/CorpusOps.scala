@@ -130,80 +130,109 @@ object CorpusOps {
 
   // ------------------------------------------------------------- repetition
 
+  /** Per-doc repetition stats — `(doc_id, n_words, dup_word_frac,
+    * top_bigram_frac)` — shared by [[qRepetitionFilter]] and the composed
+    * pipeline. Two grouped aggregations keyed on doc_id — no joins wider
+    * than the corpus, map-side partial aggregation on both. */
+  private def repetitionStats(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val n = size(words)
+    val base = docs.select(
+      col("doc_id"),
+      n.cast("long").as("n_words"),
+      round(lit(1.0) - size(array_distinct(words)).cast("double") / n, 6)
+        .as("dup_word_frac"))
+    val bigrams = docs
+      .select(col("doc_id"), explode(
+        zip_with(slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+      .select(col("doc_id"),
+        round(col("top_bg").cast("double") / col("n_bg"), 6)
+          .as("top_bigram_frac"))
+    base.join(bigrams, Seq("doc_id"))
+  }
+
+  /** DuckDB twin of [[repetitionStats]] minus the `ws` word-split CTE (so it
+    * can compose with [[TextOps.lshCandCte]], whose shingle chain defines an
+    * identical `ws`): CTEs m/bg/bc/bt over `ws(doc_id, words)`, terminal
+    * relation `m JOIN bt USING (doc_id)`. */
+  private val repetitionCteBody: String =
+    """m AS (
+      |  SELECT doc_id, len(words) AS n_words,
+      |         round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
+      |           AS dup_word_frac
+      |  FROM ws
+      |),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(generate_series(1, len(words) - 1),
+      |           i -> words[i] || ' ' || words[i+1])) AS b
+      |  FROM ws
+      |),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bt AS (
+      |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+      |  FROM bc GROUP BY doc_id
+      |)""".stripMargin
+
+  private val repetitionCte: String =
+    s"""ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       |$repetitionCteBody""".stripMargin
+
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1 shape): per-doc
     * duplicate-word fraction and top-bigram fraction, with pass/fail flags at
-    * fixed thresholds. Two grouped aggregations keyed on doc_id — no joins
-    * wider than the corpus, map-side partial aggregation on both. */
+    * fixed thresholds. */
   private val qRepetitionFilter = Q(
     "q_repetition_filter",
-    (s, d) => {
-      val words = split(col("text"), " ")
-      val n = size(words)
-      val base = Tables.documents(s, d).select(
-        col("doc_id"),
-        n.cast("long").as("n_words"),
-        round(lit(1.0) - size(array_distinct(words)).cast("double") / n, 6)
-          .as("dup_word_frac"))
-      val bigrams = Tables.documents(s, d)
-        .select(col("doc_id"), explode(
-          zip_with(slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
-        .select(col("doc_id"),
-          round(col("top_bg").cast("double") / col("n_bg"), 6)
-            .as("top_bigram_frac"))
-      base.join(bigrams, Seq("doc_id"))
-        .withColumn("keep",
-          col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => repetitionStats(Tables.documents(s, d))
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
+      .orderBy(col("doc_id")),
     Some(
-      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
-        |m AS (
-        |  SELECT doc_id, len(words) AS n_words,
-        |         round(1.0 - CAST(len(list_distinct(words)) AS DOUBLE) / len(words), 6)
-        |           AS dup_word_frac
-        |  FROM ws
-        |),
-        |bg AS (
-        |  SELECT doc_id,
-        |         unnest(list_transform(generate_series(1, len(words) - 1),
-        |           i -> words[i] || ' ' || words[i+1])) AS b
-        |  FROM ws
-        |),
-        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
-        |bt AS (
-        |  SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
-        |  FROM bc GROUP BY doc_id
-        |)
-        |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
-        |       dup_word_frac <= 0.6 AND top_bigram_frac <= 0.1 AS keep
-        |FROM m JOIN bt USING (doc_id)
-        |ORDER BY doc_id""".stripMargin))
+      s"""WITH $repetitionCte
+         |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+         |       dup_word_frac <= 0.6 AND top_bigram_frac <= 0.1 AS keep
+         |FROM m JOIN bt USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
 
   // -------------------------------------------------------------------- PII
 
   private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val PhonePat = "\\+1-555-[0-9]{4}"
 
-  /** PII scrubbing: regex redaction of emails/phone numbers with per-doc
-    * counts and a residue check. The synthetic corpus carries no PII, so the
-    * fixture PLANTS deterministic identifiers derived from doc_id (same
-    * transform on both engines — the operator under test is the scrub, the
-    * planted text is the fixture, like the media decode stand-in). Pure
-    * codegen'd regexp built-ins; scales as a map-only pass. */
+  /** Deterministic PII fixture: the synthetic corpus carries no PII, so both
+    * engines plant identifiers derived from doc_id (the operator under test
+    * is the scrub, the planted text is the fixture, like the media decode
+    * stand-in). */
+  private def plantedCol: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com or call +1-555-"),
+    lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+
+  private val plantedSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)" +
+      " || '@example.com or call +1-555-'" +
+      " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  /** Regex redaction of emails/phone numbers — pure codegen'd regexp
+    * built-ins, a map-only pass at any scale. */
+  private def scrubCol(planted: Column): Column = regexp_replace(
+    regexp_replace(planted, lit(EmailPat), lit("<EMAIL>")),
+    lit(PhonePat), lit("<PHONE>"))
+
+  private def scrubSql(planted: String): String =
+    s"regexp_replace(regexp_replace($planted, '$EmailPat', '<EMAIL>', 'g'), " +
+      s"'$PhonePat', '<PHONE>', 'g')"
+
+  /** PII scrubbing: redaction with per-doc counts and a residue check. */
   private val qPiiScrub = Q(
     "q_pii_scrub",
     (s, d) => {
-      val planted = concat(col("text"),
-        lit(" contact user"), col("doc_id").cast("string"),
-        lit("@example.com or call +1-555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
-      val scrubbed = regexp_replace(
-        regexp_replace(planted, lit(EmailPat), lit("<EMAIL>")),
-        lit(PhonePat), lit("<PHONE>"))
+      val planted = plantedCol
+      val scrubbed = scrubCol(planted)
       Tables.documents(s, d).select(
         col("doc_id"),
         regexp_count(planted, lit(EmailPat)).cast("long").as("n_emails"),
@@ -215,17 +244,10 @@ object CorpusOps {
     },
     Some(
       s"""WITH p AS (
-         |  SELECT doc_id,
-         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
-         |           || '@example.com or call +1-555-'
-         |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS planted
-         |  FROM documents
+         |  SELECT doc_id, $plantedSql AS planted FROM documents
          |),
          |sc AS (
-         |  SELECT doc_id, planted,
-         |         regexp_replace(regexp_replace(planted, '$EmailPat', '<EMAIL>', 'g'),
-         |                        '$PhonePat', '<PHONE>', 'g') AS scrubbed
-         |  FROM p
+         |  SELECT doc_id, planted, ${scrubSql("planted")} AS scrubbed FROM p
          |)
          |SELECT doc_id,
          |       len(regexp_extract_all(planted, '$EmailPat')) AS n_emails,
@@ -237,21 +259,32 @@ object CorpusOps {
 
   // ------------------------------------------------------------------ split
 
-  /** Deterministic hash-based train/val/test split (80/10/10): bucket =
-    * md5(doc_id) mod 10, so membership is a pure function of the key —
-    * reproducible across runs, engines, and scale, with no RNG state to
-    * coordinate across 1000 executors (the reason hash splits, not
-    * `rand()`, are how training pipelines split corpora). */
+  /** Deterministic 80/10/10 bucket label for a doc_id: bucket = hash mod 10,
+    * so membership is a pure function of the key — reproducible across runs,
+    * engines, and scale, with no RNG state to coordinate across 1000
+    * executors (the reason hash splits, not `rand()`, are how training
+    * pipelines split corpora). */
+  private def splitCol: Column = {
+    val bucket =
+      TextOps.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 10
+    when(bucket < 8, lit("train"))
+      .when(bucket === 8, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  private val splitSql: String = {
+    val h = TextOps.hash32Sql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"CASE WHEN $h % 10 < 8 THEN 'train' " +
+      s"WHEN $h % 10 = 8 THEN 'val' ELSE 'test' END"
+  }
+
+  /** Deterministic hash-based train/val/test split with per-split volume
+    * accounting. */
   private val qHashSplit = Q(
     "q_hash_split",
     (s, d) => {
-      val bucket =
-        TextOps.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 10
       Tables.documents(s, d)
-        .withColumn("split",
-          when(bucket < 8, lit("train"))
-            .when(bucket === 8, lit("val"))
-            .otherwise(lit("test")))
+        .withColumn("split", splitCol)
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .withColumn("pct", round(
@@ -384,6 +417,76 @@ object CorpusOps {
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
     })
 
+  // --------------------------------------------------------------- pipeline
+
+  /** The full corpus-prep chain as ONE composed DataFrame pipeline — the
+    * flagship of this family (the LLM-training-data brief): Gopher
+    * repetition gate → duplicate-cluster keep-one → PII scrub →
+    * deterministic hash split, one row per surviving document. Every stage
+    * is individually oracle-gated above; this query gates the COMPOSITION
+    * (stage boundaries, join keys, survivor semantics). Keep-one is "min
+    * doc_id of the cluster among gate survivors", so a cluster whose
+    * canonical doc failed the repetition gate still keeps its best
+    * remaining member.
+    *
+    * Scale shape: the gate and scrub are map-side passes plus the two
+    * doc_id-keyed repetition aggregations; clustering is the banded-LSH
+    * candidate join + O(log d) CC rounds; keep-one is one window over the
+    * survivor set partitioned by cluster id. Nothing here is wider than the
+    * corpus and every join is keyed — the chain a 100 TB curation run would
+    * execute verbatim. */
+  private val qCorpusPipeline = Q(
+    "q_corpus_pipeline",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val surv = repetitionStats(docs)
+        .filter(col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
+        .select(col("doc_id"))
+      val cand = TextOps.lshCandidatePairs(s, d)
+      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val cc = connectedComponents(docs.select(col("doc_id")), edges)
+      val keep = surv.join(cc, Seq("doc_id"))
+        .withColumn("keep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("label"))))
+        .filter(col("doc_id") === col("keep_id"))
+        .select(col("doc_id"), col("label").as("cluster"))
+      val scrub = docs.select(col("doc_id"),
+        length(scrubCol(plantedCol)).cast("long").as("scrubbed_len"))
+      keep.join(scrub, Seq("doc_id"))
+        .withColumn("split", splitCol)
+        .select(col("doc_id"), col("cluster"), col("scrubbed_len"),
+          col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH RECURSIVE ${TextOps.lshCandCte},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand
+         |),
+         |reach AS (
+         |  SELECT doc_id AS doc, doc_id AS r FROM documents
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
+         |),
+         |cc AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+         |$repetitionCteBody,
+         |surv AS (
+         |  SELECT doc_id FROM m JOIN bt USING (doc_id)
+         |  WHERE dup_word_frac <= 0.6 AND top_bigram_frac <= 0.1
+         |),
+         |keep AS (
+         |  SELECT s.doc_id, cc.cluster
+         |  FROM surv s JOIN cc ON cc.doc = s.doc_id
+         |  QUALIFY s.doc_id = min(s.doc_id) OVER (PARTITION BY cc.cluster)
+         |)
+         |SELECT doc_id, cluster,
+         |       length(${scrubSql(plantedSql)}) AS scrubbed_len,
+         |       $splitSql AS split
+         |FROM keep JOIN documents USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
   def queries: Seq[Q] = Seq(qDupClusters, qRepetitionFilter, qPiiScrub,
-    qHashSplit, qQuantileGate, qHeavyHitters, qBm25)
+    qHashSplit, qQuantileGate, qHeavyHitters, qBm25, qCorpusPipeline)
 }
