@@ -38,7 +38,10 @@ object InvariantCheck {
     ("q_ml_minhash_neardup", "n_dist_mismatch", v => v == 0L,
       "MLlib LSH candidate Jaccard == independent sorted-merge recompute"),
     ("q_embed_quantize", "all_within_bound", v => v == true,
-      "int8 dequantization error < scale/127 on every vector"))
+      "int8 dequantization error < scale/127 on every vector"),
+    // aggregated across rows: the gate emits one approx_ok per source group
+    ("q_quantile_gate", "min(cast(approx_ok as int))", v => v == 1,
+      "approx_percentile p50 within 5% of exact p50 for every source"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -53,7 +56,10 @@ object InvariantCheck {
     val qs = graft.SparkEntry.queries
     val failures = invariants.flatMap { case (name, column, ok, desc) =>
       try {
-        val v = qs(name)(spark, sfDir).select(column).head().get(0)
+        // selectExpr, not select: lets an invariant aggregate over a
+        // multi-row gate (e.g. min over per-group booleans) while plain
+        // column names keep working for the single-row gates
+        val v = qs(name)(spark, sfDir).selectExpr(column).head().get(0)
         if (ok(v)) { println(s"[invariant] OK $name: $desc"); None }
         else Some(s"$name: $column = $v VIOLATES '$desc'")
       } catch {
