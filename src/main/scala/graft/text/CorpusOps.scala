@@ -46,7 +46,14 @@ object CorpusOps {
   def connectedComponents(vertices: DataFrame, symEdges: DataFrame,
       maxRounds: Int = 20): DataFrame = {
     val edges = symEdges.persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = vertices.select(col("doc_id"), col("doc_id").as("label"))
+    // Iterate ONLY over edge-incident vertices: at realistic near-dup rates
+    // the candidate graph touches a few percent of the corpus, so the
+    // per-round joins must not drag every corpus vertex through every round
+    // — at 100 TB that is the difference between shuffling the whole vertex
+    // set ~6 times and shuffling ~1% of it. Singletons rejoin map-only at
+    // the end (their component is themselves by definition).
+    val core = edges.select(col("src").as("doc_id")).distinct()
+    var cached = core.select(col("doc_id"), col("doc_id").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cached
     var converged = false
@@ -87,7 +94,12 @@ object CorpusOps {
       System.err.println(s"[graft] WARNING: connectedComponents hit the " +
         s"$maxRounds-round cap without converging; labels may be incomplete")
     edges.unpersist()
-    labels
+    // singletons never entered the loop: label = own id, one left join
+    vertices.select(col("doc_id"))
+      .join(labels.withColumnRenamed("label", "core_label"), Seq("doc_id"),
+        "left")
+      .select(col("doc_id"),
+        coalesce(col("core_label"), col("doc_id")).as("label"))
   }
 
   /** Duplicate-cluster resolution: the step AFTER near-dup pair generation
@@ -417,6 +429,104 @@ object CorpusOps {
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
     })
 
+  // -------------------------------------------------------- decontamination
+
+  /** N-gram size for benchmark-overlap decontamination. Production pipelines
+    * use 13 (GPT-3/The Pile convention); the fixture corpus is 10-99-word
+    * docs with overlap only at 4-grams, so the gate runs the identical
+    * operator shape at n=4. */
+  private val DecontamGram = 4
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * n-gram with a benchmark/eval set — the overlap-removal step run before
+    * training so test data cannot leak into the corpus. The benchmark here
+    * is the deterministic fixture `doc_id % 100 = 0` (a stand-in for the
+    * external eval suite; benchmark members self-flag with `is_bench`).
+    *
+    * Scale shape: benchmark n-gram sets are small by construction (eval
+    * suites are tiny next to a corpus), so the contamination join is a
+    * BROADCAST semi-join against the corpus-side n-gram explode — map-only
+    * per corpus split, no corpus-wide shuffle. Grams are deduped per doc
+    * BEFORE the explode (`array_distinct`) so hit counts are distinct-gram
+    * counts and the explode volume is bounded. The word array is projected
+    * ONCE before the lambda (a lambda over the raw `split` expression would
+    * re-split per element — the O(words²) trap documented in TextOps). */
+  private val qDecontaminate = Q(
+    "q_decontaminate",
+    (s, d) => {
+      val wdocs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= DecontamGram)
+      val grams = wdocs.select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("w")) - (DecontamGram - 1)),
+          i => concat_ws(" ", slice(col("w"), i, lit(DecontamGram))))))
+        .as("gram"))
+      val bench = grams.filter(col("doc_id") % 100 === 0)
+        .select(col("gram")).distinct()
+      grams.join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("is_bench", col("doc_id") % 100 === 0)
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id,
+         |         unnest(list_transform(
+         |           generate_series(1, len(words) - ${DecontamGram - 1}),
+         |           i -> list_aggregate(words[i:i+${DecontamGram - 1}],
+         |                               'string_agg', ' '))) AS gram
+         |  FROM ws WHERE len(words) >= $DecontamGram
+         |),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 100 = 0)
+         |SELECT doc_id, count(*) AS n_hits, doc_id % 100 = 0 AS is_bench
+         |FROM g JOIN bench USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ------------------------------------------------------------ domain mix
+
+  /** Domain mixing: deterministic hash-based downsampling to per-source
+    * target rates — the mixture-reweighting step of corpus assembly (e.g.
+    * upweight curated sources, downweight crawl). The target rate is a pure
+    * function of the source name here (stand-in for the curated weights
+    * table a real run would broadcast); KEEP membership is hash-keyed on
+    * doc_id, so the sample is bit-reproducible on any cluster with no RNG
+    * state to coordinate — same reason as the hash split. Map-only pass +
+    * per-source algebraic aggregate; weight is emitted as the raw double
+    * division so both engines produce bit-identical values. */
+  private val qDomainMix = Q(
+    "q_domain_mix",
+    (s, d) => {
+      val srcRate =
+        TextOps.hash32(concat(lit("mix:"), col("source"))) % 100 + 1
+      val kept =
+        TextOps.hash32(concat(lit("samp:"), col("doc_id").cast("string"))) %
+          1000000 < srcRate * 10000
+      Tables.documents(s, d)
+        .withColumn("kept", kept)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("weight", srcRate.cast("double") / 100.0)
+        .select(col("source"), col("weight"), col("n_docs"), col("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val hMix = TextOps.hash32Sql("'mix:' || source")
+      val hSamp = TextOps.hash32Sql("'samp:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH k AS (
+         |  SELECT source,
+         |         $hSamp % 1000000 < ($hMix % 100 + 1) * 10000 AS kept
+         |  FROM documents
+         |)
+         |SELECT source,
+         |       CAST($hMix % 100 + 1 AS DOUBLE) / 100.0 AS weight,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM k GROUP BY source ORDER BY source""".stripMargin
+    })
+
   // --------------------------------------------------------------- pipeline
 
   /** The full corpus-prep chain as ONE composed DataFrame pipeline — the
@@ -488,5 +598,6 @@ object CorpusOps {
          |ORDER BY doc_id""".stripMargin))
 
   def queries: Seq[Q] = Seq(qDupClusters, qRepetitionFilter, qPiiScrub,
-    qHashSplit, qQuantileGate, qHeavyHitters, qBm25, qCorpusPipeline)
+    qHashSplit, qQuantileGate, qHeavyHitters, qBm25, qDecontaminate,
+    qDomainMix, qCorpusPipeline)
 }
