@@ -45,7 +45,16 @@ object CorpusOps {
     */
   def connectedComponents(vertices: DataFrame, symEdges: DataFrame,
       maxRounds: Int = 20): DataFrame = {
-    val edges = symEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not just persist) at loop entry: persist caches the
+    // DATA but leaves the full LOGICAL plan in place, and the pointer-jump
+    // self-join references its input twice, so round r's plan would contain
+    // 2^r copies of the upstream tree (for q_dup_clusters, the whole LSH
+    // candidate pipeline) — measured as multi-second ANALYSIS time per round
+    // by round 3. Truncating lineage here makes every round's plan a fixed-
+    // size tree over two tiny leaves. (localCheckpoint trades re-computability
+    // for speed — on a cluster, executor loss forces a rerun; acceptable for
+    // an iterative loop whose state is rebuilt from scratch on retry anyway.)
+    val edges = symEdges.localCheckpoint()
     // Iterate ONLY over edge-incident vertices: at realistic near-dup rates
     // the candidate graph touches a few percent of the corpus, so the
     // per-round joins must not drag every corpus vertex through every round
@@ -54,7 +63,7 @@ object CorpusOps {
     // the end (their component is themselves by definition).
     val core = edges.select(col("src").as("doc_id")).distinct()
     var cached = core.select(col("doc_id"), col("doc_id").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = cached
     var converged = false
     var rounds = 0
