@@ -120,34 +120,72 @@ object CorpusOps {
     *
     * Output: every document with its cluster id (= min doc_id of its
     * component; singletons are their own cluster) and the cluster size. */
+  /** DuckDB twin of [[docClusters]]: recursive min-reachable-id CTE chain
+    * ending in `cc(doc, cluster)`; compose after `WITH RECURSIVE
+    * ${lshCandCte}`. No trailing comma — callers append one when chaining. */
+  private val ccCte: String =
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM cand
+      |  UNION ALL SELECT doc_b, doc_a FROM cand
+      |),
+      |reach AS (
+      |  SELECT doc_id AS doc, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
+      |),
+      |cc AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)""".stripMargin
+
+  /** Cluster assignment for every document: [[connectedComponents]] over the
+    * MinHash-band candidate pairs — shared by the cluster queries and the
+    * composed pipeline. */
+  private def docClusters(s: SparkSession, d: String): DataFrame = {
+    val cand = TextOps.lshCandidatePairs(s, d)
+    val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    connectedComponents(Tables.documents(s, d).select(col("doc_id")), edges)
+  }
+
   private val qDupClusters = Q(
     "q_dup_clusters",
-    (s, d) => {
-      val cand = TextOps.lshCandidatePairs(s, d)
-      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      connectedComponents(Tables.documents(s, d).select(col("doc_id")), edges)
-        .withColumnRenamed("label", "cluster")
-        .withColumn("cluster_size",
-          count(lit(1)).over(Window.partitionBy(col("cluster"))))
-        .select(col("doc_id"), col("cluster"), col("cluster_size"))
-        .orderBy(col("doc_id"))
-    },
+    (s, d) => docClusters(s, d)
+      .withColumnRenamed("label", "cluster")
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"))
+      .orderBy(col("doc_id")),
     Some(
       s"""WITH RECURSIVE ${TextOps.lshCandCte},
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION ALL SELECT doc_b, doc_a FROM cand
-         |),
-         |reach AS (
-         |  SELECT doc_id AS doc, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
-         |),
-         |cc AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)
+         |$ccCte
          |SELECT doc AS doc_id, cluster,
          |       count(*) OVER (PARTITION BY cluster) AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin))
+
+  /** Cluster keep-BEST policy: real curation keeps the highest-quality
+    * member of each duplicate cluster, not the smallest id — here "best" is
+    * the longest document (`n_chars` desc, doc_id the deterministic
+    * tiebreak). One row_number window partitioned by cluster id; at scale a
+    * single shuffle on the cluster key over (doc_id, cluster, n_chars)
+    * triples. */
+  private val qDupKeepBest = Q(
+    "q_dup_keep_best",
+    (s, d) => docClusters(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("label").as("cluster"), col("n_chars"))
+      .orderBy(col("doc_id")),
+    Some(
+      s"""WITH RECURSIVE ${TextOps.lshCandCte},
+         |$ccCte
+         |SELECT doc_id, cluster, n_chars FROM (
+         |  SELECT d.doc_id, cc.cluster, d.n_chars,
+         |         row_number() OVER (PARTITION BY cc.cluster
+         |           ORDER BY d.n_chars DESC, d.doc_id) AS rk
+         |  FROM cc JOIN documents d ON d.doc_id = cc.doc
+         |) WHERE rk = 1 ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------------- repetition
 
@@ -561,10 +599,7 @@ object CorpusOps {
       val surv = repetitionStats(docs)
         .filter(col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
         .select(col("doc_id"))
-      val cand = TextOps.lshCandidatePairs(s, d)
-      val edges = cand.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(cand.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val cc = connectedComponents(docs.select(col("doc_id")), edges)
+      val cc = docClusters(s, d)
       val keep = surv.join(cc, Seq("doc_id"))
         .withColumn("keep_id",
           min(col("doc_id")).over(Window.partitionBy(col("label"))))
@@ -580,16 +615,7 @@ object CorpusOps {
     },
     Some(
       s"""WITH RECURSIVE ${TextOps.lshCandCte},
-         |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION ALL SELECT doc_b, doc_a FROM cand
-         |),
-         |reach AS (
-         |  SELECT doc_id AS doc, doc_id AS r FROM documents
-         |  UNION
-         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
-         |),
-         |cc AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+         |$ccCte,
          |$repetitionCteBody,
          |surv AS (
          |  SELECT doc_id FROM m JOIN bt USING (doc_id)
@@ -606,7 +632,7 @@ object CorpusOps {
          |FROM keep JOIN documents USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
-  def queries: Seq[Q] = Seq(qDupClusters, qRepetitionFilter, qPiiScrub,
-    qHashSplit, qQuantileGate, qHeavyHitters, qBm25, qDecontaminate,
-    qDomainMix, qCorpusPipeline)
+  def queries: Seq[Q] = Seq(qDupClusters, qDupKeepBest, qRepetitionFilter,
+    qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters, qBm25,
+    qDecontaminate, qDomainMix, qCorpusPipeline)
 }

@@ -132,7 +132,14 @@ object TextOps {
   private val qNgramJaccard = Q(
     "q_ngram_jaccard",
     (s, d) => {
-      val sh0 = docShingles(s, d)
+      // lineage cut on the raw shingles: sh0 feeds the df aggregate, the
+      // semi-join left side, sizes, and both sides of the intersection
+      // self-join — without the cut the shingle explode executed 8 times in
+      // one plan (8 parquet scans, zero reused exchanges). The capped sh is
+      // deliberately NOT checkpointed: the df-cap semi-join must stay in
+      // the final plan (PlanGuardSpec pins it — it is the guard against the
+      // quadratic hot-key tail), and downstream re-reads hit the sh0 cache.
+      val sh0 = docShingles(s, d).localCheckpoint()
       val ok = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap).select(col("s"))
       val sh = sh0.join(ok, Seq("s"), "left_semi")
@@ -183,8 +190,13 @@ object TextOps {
     val hashed = docShingles(s, d).withColumn("h", hash32(col("s")))
     val mhCols = minhashA.indices.map(j =>
       min((col("h") * minhashA(j) + minhashB(j)) % MinhashP).as(s"mh$j"))
+    // localCheckpoint: the band table below is SELF-joined, so without a
+    // lineage cut the whole shingle+minhash pipeline would execute once per
+    // join side (measured: zero exchange reuse across the self-join). The
+    // signature is 1 row/doc — the cheapest thing in the pipeline to hold.
     val sig = hashed.groupBy(col("doc_id"))
       .agg(mhCols.head, mhCols.tail: _*)
+      .localCheckpoint()
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(bd => struct(lit(bd).as("band"),
         concat_ws("_", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}"))
@@ -228,7 +240,9 @@ object TextOps {
     "q_minhash_lsh",
     (s, d) => {
       val cand = lshCandidatePairs(s, d)
-      val sh = docShingles(s, d)
+      // three downstream uses (sizes + both sides of the verification join)
+      // and no exchange reuse across them — materialize the explode once
+      val sh = docShingles(s, d).localCheckpoint()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
@@ -299,10 +313,13 @@ object TextOps {
           .otherwise(-1)).as(s"bit$b"))
       val votes = hashed.groupBy(col("doc_id"))
         .agg(voteCols.head, voteCols.tail: _*)
+      // 1 row/doc; cut before the band self-join (same rationale as the
+      // MinHash signature checkpoint)
       val fp = votes.select(col("doc_id"),
         (0 until SimhashBits).map(b =>
           when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("fp"))
+        .localCheckpoint()
       val bands = fp.select(col("doc_id"), col("fp"), explode(array(
         (0 until SimhashBands).map(bd => struct(lit(bd).as("band"),
           (shiftright(col("fp"), bd * SimhashBandBits)
