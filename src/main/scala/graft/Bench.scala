@@ -52,7 +52,8 @@ object Bench {
     "q_embed_ivf_search",  // probe → bucket-scan → top-k ANN path
     "q_ngram_jaccard",     // df-capped shingle self-join
     "q_simhash",           // 60-bit banded fingerprint dedup
-    "q_dup_clusters")      // LSH candidates + iterative connected components
+    "q_dup_clusters",      // LSH candidates + iterative connected components
+    "q_corpus_pipeline")   // composed gate→cluster-keep-one→scrub→split chain
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
