@@ -60,6 +60,37 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(labels(999L) == 999L)
   }
 
+  test("random graphs agree with a reference union-find") {
+    // seeded random sparse graphs, checked against an independent
+    // sequential union-find: same partition AND same min-id labels
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(20)
+      val ids = (0L until n.toLong)
+      val es = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: path-compressed union-find, then relabel to component min
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map(i => i -> ids.filter(j =>
+        find(j.toInt) == find(i.toInt)).min).toMap
+      import spark.implicits._
+      val sym = (es ++ es.map(_.swap)).toDF("src", "dst")
+      val got = CorpusOps.connectedComponents(vertices(ids), sym)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n, edges=${es.size})")
+    }
+  }
+
   test("round cap exhaustion still returns one row per vertex") {
     // maxRounds=1 cannot finish a diameter-15 path: the loop must exit at
     // the cap (warning on stderr) and hand back a complete, if unconverged,
