@@ -413,6 +413,47 @@ object CorpusOps {
         |SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df
         |FROM t GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin))
 
+  // -------------------------------------------------------- unigram logprob
+
+  /** Unigram log-probability quality score — the shape of CCNet-style
+    * perplexity filtering with the corpus's own unigram distribution standing
+    * in for the external LM (no model files in this sandbox; swapping in a
+    * real LM table changes only the vocab source): score every document by
+    * the mean ln p(word), where p = count(word)/total. Low scores mark
+    * gibberish/rare-token documents, the classic quality-filter signal.
+    *
+    * Scale shape: one explode + word-keyed vocab aggregate (algebraic,
+    * map-side combined), the corpus total as a single broadcast row (same
+    * pattern as the BM25 stats), and a word-keyed join words⋈vocab that is
+    * stop-word-skewed by nature — exactly the AQE skew-join case (or salt
+    * the top-k words); the per-doc mean is then an algebraic aggregate on
+    * the doc key. */
+  private val qUnigramLogprob = Q(
+    "q_unigram_logprob",
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = words.agg(count(lit(1)).cast("double").as("n_total"))
+      words.join(vocab, Seq("w"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(avg(log(col("c").cast("double") / col("n_total"))), 6)
+            .as("avg_logp"),
+          count(lit(1)).as("n_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |v AS (SELECT w, count(*) AS c FROM wd GROUP BY w),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM wd)
+        |SELECT doc_id,
+        |       round(avg(ln(CAST(c AS DOUBLE) / n_total)), 6) AS avg_logp,
+        |       count(*) AS n_words
+        |FROM wd JOIN v USING (w) CROSS JOIN t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------------------------- BM25
 
   private val Bm25Terms = Seq("spark", "customer", "vector")
@@ -633,6 +674,6 @@ object CorpusOps {
          |ORDER BY doc_id""".stripMargin))
 
   def queries: Seq[Q] = Seq(qDupClusters, qDupKeepBest, qRepetitionFilter,
-    qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters, qBm25,
-    qDecontaminate, qDomainMix, qCorpusPipeline)
+    qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters, qUnigramLogprob,
+    qBm25, qDecontaminate, qDomainMix, qCorpusPipeline)
 }

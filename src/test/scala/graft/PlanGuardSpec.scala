@@ -48,7 +48,8 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_search_modes",          // three fixed mode rows
     "q_asof_join",             // union+window route: scalar bound subquery
     "q_cost_estimate",         // single-row cost model join
-    "q_bm25")                  // single-row corpus-stats (df/avgdl) broadcast
+    "q_bm25",                  // single-row corpus-stats (df/avgdl) broadcast
+    "q_unigram_logprob")       // single-row corpus-total broadcast
 
   test("no unbounded nested-loop or cartesian joins in any registered plan") {
     val offenders = Registry.all.flatMap { q =>
