@@ -41,7 +41,14 @@ object InvariantCheck {
       "int8 dequantization error < scale/127 on every vector"),
     // aggregated across rows: the gate emits one approx_ok per source group
     ("q_quantile_gate", "min(cast(approx_ok as int))", v => v == 1,
-      "approx_percentile p50 within 5% of exact p50 for every source"))
+      "approx_percentile p50 within 5% of exact p50 for every source"),
+    // law-of-large-numbers check on the hash split: at any real SF the
+    // md5-bucket membership must land within 5 points of the 80/10/10 target
+    ("q_hash_split",
+      "min(cast(abs(pct - case when split = 'train' then 0.8 else 0.1 end)" +
+        " < 0.05 as int))",
+      v => v == 1,
+      "hash-split proportions within 5 points of 80/10/10 at scale"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

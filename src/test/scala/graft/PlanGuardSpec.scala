@@ -94,6 +94,15 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "df <= 50 cap filter missing from the n-gram Jaccard plan")
   }
 
+  test("decontamination joins the benchmark gram set as a broadcast") {
+    // eval-suite n-gram sets are tiny next to a corpus; a shuffle join here
+    // would add a full corpus-side gram exchange at 100 TB
+    val plan = SparkEntry.queries("q_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark gram join must be a broadcast hash join")
+  }
+
   test("top-k per group gets the WindowGroupLimit pushdown") {
     // Spark plans rank-filter windows as Partial+Final WindowGroupLimit —
     // a map-side top-k so the shuffle carries at most k rows per group
