@@ -615,6 +615,26 @@ object CorpusOps {
          |FROM k GROUP BY source ORDER BY source""".stripMargin
     })
 
+  // --------------------------------------------------------- stateless gate
+
+  /** The stateless subset of the corpus-prep chain — PII scrub, duplicate-
+    * word fraction, hash split — as one map-only projection. Exactly these
+    * stages run UNCHANGED over a Structured Streaming source (no aggregation
+    * state, no watermark needed); [[graft.streaming.CorpusStream]] is that
+    * streaming twin, and StreamingCorpusSpec pins stream ≡ batch. The
+    * stateful members of the family (bigram stats, dedup, clustering) have
+    * bounded-state streaming counterparts in EventStream/StatefulSessions. */
+  def statelessGate(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      splitCol.as("split"),
+      length(scrubCol(col("text"))).cast("long").as("scrubbed_len"),
+      round(lit(1.0) - size(array_distinct(words)).cast("double") / size(words), 6)
+        .as("dup_word_frac"))
+      .withColumn("keep", col("dup_word_frac") <= 0.6)
+  }
+
   // --------------------------------------------------------------- pipeline
 
   /** The full corpus-prep chain as ONE composed DataFrame pipeline — the
