@@ -615,6 +615,49 @@ object CorpusOps {
          |FROM k GROUP BY source ORDER BY source""".stripMargin
     })
 
+  // ----------------------------------------------------------- corpus stats
+
+  /** Per-source corpus health panel — the monitoring aggregate a curation
+    * pipeline runs after every ingest wave: volume (docs/chars), mean doc
+    * length, language share, and the repetition-gate pass rate, one row per
+    * source. Pure map-side derivation + algebraic aggregates (sum/count/avg
+    * all partial-aggregate), so at 100 TB this is one scan and one tiny
+    * shuffle keyed on source. */
+  private val qCorpusStats = Q(
+    "q_corpus_stats",
+    (s, d) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, d)
+        .withColumn("n_words", size(words).cast("long"))
+        .withColumn("dup_frac", round(
+          lit(1.0) - size(array_distinct(words)).cast("double") / size(words),
+          6))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          round(avg(col("n_words")), 6).as("avg_words"),
+          round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
+            .as("pct_en"),
+          round(avg(when(col("dup_frac") <= 0.6, 1.0).otherwise(0.0)), 6)
+            .as("keep_rate"))
+        .orderBy(col("source"))
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT source, n_chars, lang,
+        |         len(string_split(text, ' ')) AS n_words,
+        |         round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |                 / len(string_split(text, ' ')), 6) AS dup_frac
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       round(avg(n_words), 6) AS avg_words,
+        |       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en,
+        |       round(avg(CASE WHEN dup_frac <= 0.6 THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+        |FROM m GROUP BY source ORDER BY source""".stripMargin))
+
   // --------------------------------------------------------- stateless gate
 
   /** The stateless subset of the corpus-prep chain — PII scrub, duplicate-
@@ -695,5 +738,5 @@ object CorpusOps {
 
   def queries: Seq[Q] = Seq(qDupClusters, qDupKeepBest, qRepetitionFilter,
     qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters, qUnigramLogprob,
-    qBm25, qDecontaminate, qDomainMix, qCorpusPipeline)
+    qBm25, qDecontaminate, qDomainMix, qCorpusStats, qCorpusPipeline)
 }
