@@ -192,7 +192,14 @@ object CorpusOps {
   /** Per-doc repetition stats — `(doc_id, n_words, dup_word_frac,
     * top_bigram_frac)` — shared by [[qRepetitionFilter]] and the composed
     * pipeline. Two grouped aggregations keyed on doc_id — no joins wider
-    * than the corpus, map-side partial aggregation on both. */
+    * than the corpus, map-side partial aggregation on both.
+    *
+    * Docs with fewer than 2 words have NO bigrams, so the bigram aggregate
+    * has no row for them: the join is a LEFT join with `top_bigram_frac`
+    * coalesced to 0.0, so sub-bigram docs pass the bigram gate vacuously —
+    * the same verdict [[statelessGate]] (which never computes bigrams)
+    * reaches for them. An inner join here would silently reject short docs
+    * in the batch pipeline while the streaming gate kept them. */
   private def repetitionStats(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     val n = size(words)
@@ -211,13 +218,16 @@ object CorpusOps {
       .select(col("doc_id"),
         round(col("top_bg").cast("double") / col("n_bg"), 6)
           .as("top_bigram_frac"))
-    base.join(bigrams, Seq("doc_id"))
+    base.join(bigrams, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac", coalesce(col("top_bigram_frac"), lit(0.0)))
   }
 
   /** DuckDB twin of [[repetitionStats]] minus the `ws` word-split CTE (so it
     * can compose with [[TextOps.lshCandCte]], whose shingle chain defines an
     * identical `ws`): CTEs m/bg/bc/bt over `ws(doc_id, words)`, terminal
-    * relation `m JOIN bt USING (doc_id)`. */
+    * relation `m LEFT JOIN bt USING (doc_id)` with `top_bigram_frac`
+    * coalesced to 0.0 (sub-bigram docs have no `bt` row — see
+    * [[repetitionStats]]). */
   private val repetitionCteBody: String =
     """m AS (
       |  SELECT doc_id, len(words) AS n_words,
@@ -252,9 +262,11 @@ object CorpusOps {
       .orderBy(col("doc_id")),
     Some(
       s"""WITH $repetitionCte
-         |SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
-         |       dup_word_frac <= 0.6 AND top_bigram_frac <= 0.1 AS keep
-         |FROM m JOIN bt USING (doc_id)
+         |SELECT doc_id, n_words, dup_word_frac,
+         |       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+         |       dup_word_frac <= 0.6
+         |         AND coalesce(top_bigram_frac, 0.0) <= 0.1 AS keep
+         |FROM m LEFT JOIN bt USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
   // -------------------------------------------------------------------- PII
@@ -422,36 +434,44 @@ object CorpusOps {
     * the mean ln p(word), where p = count(word)/total. Low scores mark
     * gibberish/rare-token documents, the classic quality-filter signal.
     *
-    * Scale shape: one explode + word-keyed vocab aggregate (algebraic,
-    * map-side combined), the corpus total as a single broadcast row (same
-    * pattern as the BM25 stats), and a word-keyed join words⋈vocab that is
-    * stop-word-skewed by nature — exactly the AQE skew-join case (or salt
-    * the top-k words); the per-doc mean is then an algebraic aggregate on
-    * the doc key. */
+    * Scale shape: the token explode is aggregated to per-doc term counts
+    * `(doc_id, w, c_dw)` BEFORE anything joins — the vocab join then
+    * shuffles distinct (doc, term) rows, not every token occurrence (2-5×
+    * smaller on natural text, and the per-key skew the stop words cause has
+    * proportionally less volume for AQE to split). The vocabulary and the
+    * corpus total both derive from the same term-count aggregate (Catalyst
+    * reuses the exchange), the total is a single broadcast row (same
+    * pattern as the BM25 stats), and the per-doc score is the weighted mean
+    * Σ c_dw·ln p(w) / Σ c_dw — algebraically identical to the token-level
+    * mean ln p. PlanGuardSpec pins that no raw explode reaches a join. */
   private val qUnigramLogprob = Q(
     "q_unigram_logprob",
     (s, d) => {
-      val words = Tables.documents(s, d)
+      val tc = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val tot = words.agg(count(lit(1)).cast("double").as("n_total"))
-      words.join(vocab, Seq("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c_dw"))
+      val vocab = tc.groupBy(col("w")).agg(sum(col("c_dw")).as("c"))
+      val tot = tc.agg(sum(col("c_dw")).cast("double").as("n_total"))
+      tc.join(vocab, Seq("w"))
         .crossJoin(broadcast(tot))
         .groupBy(col("doc_id"))
         .agg(
-          round(avg(log(col("c").cast("double") / col("n_total"))), 6)
-            .as("avg_logp"),
-          count(lit(1)).as("n_words"))
+          round(
+            sum(col("c_dw") * log(col("c").cast("double") / col("n_total"))) /
+              sum(col("c_dw")), 6).as("avg_logp"),
+          sum(col("c_dw")).as("n_words"))
         .orderBy(col("doc_id"))
     },
     Some(
       """WITH wd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
-        |v AS (SELECT w, count(*) AS c FROM wd GROUP BY w),
-        |t AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM wd)
+        |tc AS (SELECT doc_id, w, count(*) AS c_dw FROM wd GROUP BY 1, 2),
+        |v AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c FROM tc GROUP BY w),
+        |t AS (SELECT CAST(sum(c_dw) AS DOUBLE) AS n_total FROM tc)
         |SELECT doc_id,
-        |       round(avg(ln(CAST(c AS DOUBLE) / n_total)), 6) AS avg_logp,
-        |       count(*) AS n_words
-        |FROM wd JOIN v USING (w) CROSS JOIN t
+        |       round(sum(c_dw * ln(CAST(c AS DOUBLE) / n_total))
+        |             / sum(c_dw), 6) AS avg_logp,
+        |       CAST(sum(c_dw) AS BIGINT) AS n_words
+        |FROM tc JOIN v USING (w) CROSS JOIN t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   // ------------------------------------------------------------------- BM25
@@ -722,8 +742,8 @@ object CorpusOps {
          |$ccCte,
          |$repetitionCteBody,
          |surv AS (
-         |  SELECT doc_id FROM m JOIN bt USING (doc_id)
-         |  WHERE dup_word_frac <= 0.6 AND top_bigram_frac <= 0.1
+         |  SELECT doc_id FROM m LEFT JOIN bt USING (doc_id)
+         |  WHERE dup_word_frac <= 0.6 AND coalesce(top_bigram_frac, 0.0) <= 0.1
          |),
          |keep AS (
          |  SELECT s.doc_id, cc.cluster

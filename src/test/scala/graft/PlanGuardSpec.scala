@@ -103,6 +103,25 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "benchmark gram join must be a broadcast hash join")
   }
 
+  test("unigram logprob joins pre-aggregated term counts, never raw tokens") {
+    // the vocab join must consume (doc_id, w, c_dw) term counts — joining
+    // the raw token explode would shuffle one row per token occurrence,
+    // i.e. the full token stream through one stop-word-skewed exchange
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate, Join, LogicalPlan}
+    def exposesExplode(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false // aggregation bounds the join input
+      case _: Generate => true   // raw explode reaches the join
+      case other => other.children.exists(exposesExplode)
+    }
+    val qe = SparkEntry.queries("q_unigram_logprob")(spark, dir).queryExecution
+    val offending = qe.optimizedPlan.collect {
+      case j: Join if j.children.exists(exposesExplode) => j
+    }
+    assert(offending.isEmpty,
+      "a join consumes the raw token explode — pre-aggregate per-doc term " +
+        "counts so the shuffle carries distinct (doc, term) rows")
+  }
+
   test("top-k per group gets the WindowGroupLimit pushdown") {
     // Spark plans rank-filter windows as Partial+Final WindowGroupLimit —
     // a map-side top-k so the shuffle carries at most k rows per group
