@@ -53,6 +53,7 @@ object Bench {
     "q_ngram_jaccard",     // df-capped shingle self-join
     "q_simhash",           // 60-bit banded fingerprint dedup
     "q_dup_clusters",      // LSH candidates + iterative connected components
+    "q_cc_chain",          // CC in the high-diameter multi-round regime
     "q_corpus_pipeline")   // composed gate→cluster-keep-one→scrub→split chain
 
   def main(args: Array[String]): Unit = {

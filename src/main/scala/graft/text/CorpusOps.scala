@@ -3,7 +3,6 @@ package graft.text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.Q
 import graft.model.Tables
@@ -35,7 +34,7 @@ object CorpusOps {
     * standard distributed-CC shape (Kiveris et al., "Connected Components in
     * MapReduce and Beyond"): at 100 TB every round is two hash joins on the
     * vertex-id key and there is no driver-side graph state; lineage is
-    * truncated with `localCheckpoint` every 5 rounds so the analyzer cost
+    * truncated with `localCheckpoint` every round so the analyzer cost
     * stays flat no matter how many rounds a high-diameter graph needs.
     *
     * @param vertices one `doc_id` column (Long ids; labels are vertex ids)
@@ -44,30 +43,18 @@ object CorpusOps {
     * @return `(doc_id, label)` where label = min vertex id of the component
     */
   def connectedComponents(vertices: DataFrame, symEdges: DataFrame,
-      maxRounds: Int = 20): DataFrame = {
-    // localCheckpoint (not just persist) at loop entry: persist caches the
-    // DATA but leaves the full LOGICAL plan in place, and the pointer-jump
-    // self-join references its input twice, so round r's plan would contain
-    // 2^r copies of the upstream tree (for q_dup_clusters, the whole LSH
-    // candidate pipeline) — measured as multi-second ANALYSIS time per round
-    // by round 3. Truncating lineage here makes every round's plan a fixed-
-    // size tree over two tiny leaves. (localCheckpoint trades re-computability
-    // for speed — on a cluster, executor loss forces a rerun; acceptable for
-    // an iterative loop whose state is rebuilt from scratch on retry anyway.)
-    val edges = symEdges.localCheckpoint()
-    // Iterate ONLY over edge-incident vertices: at realistic near-dup rates
-    // the candidate graph touches a few percent of the corpus, so the
-    // per-round joins must not drag every corpus vertex through every round
-    // — at 100 TB that is the difference between shuffling the whole vertex
-    // set ~6 times and shuffling ~1% of it. Singletons rejoin map-only at
-    // the end (their component is themselves by definition).
-    val core = edges.select(col("src").as("doc_id")).distinct()
-    var cached = core.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
-    var labels = cached
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < maxRounds) {
+      maxRounds: Int = 20): DataFrame =
+    connectedComponentsWithRounds(vertices, symEdges, maxRounds)._1
+
+  /** [[connectedComponents]] plus the number of label-propagation rounds the
+    * loop ran — the observable InvariantCheck pins to O(log diameter). */
+  def connectedComponentsWithRounds(vertices: DataFrame, symEdges: DataFrame,
+      maxRounds: Int = 20): (DataFrame, Int) = {
+    // One propagation round over (doc_id, label): min label among self and
+    // neighbors, then pointer jumping — follow the label one hop (label ids
+    // ARE vertex ids, so every label has a row), halving the remaining
+    // chain length. Returns (doc_id, prev, label).
+    def round(labels: DataFrame, edges: DataFrame): DataFrame = {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("nl")),
           Seq("dst"))
@@ -78,37 +65,97 @@ object CorpusOps {
         .select(col("doc_id"), col("prev"),
           least(col("prev"), coalesce(col("nbr_min"), col("prev")))
             .as("label"))
-      // pointer jumping: follow the label one hop (label ids ARE vertex ids,
-      // so every label has a row); halves the remaining chain length
       val ptr = relabeled
         .select(col("doc_id").as("pid"), col("label").as("plabel"))
-      var next = relabeled.join(ptr, relabeled("label") === ptr("pid"))
+      relabeled.join(ptr, relabeled("label") === ptr("pid"))
         .select(relabeled("doc_id"), col("prev"), col("plabel").as("label"))
-      // truncate the accumulated per-round join lineage before the analyzer
-      // cost compounds (localCheckpoint is eager; the cut plan is what the
-      // next round builds on)
-      if (rounds % 5 == 4) next = next.localCheckpoint()
-      val persisted = next.persist(StorageLevel.MEMORY_AND_DISK)
-      val nChanged = persisted
+    }
+    // Singletons never enter the loop: label = own id, one left join.
+    def withSingletons(labels: DataFrame): DataFrame =
+      vertices.select(col("doc_id"))
+        .join(labels.withColumnRenamed("label", "core_label"), Seq("doc_id"),
+          "left")
+        .select(col("doc_id"),
+          coalesce(col("core_label"), col("doc_id")).as("label"))
+
+    if (graft.PlanProbe.planOnly.value) {
+      // Plan-only mode (PlanGuardSpec): build TWO structural rounds with no
+      // checkpoints and no convergence actions, so a plan sweep sees the
+      // per-round join shape — and everything upstream of the (skipped)
+      // checkpoints — without executing the iterative job. The labels are
+      // NOT converged; never use this path for results.
+      val core = symEdges.select(col("src").as("doc_id")).distinct()
+      var labels = core.select(col("doc_id"), col("doc_id").as("label"))
+      for (_ <- 1 to 2)
+        labels = round(labels, symEdges).select(col("doc_id"), col("label"))
+      return (withSingletons(labels), 0)
+    }
+
+    // localCheckpoint EVERY round (not persist, not periodic cuts): each
+    // round's plan references its input labels FOUR times (neighbor-min,
+    // relabel, both sides of the pointer jump), so an uncut plan grows 4^r
+    // leaf references — persist caches the DATA but leaves the LOGICAL plan
+    // in place, and with cuts only every 5 rounds the ANALYZER cost was
+    // measured at 22 s on a 5000-row round (driver-side, pure plan walking).
+    // Cutting every round keeps every plan a fixed-size tree over two tiny
+    // leaves: one label-set materialization per round, the same shape
+    // GraphX's Pregel persists per iteration. The previous round's
+    // checkpoint is FREED as soon as the new one is materialized
+    // (GraftShims.freeCheckpoint — plain unpersist() is a no-op on
+    // checkpointed frames), so peak block-store holds TWO label sets + the
+    // edge list, and repeated invocations (Bench's 3 passes, Verify over
+    // the full registry) don't accumulate storage for the session lifetime.
+    //
+    // Durability note: localCheckpoint storage is executor-local and its
+    // lineage is truncated — on a real cluster, losing an executor fails
+    // the loop (or, after it returns, the consumer) with missing-block
+    // errors instead of recomputing; the loop state is rebuilt from scratch
+    // on job retry, which is the right trade for iterative state. Consumers
+    // of the RETURNED frame on a cluster should materialize it promptly or
+    // swap the last cut for a reliable `df.checkpoint()`/write-out;
+    // single-JVM local mode cannot lose blocks.
+    val free = org.apache.spark.sql.graft.GraftShims.freeCheckpoint _
+    val edges = symEdges.localCheckpoint()
+    // Iterate ONLY over edge-incident vertices: at realistic near-dup rates
+    // the candidate graph touches a few percent of the corpus, so the
+    // per-round joins must not drag every corpus vertex through every round
+    // — at 100 TB that is the difference between shuffling the whole vertex
+    // set ~6 times and shuffling ~1% of it.
+    val core = edges.select(col("src").as("doc_id")).distinct()
+    // `current` is the live checkpoint backing `labels`; exactly one
+    // previous generation is freed per round
+    var current = core.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var labels = current
+    var converged = false
+    var rounds = 0
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    while (!converged && rounds < maxRounds) {
+      val tRound = System.nanoTime()
+      val next = round(labels, edges).localCheckpoint()
+      // convergence = exact count of changed labels (NOT a label-sum probe,
+      // which can silently overflow Long on large id domains): one action
+      // per round over the already-checkpointed frame
+      val nChanged = next
         .agg(count(when(col("prev") =!= col("label"), 1)).as("c"))
         .first().getLong(0)
-      cached.unpersist()
-      cached = persisted
-      labels = persisted.select(col("doc_id"), col("label"))
+      free(current)
+      current = next
+      labels = next.select(col("doc_id"), col("label"))
       converged = nChanged == 0L
       rounds += 1
+      if (debug) System.err.println(
+        f"[cc] round $rounds: changed=$nChanged%d " +
+          f"${(System.nanoTime() - tRound) / 1e9}%.2f s")
     }
     if (!converged)
       // loud, not silent: unconverged labels are WRONG cluster ids
       System.err.println(s"[graft] WARNING: connectedComponents hit the " +
         s"$maxRounds-round cap without converging; labels may be incomplete")
-    edges.unpersist()
-    // singletons never entered the loop: label = own id, one left join
-    vertices.select(col("doc_id"))
-      .join(labels.withColumnRenamed("label", "core_label"), Seq("doc_id"),
-        "left")
-      .select(col("doc_id"),
-        coalesce(col("core_label"), col("doc_id")).as("label"))
+    // the final round's checkpoint is what the returned frame reads; only
+    // the edge list is dead now
+    free(edges)
+    (withSingletons(labels), rounds)
   }
 
   /** Duplicate-cluster resolution: the step AFTER near-dup pair generation
@@ -159,6 +206,57 @@ object CorpusOps {
          |SELECT doc AS doc_id, cluster,
          |       count(*) OVER (PARTITION BY cluster) AS cluster_size
          |FROM cc ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------- CC stress: chain
+
+  /** Bucket width of the synthetic chain graph: consecutive doc_ids within
+    * a width-[[ChainBucket]] id bucket are linked, so every bucket is a path
+    * component of diameter ~[[ChainBucket]]-1 at any SF — a FIXED-diameter
+    * stressor whose round count should not drift with corpus size. */
+  private[graft] val ChainBucket = 1000
+
+  /** The high-diameter regime [[connectedComponents]]' oracle gate never
+    * sees: LSH candidate graphs are dense ~diameter-2 clusters, so the
+    * pointer-jumping machinery (the part that makes the loop O(log d)
+    * instead of O(d)) is only lightly exercised there. This builds a
+    * synthetic chain over the corpus doc_ids — an edge (i, i+1) whenever
+    * both ids exist and they share a [[ChainBucket]] bucket — and resolves
+    * it, returning the labeling AND the round count so InvariantCheck can
+    * pin rounds ≤ ⌈log₂ diameter⌉ + slack. Shared by `q_cc_chain` (the
+    * oracle-gated query and bench extra). */
+  private[graft] def chainClustersWithRounds(
+      s: SparkSession, d: String): (DataFrame, Int) = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val nxt = docs.select((col("doc_id") - 1).as("src"))
+    val fwd = docs.select(col("doc_id").as("src")).join(nxt, Seq("src"))
+      .filter(pmod(col("src"), lit(ChainBucket)) =!= lit(ChainBucket - 1))
+    val edges = fwd.select(col("src"), (col("src") + 1).as("dst"))
+    val sym = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    connectedComponentsWithRounds(docs, sym, maxRounds = 32)
+  }
+
+  /** Connected components on the synthetic high-diameter chain graph,
+    * value-gated per document: consecutive-id runs within a bucket ARE the
+    * components, so the oracle computes the exact labeling with one window
+    * pass (run detection via lag + cumulative sum) — no recursion needed,
+    * and correct even if the id space had gaps. */
+  private val qCcChain = Q(
+    "q_cc_chain",
+    (s, d) => chainClustersWithRounds(s, d)._1
+      .withColumnRenamed("label", "cluster")
+      .orderBy(col("doc_id")),
+    Some(
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         CASE WHEN lag(doc_id) OVER (ORDER BY doc_id) = doc_id - 1
+         |                   AND doc_id % $ChainBucket <> 0
+         |              THEN 0 ELSE 1 END AS brk
+         |  FROM documents
+         |),
+         |g AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id) AS grp FROM r)
+         |SELECT doc_id, min(doc_id) OVER (PARTITION BY grp) AS cluster
+         |FROM g ORDER BY doc_id""".stripMargin))
 
   /** Cluster keep-BEST policy: real curation keeps the highest-quality
     * member of each duplicate cluster, not the smallest id — here "best" is
@@ -335,7 +433,7 @@ object CorpusOps {
     * engines, and scale, with no RNG state to coordinate across 1000
     * executors (the reason hash splits, not `rand()`, are how training
     * pipelines split corpora). */
-  private def splitCol: Column = {
+  private[graft] def splitCol: Column = {
     val bucket =
       TextOps.hash32(concat(lit("split:"), col("doc_id").cast("string"))) % 10
     when(bucket < 8, lit("train"))
@@ -542,8 +640,21 @@ object CorpusOps {
   /** N-gram size for benchmark-overlap decontamination. Production pipelines
     * use 13 (GPT-3/The Pile convention); the fixture corpus is 10-99-word
     * docs with overlap only at 4-grams, so the gate runs the identical
-    * operator shape at n=4. */
+    * operator shape at n=4. [[qDecontaminateExt]] runs the production n=13
+    * against a genuinely external eval-set table. */
   private val DecontamGram = 4
+
+  /** Distinct word n-grams of a pre-projected word array — projected ONCE
+    * before the lambda (a lambda over the raw `split` expression would
+    * re-split per element: the O(words²) trap documented in TextOps). */
+  private def gramCol(w: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", slice(w, i, lit(n)))))
+
+  /** DuckDB twin of [[gramCol]] over a `words` list column. */
+  private def gramSql(n: Int): String =
+    s"list_transform(generate_series(1, len(words) - ${n - 1}), " +
+      s"i -> list_aggregate(words[i:i+${n - 1}], 'string_agg', ' '))"
 
   /** Benchmark decontamination: flag corpus documents sharing any word
     * n-gram with a benchmark/eval set — the overlap-removal step run before
@@ -565,10 +676,8 @@ object CorpusOps {
       val wdocs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= DecontamGram)
-      val grams = wdocs.select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), size(col("w")) - (DecontamGram - 1)),
-          i => concat_ws(" ", slice(col("w"), i, lit(DecontamGram))))))
-        .as("gram"))
+      val grams = wdocs.select(col("doc_id"),
+        explode(gramCol(col("w"), DecontamGram)).as("gram"))
       val bench = grams.filter(col("doc_id") % 100 === 0)
         .select(col("gram")).distinct()
       grams.join(broadcast(bench), Seq("gram"))
@@ -592,6 +701,59 @@ object CorpusOps {
          |FROM g JOIN bench USING (gram)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** Production n-gram width for [[qDecontaminateExt]]. */
+  private val DecontamGramExt = 13
+
+  /** The external eval-set fixture (written once by
+    * `graft.tools.MakeFixtures`, committed with the repo): a handful of
+    * eval documents whose text overlaps the sf0.01 corpus, so contamination
+    * exists to find. */
+  private[graft] val EvalSetPath = "/root/repo/fixtures/evalset.parquet"
+
+  /** Decontamination at PRODUCTION shape: 13-gram overlap (GPT-3/The Pile
+    * convention) against a genuinely external eval-set table — the separate
+    * broadcast side a real decontamination run has, where [[qDecontaminate]]
+    * self-derives its benchmark from the corpus. The eval set reads from its
+    * own parquet fixture; the corpus side is the same distinct-gram explode.
+    *
+    * Scale shape: identical to [[qDecontaminate]] — eval suites are tiny
+    * next to a corpus, so the gram join is a BROADCAST semi-join against
+    * the corpus-side explode (PlanGuardSpec pins it), map-only per corpus
+    * split, no corpus-wide shuffle. */
+  private val qDecontaminateExt = Q(
+    "q_decontaminate_ext",
+    (s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= DecontamGramExt)
+        .select(col("doc_id"),
+          explode(gramCol(col("w"), DecontamGramExt)).as("gram"))
+      val bench = s.read.parquet(EvalSetPath)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= DecontamGramExt)
+        .select(explode(gramCol(col("w"), DecontamGramExt)).as("gram"))
+        .distinct()
+      grams.join(broadcast(bench), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"))
+        .orderBy(col("doc_id"))
+    },
+    Some(
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, unnest(${gramSql(DecontamGramExt)}) AS gram
+         |  FROM ws WHERE len(words) >= $DecontamGramExt
+         |),
+         |ev AS (SELECT string_split(text, ' ') AS words
+         |       FROM read_parquet('$EvalSetPath/*.parquet')),
+         |bench AS (
+         |  SELECT DISTINCT unnest(${gramSql(DecontamGramExt)}) AS gram
+         |  FROM ev WHERE len(words) >= $DecontamGramExt
+         |)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM g JOIN bench USING (gram)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   // ------------------------------------------------------------ domain mix
 
   /** Domain mixing: deterministic hash-based downsampling to per-source
@@ -603,16 +765,24 @@ object CorpusOps {
     * state to coordinate — same reason as the hash split. Map-only pass +
     * per-source algebraic aggregate; weight is emitted as the raw double
     * division so both engines produce bit-identical values. */
+  /** Per-source target keep rate in percent (1-100): pure function of the
+    * source name — stand-in for a broadcast curated-weights table. */
+  private[graft] def mixRate: Column =
+    TextOps.hash32(concat(lit("mix:"), col("source"))) % 100 + 1
+
+  /** Deterministic KEEP membership for domain mixing: hash-keyed on doc_id
+    * so the sample is bit-reproducible on any cluster — CorpusLaws property-
+    * tests that the empirical keep rate converges to `mixRate`/100. */
+  private[graft] def mixKept: Column =
+    TextOps.hash32(concat(lit("samp:"), col("doc_id").cast("string"))) %
+      1000000 < mixRate * 10000
+
   private val qDomainMix = Q(
     "q_domain_mix",
     (s, d) => {
-      val srcRate =
-        TextOps.hash32(concat(lit("mix:"), col("source"))) % 100 + 1
-      val kept =
-        TextOps.hash32(concat(lit("samp:"), col("doc_id").cast("string"))) %
-          1000000 < srcRate * 10000
+      val srcRate = mixRate
       Tables.documents(s, d)
-        .withColumn("kept", kept)
+        .withColumn("kept", mixKept)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
@@ -756,7 +926,8 @@ object CorpusOps {
          |FROM keep JOIN documents USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
-  def queries: Seq[Q] = Seq(qDupClusters, qDupKeepBest, qRepetitionFilter,
-    qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters, qUnigramLogprob,
-    qBm25, qDecontaminate, qDomainMix, qCorpusStats, qCorpusPipeline)
+  def queries: Seq[Q] = Seq(qDupClusters, qDupKeepBest, qCcChain,
+    qRepetitionFilter, qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters,
+    qUnigramLogprob, qBm25, qDecontaminate, qDecontaminateExt, qDomainMix,
+    qCorpusStats, qCorpusPipeline)
 }

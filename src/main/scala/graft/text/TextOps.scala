@@ -44,7 +44,7 @@ object TextOps {
     * all codegen'd built-ins, so the sketching pipelines stay inside
     * whole-stage codegen (the char-fold variant above measured 100×
     * slower in the interpreted path). */
-  private[text] def hash32(e: Column): Column =
+  private[graft] def hash32(e: Column): Column =
     conv(substring(md5(e), 1, 8), 16, 10).cast("long")
 
   private[text] def hash32Sql(e: String): String =
@@ -93,6 +93,13 @@ object TextOps {
 
   // ---- queries ----
 
+  /** Normalized-content digest (md5 over lowercased alphanumerics) — the
+    * exact-dedup key. Shared by the fingerprint query and the streaming
+    * ingest dedup ([[graft.streaming.CorpusStream.dedupedDocuments]]), so
+    * batch and stream agree on what "the same document" means. */
+  private[graft] def fingerprintMd5: Column =
+    md5(lower(regexp_replace(col("text"), "[^a-z0-9]", "")))
+
   /** Exact/near-exact dedup via content fingerprints: md5 of the
     * normalized text plus the polynomial rolling hash. */
   private val qFingerprint = Q(
@@ -100,7 +107,7 @@ object TextOps {
     (s, d) => {
       val norm = lower(regexp_replace(col("text"), "[^a-z0-9]", ""))
       Tables.documents(s, d)
-        .withColumn("fp_md5", md5(norm))
+        .withColumn("fp_md5", fingerprintMd5)
         .withColumn("fp_roll", polyHash(norm))
         .groupBy(col("fp_md5"), col("fp_roll"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
@@ -139,7 +146,11 @@ object TextOps {
       // deliberately NOT checkpointed: the df-cap semi-join must stay in
       // the final plan (PlanGuardSpec pins it — it is the guard against the
       // quadratic hot-key tail), and downstream re-reads hit the sh0 cache.
-      val sh0 = docShingles(s, d).localCheckpoint()
+      // (PlanProbe.cut ≡ localCheckpoint at execution time; these sketch
+      // checkpoints are intentional session-lifetime caches — O(shingles)
+      // rows, shared by every re-invocation in the same session — and the
+      // plan-only mode used by plan sweeps skips them entirely.)
+      val sh0 = graft.PlanProbe.cut(docShingles(s, d))
       val ok = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap).select(col("s"))
       val sh = sh0.join(ok, Seq("s"), "left_semi")
@@ -190,13 +201,13 @@ object TextOps {
     val hashed = docShingles(s, d).withColumn("h", hash32(col("s")))
     val mhCols = minhashA.indices.map(j =>
       min((col("h") * minhashA(j) + minhashB(j)) % MinhashP).as(s"mh$j"))
-    // localCheckpoint: the band table below is SELF-joined, so without a
-    // lineage cut the whole shingle+minhash pipeline would execute once per
-    // join side (measured: zero exchange reuse across the self-join). The
-    // signature is 1 row/doc — the cheapest thing in the pipeline to hold.
-    val sig = hashed.groupBy(col("doc_id"))
-      .agg(mhCols.head, mhCols.tail: _*)
-      .localCheckpoint()
+    // localCheckpoint (PlanProbe.cut): the band table below is SELF-joined,
+    // so without a lineage cut the whole shingle+minhash pipeline would
+    // execute once per join side (measured: zero exchange reuse across the
+    // self-join). The signature is 1 row/doc — the cheapest thing in the
+    // pipeline to hold — kept for the session by design.
+    val sig = graft.PlanProbe.cut(hashed.groupBy(col("doc_id"))
+      .agg(mhCols.head, mhCols.tail: _*))
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(bd => struct(lit(bd).as("band"),
         concat_ws("_", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}"))
@@ -242,7 +253,7 @@ object TextOps {
       val cand = lshCandidatePairs(s, d)
       // three downstream uses (sizes + both sides of the verification join)
       // and no exchange reuse across them — materialize the explode once
-      val sh = docShingles(s, d).localCheckpoint()
+      val sh = graft.PlanProbe.cut(docShingles(s, d))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))
@@ -315,11 +326,10 @@ object TextOps {
         .agg(voteCols.head, voteCols.tail: _*)
       // 1 row/doc; cut before the band self-join (same rationale as the
       // MinHash signature checkpoint)
-      val fp = votes.select(col("doc_id"),
+      val fp = graft.PlanProbe.cut(votes.select(col("doc_id"),
         (0 until SimhashBits).map(b =>
           when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("fp"))
-        .localCheckpoint()
+          .reduce(_ + _).as("fp")))
       val bands = fp.select(col("doc_id"), col("fp"), explode(array(
         (0 until SimhashBands).map(bd => struct(lit(bd).as("band"),
           (shiftright(col("fp"), bd * SimhashBandBits)

@@ -61,7 +61,7 @@ object InvariantCheck {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = graft.SparkEntry.queries
-    val failures = invariants.flatMap { case (name, column, ok, desc) =>
+    val tableFailures = invariants.flatMap { case (name, column, ok, desc) =>
       try {
         // selectExpr, not select: lets an invariant aggregate over a
         // multi-row gate (e.g. min over per-group booleans) while plain
@@ -73,11 +73,35 @@ object InvariantCheck {
         case e: Throwable => Some(s"$name: failed to run: ${e.getMessage}")
       }
     }
+    // Pointer-jumping round bound: the synthetic chain graph has diameter
+    // min(nDocs, ChainBucket)-1, and the CC loop must resolve it in
+    // O(log₂ d) rounds — a linear-propagation regression (broken pointer
+    // jump) would converge correctly but in O(d) rounds, which only this
+    // bound catches. Slack +4 covers the final no-change detection round
+    // and small constants.
+    val ccFailure: Option[String] = try {
+      val (chain, rounds) =
+        graft.text.CorpusOps.chainClustersWithRounds(spark, sfDir)
+      val n = chain.count()
+      val diameter =
+        math.min(n, graft.text.CorpusOps.ChainBucket.toLong) - 1
+      val bound =
+        math.ceil(math.log(diameter.toDouble) / math.log(2.0)).toInt + 4
+      if (rounds <= bound) {
+        println(s"[invariant] OK q_cc_chain: $rounds rounds for diameter " +
+          s"$diameter (bound $bound)")
+        None
+      } else Some(s"q_cc_chain: $rounds rounds VIOLATES the O(log d) bound " +
+        s"$bound for diameter $diameter — pointer jumping is not engaging")
+    } catch {
+      case e: Throwable => Some(s"q_cc_chain: failed to run: ${e.getMessage}")
+    }
+    val failures = tableFailures ++ ccFailure
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach(f => System.err.println(s"[invariant] FAIL $f"))
       sys.exit(1)
     }
-    println(s"[invariant] all ${invariants.size} invariants hold at $sfDir")
+    println(s"[invariant] all ${invariants.size + 1} invariants hold at $sfDir")
   }
 }

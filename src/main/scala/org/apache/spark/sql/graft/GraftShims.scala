@@ -20,4 +20,24 @@ object GraftShims {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(spark.asInstanceOf[CSparkSession], plan)
+
+  /** Free the block-store storage behind a `localCheckpoint()`'d frame.
+    *
+    * `Dataset.unpersist()` is a no-op for checkpointed frames — the
+    * checkpoint RDD is persisted directly on the RDD, not registered in the
+    * CacheManager — so without this, every checkpoint lives for the session.
+    * The checkpointed RDD sits inside the frame's `LogicalRDD` leaf; this
+    * unpersists it (non-blocking).
+    *
+    * DANGER: a localCheckpoint'd RDD's lineage was TRUNCATED at first
+    * materialization — after freeing, the frame (and anything lazily built
+    * on it) is unrecoverable, not merely slow. Only call on frames proven
+    * dead (e.g. the intermediate rounds of an iterative loop after the
+    * final result was re-checkpointed). */
+  def freeCheckpoint(df: DataFrame): Unit =
+    analyzed(df).foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

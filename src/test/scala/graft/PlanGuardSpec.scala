@@ -9,11 +9,20 @@ import org.scalatest.funsuite.AnyFunSuite
   * broadcast for an unbounded nested-loop, or lose a pushed-down cap.
   *
   * This looks at PLANS, not results — the correctness gate (Verify + DuckDB)
-  * owns values; this spec owns asymptotics.
-  */
+  * owns values; this spec owns asymptotics. Every plan here is built in
+  * [[PlanProbe]] plan-only mode, which (a) makes building a query FREE —
+  * the iterative connected-components queries otherwise run their full loop
+  * at construction time, and the sketch pipelines eagerly materialize their
+  * lineage-cut checkpoints — and (b) widens guard COVERAGE: with checkpoints
+  * skipped, the guard sees the whole pipeline instead of opaque RDD-scan
+  * leaves, so a regression upstream of a cut can't hide from the sweep. */
 class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
+
+  /** Build (not execute) a plan with checkpoints skipped and iterative
+    * loops replaced by structural rounds — results are NOT valid here. */
+  private def probe[T](f: => T): T = PlanProbe.planOnly.withValue(true)(f)
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
@@ -52,12 +61,14 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_unigram_logprob")       // single-row corpus-total broadcast
 
   test("no unbounded nested-loop or cartesian joins in any registered plan") {
-    val offenders = Registry.all.flatMap { q =>
-      val plan = q.run(spark, dir).queryExecution.executedPlan.toString
-      val hasNlj = plan.contains("CartesianProduct") ||
-        plan.contains("BroadcastNestedLoopJoin")
-      if (hasNlj && !boundedBroadcastAllowlist.contains(q.name)) Some(q.name)
-      else None
+    val offenders = probe {
+      Registry.all.flatMap { q =>
+        val plan = q.run(spark, dir).queryExecution.executedPlan.toString
+        val hasNlj = plan.contains("CartesianProduct") ||
+          plan.contains("BroadcastNestedLoopJoin")
+        if (hasNlj && !boundedBroadcastAllowlist.contains(q.name)) Some(q.name)
+        else None
+      }
     }
     assert(offenders.isEmpty,
       s"nested-loop joins outside the bounded-broadcast allowlist: " +
@@ -76,8 +87,8 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // at every SF the dim side is orders of magnitude smaller, so the plan
     // must be a broadcast-hash join — a shuffle join here would add two
     // full-fact exchanges at 100 TB
-    val plan = SparkEntry.queries("q_counts_sector_company")(spark, dir)
-      .queryExecution.executedPlan.toString
+    val plan = probe(SparkEntry.queries("q_counts_sector_company")(spark, dir)
+      .queryExecution.executedPlan.toString)
     assert(plan.contains("BroadcastHashJoin"),
       "expected the chunk star join to broadcast its dimension side")
     assert(!plan.contains("CartesianProduct"))
@@ -86,8 +97,8 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("n-gram Jaccard plan keeps the shingle df-cap before the self-join") {
     // the df <= 50 semi-join filter bounds the worst shingle's candidate
     // pairs at τ²/2 — losing it reintroduces the quadratic hot-key tail
-    val qe = SparkEntry.queries("q_ngram_jaccard")(spark, dir).queryExecution
-    val optimized = qe.optimizedPlan.toString
+    val optimized = probe(SparkEntry.queries("q_ngram_jaccard")(spark, dir)
+      .queryExecution.optimizedPlan.toString)
     assert(optimized.contains("LeftSemi"),
       "df-cap semi-join missing from the n-gram Jaccard plan")
     assert(optimized.contains("<= 50"),
@@ -96,11 +107,15 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("decontamination joins the benchmark gram set as a broadcast") {
     // eval-suite n-gram sets are tiny next to a corpus; a shuffle join here
-    // would add a full corpus-side gram exchange at 100 TB
-    val plan = SparkEntry.queries("q_decontaminate")(spark, dir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      "benchmark gram join must be a broadcast hash join")
+    // would add a full corpus-side gram exchange at 100 TB — pinned for
+    // both the self-derived gate (n=4) and the external-fixture variant
+    // at production width (n=13)
+    for (q <- Seq("q_decontaminate", "q_decontaminate_ext")) {
+      val plan = probe(SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: benchmark gram join must be a broadcast hash join")
+    }
   }
 
   test("unigram logprob joins pre-aggregated term counts, never raw tokens") {
@@ -113,9 +128,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       case _: Generate => true   // raw explode reaches the join
       case other => other.children.exists(exposesExplode)
     }
-    val qe = SparkEntry.queries("q_unigram_logprob")(spark, dir).queryExecution
-    val offending = qe.optimizedPlan.collect {
-      case j: Join if j.children.exists(exposesExplode) => j
+    val offending = probe {
+      SparkEntry.queries("q_unigram_logprob")(spark, dir)
+        .queryExecution.optimizedPlan.collect {
+          case j: Join if j.children.exists(exposesExplode) => j
+        }
     }
     assert(offending.isEmpty,
       "a join consumes the raw token explode — pre-aggregate per-doc term " +
@@ -129,16 +146,16 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // row_number/rank/dense_rank + `<= k` filter shape; this pins that the
     // query keeps that shape (a rewrite via e.g. collect_list+slice or a
     // post-window sort would silently lose it).
-    val plan = SparkEntry.queries("q_topk_per_group")(spark, dir)
-      .queryExecution.executedPlan.toString
+    val plan = probe(SparkEntry.queries("q_topk_per_group")(spark, dir)
+      .queryExecution.executedPlan.toString)
     assert(plan.contains("WindowGroupLimit"),
       "expected the rank filter to push down as WindowGroupLimit")
   }
 
   test("exact dedup shuffles digests, not document text") {
-    val qe = SparkEntry.queries("q_dedup_exact")(spark, dir).queryExecution
-    val plan = qe.executedPlan.toString
-    assert(plan.contains("md5") || qe.optimizedPlan.toString.contains("md5"),
+    val qe = probe(SparkEntry.queries("q_dedup_exact")(spark, dir).queryExecution)
+    val plan = probe(qe.executedPlan.toString)
+    assert(plan.contains("md5") || probe(qe.optimizedPlan.toString).contains("md5"),
       "dedup should aggregate on a digest so the shuffle carries 32 B/row")
   }
 }
