@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.text.CorpusOps
+import graft.text.{CorpusOps, TextOps}
 
 /** Streaming ingestion gate for a document corpus: the stateless corpus-prep
   * stages ([[CorpusOps.statelessGate]] — PII scrub, duplicate-word fraction,
@@ -37,4 +38,40 @@ object CorpusStream {
   /** Batch twin over the same directory, for stream ≡ batch assertions. */
   def gatedBatch(spark: SparkSession, d: String): DataFrame =
     CorpusOps.statelessGate(graft.model.Tables.documents(spark, d))
+
+  /** Deterministic ingest-time fixture: the documents table carries no
+    * event time, so the streaming twin derives one from doc_id (one doc per
+    * second from a fixed epoch). In production this is the ingestion
+    * layer's arrival timestamp; the watermark/eviction semantics under test
+    * are identical either way. */
+  private def ingestTs: Column =
+    timestamp_seconds(lit(1704067200L) + col("doc_id"))
+
+  /** Stateful rung of the streaming ingest story (the stateless gate above
+    * is the stateless rung): watermarked EXACT-DEDUP at the stream
+    * boundary, keyed on the normalized-content digest
+    * ([[TextOps.fingerprintMd5]] — the same key the batch dedup family
+    * aggregates on), so re-delivered or re-crawled documents are dropped
+    * before they land in the corpus store.
+    *
+    * `dropDuplicatesWithinWatermark` keeps state ONLY for fingerprints
+    * newer than the watermark horizon (1 hour here) and evicts the rest —
+    * the bounded-state property that lets this run indefinitely (the same
+    * pattern as [[EventStream.dedupedEvents]]); a plain stream
+    * `dropDuplicates` would accumulate every digest ever seen. The digest
+    * is 32 bytes/doc, so state volume is digest-count-bounded, never
+    * text-volume-bounded. */
+  def dedupedDocuments(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("fp", TextOps.fingerprintMd5)
+      .withColumn("ingest_ts", ingestTs)
+      .withWatermark("ingest_ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Batch twin: same digest, one survivor per fingerprint over whatever
+    * landed in `docsDir` (which may contain re-delivered duplicates). */
+  def dedupedBatch(spark: SparkSession, docsDir: String): DataFrame =
+    spark.read.schema(docSchema).parquet(docsDir)
+      .withColumn("fp", TextOps.fingerprintMd5)
+      .dropDuplicates("fp")
 }

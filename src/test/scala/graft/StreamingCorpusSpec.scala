@@ -44,4 +44,41 @@ class StreamingCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         "stream and batch gate outputs must be identical")
     } finally query.stop()
   }
+
+  test("watermarked streaming exact-dedup equals batch dedup, bounded state") {
+    // stage the SAME corpus file twice — the redelivered-ingest scenario the
+    // dedup exists for: every document arrives (at least) twice and exactly
+    // one copy per content fingerprint may survive
+    val staged = java.nio.file.Files.createTempDirectory("docs_dedup_stream")
+    for (name <- Seq("delivery_a.parquet", "delivery_b.parquet"))
+      java.nio.file.Files.createSymbolicLink(
+        staged.resolve(name),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val deduped = CorpusStream.dedupedDocuments(
+      CorpusStream.readStream(spark, staged.toString))
+    val query = deduped.writeStream
+      .format("memory")
+      .queryName("deduped_docs")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("deduped_docs")
+      val batch = CorpusStream.dedupedBatch(spark, staged.toString)
+      val nBatch = batch.count()
+      assert(nBatch > 0)
+      assert(streamed.count() == nBatch,
+        "stream dedup must keep exactly one row per fingerprint, like batch")
+      assert(streamed.select("fp").exceptAll(batch.select("fp")).isEmpty &&
+        batch.select("fp").exceptAll(streamed.select("fp")).isEmpty,
+        "stream and batch must keep the same fingerprint set")
+      // bounded state: one dedup state operator, whose row count can never
+      // exceed the distinct-fingerprint count (eviction keys it on the
+      // watermark horizon, not the stream history)
+      val stateOps = query.recentProgress.flatMap(_.stateOperators)
+      assert(stateOps.nonEmpty, "expected a streaming dedup state operator")
+      assert(stateOps.map(_.numRowsTotal).max <= nBatch,
+        "dedup state must be bounded by the distinct-fingerprint count")
+    } finally query.stop()
+  }
 }
