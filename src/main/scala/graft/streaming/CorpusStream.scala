@@ -74,4 +74,43 @@ object CorpusStream {
     spark.read.schema(docSchema).parquet(docsDir)
       .withColumn("fp", TextOps.fingerprintMd5)
       .dropDuplicates("fp")
+
+  /** Load the eval-set 13-gram vocabulary for the streaming contamination
+    * gate. Driver-side collect is BY DESIGN: eval suites are tiny next to a
+    * corpus (this is the same boundedness argument as q_decontaminate's
+    * broadcast), and a collected literal array is the only fully STATELESS
+    * way to flag contamination on a stream — no explode, no join, no
+    * aggregation state. */
+  def benchGrams(spark: SparkSession,
+      evalPath: String = CorpusOps.EvalSetPath): Array[String] = {
+    val n = CorpusOps.DecontamGramExt
+    spark.read.parquet(evalPath)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(CorpusOps.gramCol(col("w"), n)).as("gram"))
+      .distinct()
+      .collect().map(_.getString(0)).sorted
+  }
+
+  /** Streaming contamination gate — the third rung of the ingest story
+    * (stateless gate → watermarked dedup → this): every arriving document
+    * is flagged with its production-width n-gram overlap against the eval
+    * set BEFORE landing in the corpus store, so benchmark text never enters
+    * training data even transiently. Pure map-only projection
+    * (`array_intersect` against the in-plan gram vocabulary): zero
+    * streaming state, identical codegen plan per micro-batch — the same
+    * property that makes the stateless gate safe at any ingest rate. */
+  def contaminationGate(docs: DataFrame, grams: Array[String]): DataFrame = {
+    val n = CorpusOps.DecontamGramExt
+    // project the word array ONCE before the gram lambda (a lambda over the
+    // raw split expression re-splits per element — the O(words²) trap)
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        when(size(col("w")) >= n,
+          size(array_intersect(CorpusOps.gramCol(col("w"), n),
+            lit(grams))).cast("long"))
+          .otherwise(lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
 }

@@ -647,7 +647,7 @@ object CorpusOps {
   /** Distinct word n-grams of a pre-projected word array — projected ONCE
     * before the lambda (a lambda over the raw `split` expression would
     * re-split per element: the O(words²) trap documented in TextOps). */
-  private def gramCol(w: Column, n: Int): Column =
+  private[graft] def gramCol(w: Column, n: Int): Column =
     array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
       i => concat_ws(" ", slice(w, i, lit(n)))))
 
@@ -702,7 +702,7 @@ object CorpusOps {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
   /** Production n-gram width for [[qDecontaminateExt]]. */
-  private val DecontamGramExt = 13
+  private[graft] val DecontamGramExt = 13
 
   /** The external eval-set fixture (written once by
     * `graft.tools.MakeFixtures`, committed with the repo): a handful of
@@ -803,6 +803,70 @@ object CorpusOps {
          |       count(*) AS n_docs,
          |       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM k GROUP BY source ORDER BY source""".stripMargin
+    })
+
+  // ------------------------------------------------------- sequence packing
+
+  /** Training-sequence token budget (the model's context length). */
+  private val PackBudget = 2048
+
+  /** Shard count for parallel packing: each shard packs independently, so
+    * the per-shard ordered window never needs a global sort. Fixed at 32
+    * here (one per local core); at 100 TB raise it until a shard's token
+    * stream fits one task comfortably — packing quality is unaffected
+    * because sequences never span shards anyway. */
+  private val PackShards = 32
+
+  /** Sequence packing — the concat-and-chunk step that turns a document
+    * corpus into fixed-length training sequences: documents are concatenated
+    * in a deterministic order and chunked every [[PackBudget]] tokens; each
+    * document is assigned the pack (sequence index) where its first token
+    * lands, plus its offset inside that pack. This is the standard
+    * "packed dataset" layout (GPT-style pretraining); downstream, a reader
+    * turns each pack into one training example.
+    *
+    * Scale shape: documents are hash-sharded ([[TextOps.hash32]] on the doc
+    * id — deterministic, no RNG state), and the only non-map operation is a
+    * per-shard running sum — a window partitioned BY SHARD, so each shard
+    * sorts only its own slice and shards pack in parallel; there is no
+    * global sort and no driver state. Token counts use the chars/4 estimate
+    * (`q_token_count`'s `est_tokens`), swappable for a real tokenizer
+    * count column without touching the packing shape. */
+  private val qSeqPack = Q(
+    "q_seq_pack",
+    (s, d) => {
+      val toks = ceil(col("n_chars") / 4.0).cast("long")
+      val shard =
+        TextOps.hash32(concat(lit("pack:"), col("doc_id").cast("string"))) %
+          PackShards
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("toks"), shard.as("shard"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .select(col("doc_id"), col("shard"), col("toks"),
+          ((col("cum") - col("toks")) / PackBudget).cast("long").as("pack_id"),
+          pmod(col("cum") - col("toks"), lit(PackBudget.toLong))
+            .as("start_off"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val h = TextOps.hash32Sql("'pack:' || CAST(doc_id AS VARCHAR)")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
+         |         $h % $PackShards AS shard
+         |  FROM documents
+         |),
+         |c AS (
+         |  SELECT doc_id, shard, toks,
+         |         CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id)
+         |              AS BIGINT) AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, shard, toks,
+         |       (cum - toks) // $PackBudget AS pack_id,
+         |       (cum - toks) % $PackBudget AS start_off
+         |FROM c ORDER BY doc_id""".stripMargin
     })
 
   // ----------------------------------------------------------- corpus stats
@@ -929,5 +993,5 @@ object CorpusOps {
   def queries: Seq[Q] = Seq(qDupClusters, qDupKeepBest, qCcChain,
     qRepetitionFilter, qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters,
     qUnigramLogprob, qBm25, qDecontaminate, qDecontaminateExt, qDomainMix,
-    qCorpusStats, qCorpusPipeline)
+    qSeqPack, qCorpusStats, qCorpusPipeline)
 }

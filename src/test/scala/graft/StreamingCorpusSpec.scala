@@ -81,4 +81,43 @@ class StreamingCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         "dedup state must be bounded by the distinct-fingerprint count")
     } finally query.stop()
   }
+
+  test("streaming contamination gate equals the batch decontamination join") {
+    val grams = CorpusStream.benchGrams(spark)
+    assert(grams.nonEmpty, "eval-set fixture must yield 13-grams")
+    val staged = java.nio.file.Files.createTempDirectory("docs_decon_stream")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val gated = CorpusStream.contaminationGate(
+      CorpusStream.readStream(spark, staged.toString), grams)
+    val query = gated.writeStream
+      .format("memory")
+      .queryName("decon_docs")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("decon_docs")
+      // batch twin #1: the same projection over the batch table
+      val batch = CorpusStream.contaminationGate(
+        graft.model.Tables.documents(spark, dir), grams)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "stream and batch contamination flags must be identical")
+      // batch twin #2: the stream gate's hit counts must agree with the
+      // broadcast-join decontamination query on every flagged doc
+      // (same n-gram width, same eval set, different mechanism)
+      val joinCounts = SparkEntry.queries("q_decontaminate_ext")(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gateCounts = streamed.filter(org.apache.spark.sql.functions.col("n_hits") > 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gateCounts == joinCounts,
+        "stream gate hit counts must match the broadcast-join operator")
+      // pure projection ⇒ no state operators at all
+      assert(query.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "contamination gate must be stateless")
+    } finally query.stop()
+  }
 }
