@@ -91,6 +91,23 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("repeated CC runs leak at most the final label checkpoint each") {
+    // every intermediate (edge list, superseded rounds) must be freed by
+    // the loop itself — only the final round's checkpoint, which backs the
+    // returned frame, may survive a call. Without freeing, a diameter-63
+    // path leaks ~7 round checkpoints per run and Bench/Verify accumulate
+    // block-store for the session.
+    val ids = (0L to 63L)
+    def persistentCount(): Int = spark.sparkContext.getPersistentRDDs.size
+    CorpusOps.connectedComponents(vertices(ids), pathEdges(ids)).count()
+    val afterFirst = persistentCount()
+    CorpusOps.connectedComponents(vertices(ids), pathEdges(ids)).count()
+    val afterSecond = persistentCount()
+    assert(afterSecond - afterFirst <= 1,
+      s"CC run leaked ${afterSecond - afterFirst} persistent RDDs — " +
+        "intermediate checkpoints are not being freed")
+  }
+
   test("round cap exhaustion still returns one row per vertex") {
     // maxRounds=1 cannot finish a diameter-15 path: the loop must exit at
     // the cap (warning on stderr) and hand back a complete, if unconverged,
