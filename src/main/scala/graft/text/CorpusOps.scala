@@ -861,40 +861,76 @@ object CorpusOps {
     * count column without touching the packing shape. */
   private val qSeqPack = Q(
     "q_seq_pack",
-    (s, d) => {
-      val toks = ceil(col("n_chars") / 4.0).cast("long")
-      val shard =
-        TextOps.hash32(concat(lit("pack:"), col("doc_id").cast("string"))) %
-          PackShards
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("toks"), shard.as("shard"))
-        .withColumn("cum", sum(col("toks")).over(w))
-        .select(col("doc_id"), col("shard"), col("toks"),
-          ((col("cum") - col("toks")) / PackBudget).cast("long").as("pack_id"),
-          pmod(col("cum") - col("toks"), lit(PackBudget.toLong))
-            .as("start_off"))
-        .orderBy(col("doc_id"))
-    },
-    Some {
-      val h = TextOps.hash32Sql("'pack:' || CAST(doc_id AS VARCHAR)")
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |         CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
-         |         $h % $PackShards AS shard
-         |  FROM documents
-         |),
-         |c AS (
-         |  SELECT doc_id, shard, toks,
-         |         CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id)
-         |              AS BIGINT) AS cum
-         |  FROM t
-         |)
-         |SELECT doc_id, shard, toks,
-         |       (cum - toks) // $PackBudget AS pack_id,
-         |       (cum - toks) % $PackBudget AS start_off
-         |FROM c ORDER BY doc_id""".stripMargin
-    })
+    (s, d) => packAssignments(s, d).orderBy(col("doc_id")),
+    Some(
+      s"""WITH $packSql
+         |SELECT doc_id, shard, toks, pack_id, start_off
+         |FROM packed ORDER BY doc_id""".stripMargin))
+
+  /** The shared packing projection behind [[qSeqPack]] and the manifest. */
+  private def packAssignments(s: SparkSession, d: String): DataFrame = {
+    val toks = ceil(col("n_chars") / 4.0).cast("long")
+    val shard =
+      TextOps.hash32(concat(lit("pack:"), col("doc_id").cast("string"))) %
+        PackShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"), shard.as("shard"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .select(col("doc_id"), col("shard"), col("toks"),
+        ((col("cum") - col("toks")) / PackBudget).cast("long").as("pack_id"),
+        pmod(col("cum") - col("toks"), lit(PackBudget.toLong))
+          .as("start_off"))
+  }
+
+  private def packSql: String = {
+    val h = TextOps.hash32Sql("'pack:' || CAST(doc_id AS VARCHAR)")
+    s"""t AS (
+       |  SELECT doc_id,
+       |         CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
+       |         $h % $PackShards AS shard
+       |  FROM documents
+       |),
+       |c AS (
+       |  SELECT doc_id, shard, toks,
+       |         CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id)
+       |              AS BIGINT) AS cum
+       |  FROM t
+       |),
+       |packed AS (
+       |  SELECT doc_id, shard, toks,
+       |         (cum - toks) // $PackBudget AS pack_id,
+       |         (cum - toks) % $PackBudget AS start_off
+       |  FROM c
+       |)""".stripMargin
+  }
+
+  /** The READER side of sequence packing: one row per (shard, pack) —
+    * the training example — with its document manifest in concatenation
+    * order, document count, and token fill. The string-joined manifest is
+    * what a loader needs to assemble the example; `sum_toks` over
+    * [[PackBudget]] shows boundary packs (documents crossing into the next
+    * pack), which is the concat-and-chunk semantic, not an error. One
+    * aggregation keyed on (shard, pack_id) — map-side combined, no wider
+    * than the packed corpus. */
+  private val qPackManifest = Q(
+    "q_pack_manifest",
+    (s, d) => packAssignments(s, d)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("sum_toks"),
+        concat_ws("|", sort_array(collect_list(col("doc_id"))))
+          .as("docs"))
+      .orderBy(col("shard"), col("pack_id")),
+    Some(
+      s"""WITH $packSql
+         |SELECT shard, pack_id, count(*) AS n_docs,
+         |       CAST(sum(toks) AS BIGINT) AS sum_toks,
+         |       string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS docs
+         |FROM packed
+         |GROUP BY shard, pack_id
+         |ORDER BY shard, pack_id""".stripMargin))
 
   // ----------------------------------------------------------- corpus stats
 
@@ -941,22 +977,42 @@ object CorpusOps {
 
   // --------------------------------------------------------- stateless gate
 
-  /** The stateless subset of the corpus-prep chain — PII scrub, duplicate-
-    * word fraction, hash split — as one map-only projection. Exactly these
-    * stages run UNCHANGED over a Structured Streaming source (no aggregation
-    * state, no watermark needed); [[graft.streaming.CorpusStream]] is that
-    * streaming twin, and StreamingCorpusSpec pins stream ≡ batch. The
-    * stateful members of the family (bigram stats, dedup, clustering) have
-    * bounded-state streaming counterparts in EventStream/StatefulSessions. */
+  /** The stateless corpus-prep chain — PII scrub, duplicate-word fraction,
+    * top-bigram fraction, hash split — as one map-only projection,
+    * enforcing the SAME Gopher gate verdict as the batch
+    * [[repetitionStats]] path. Exactly these stages run UNCHANGED over a
+    * Structured Streaming source (no aggregation state, no watermark
+    * needed); [[graft.streaming.CorpusStream]] is that streaming twin, and
+    * StreamingCorpusSpec pins stream ≡ batch AND per-row ≡ aggregate.
+    *
+    * The bigram fraction here is computed INSIDE the row with array
+    * lambdas — O(words²) interpreted per document, bounded by document
+    * length. That is the right trade for a stream gate (zero state, no
+    * shuffle); the batch path keeps the codegen'd explode + partial
+    * aggregation, which is the scale shape for a full-corpus pass. The
+    * bigram array is projected once per stage (a lambda over an unshared
+    * expression would rebuild it per element — the O(words²)→O(words³)
+    * trap documented in TextOps). */
   def statelessGate(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
+    val bg = col("__bg")
+    val topBigramFrac = when(size(bg) > 0, round(
+      array_max(transform(array_distinct(bg),
+        x => size(filter(bg, y => y === x)))).cast("double") / size(bg), 6))
+      .otherwise(lit(0.0))
     docs.select(
       col("doc_id"),
       splitCol.as("split"),
       length(scrubCol(col("text"))).cast("long").as("scrubbed_len"),
       round(lit(1.0) - size(array_distinct(words)).cast("double") / size(words), 6)
-        .as("dup_word_frac"))
-      .withColumn("keep", col("dup_word_frac") <= 0.6)
+        .as("dup_word_frac"),
+      zip_with(slice(words, lit(1), size(words) - 1),
+        slice(words, lit(2), size(words) - 1),
+        (a, b) => concat(a, lit(" "), b)).as("__bg"))
+      .withColumn("top_bigram_frac", topBigramFrac)
+      .drop("__bg")
+      .withColumn("keep",
+        col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
   }
 
   // --------------------------------------------------------------- pipeline
@@ -1030,5 +1086,5 @@ object CorpusOps {
   def queries: Seq[Q] = Seq(qDupClusters, qDupKeepBest, qCcChain,
     qRepetitionFilter, qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters,
     qUnigramLogprob, qBm25, qDecontaminate, qDecontaminateExt, qDomainMix,
-    qSeqPack, qCorpusStats, qCorpusPipeline)
+    qSeqPack, qPackManifest, qCorpusStats, qCorpusPipeline)
 }

@@ -82,6 +82,23 @@ class StreamingCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("per-row bigram gate equals the batch explode+aggregate verdicts") {
+    // the stateless gate computes top_bigram_frac INSIDE the row (array
+    // lambdas, zero state) while the batch path explodes and aggregates —
+    // the two mechanisms must reach identical fractions and verdicts on
+    // every document, or stream and batch curation would diverge
+    import org.apache.spark.sql.functions.col
+    val cols = Seq("doc_id", "dup_word_frac", "top_bigram_frac", "keep")
+    val gate = graft.text.CorpusOps
+      .statelessGate(graft.model.Tables.documents(spark, dir))
+      .select(cols.map(col): _*)
+    val agg = SparkEntry.queries("q_repetition_filter")(spark, dir)
+      .select(cols.map(col): _*)
+    assert(gate.count() > 0)
+    assert(gate.exceptAll(agg).isEmpty && agg.exceptAll(gate).isEmpty,
+      "per-row and explode+aggregate bigram stats must be identical")
+  }
+
   test("streaming contamination gate equals the batch decontamination join") {
     val grams = CorpusStream.benchGrams(spark)
     assert(grams.nonEmpty, "eval-set fixture must yield 13-grams")
