@@ -60,7 +60,17 @@ object CorpusStream {
     * pattern as [[EventStream.dedupedEvents]]); a plain stream
     * `dropDuplicates` would accumulate every digest ever seen. The digest
     * is 32 bytes/doc, so state volume is digest-count-bounded, never
-    * text-volume-bounded. */
+    * text-volume-bounded.
+    *
+    * SEMANTICS, not a bug: bounded state means bounded guarantees — a
+    * duplicate arriving AFTER its original's fingerprint was evicted (past
+    * the horizon) is kept, where [[dedupedBatch]] (global dedup) would drop
+    * it. The horizon covers the redelivery/at-least-once failure mode this
+    * gate exists for; corpus-history dedup across horizons is the batch
+    * family's job (q_dedup_exact / q_text_fingerprint) downstream. The
+    * stream ≡ batch spec stages duplicates with IDENTICAL ingest
+    * timestamps, i.e. entirely inside one horizon, where the two agree
+    * exactly. */
   def dedupedDocuments(stream: DataFrame): DataFrame =
     stream
       .withColumn("fp", TextOps.fingerprintMd5)

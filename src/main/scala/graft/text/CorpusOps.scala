@@ -734,8 +734,12 @@ object CorpusOps {
   /** The external eval-set fixture (written once by
     * `graft.tools.MakeFixtures`, committed with the repo): a handful of
     * eval documents whose text overlaps the sf0.01 corpus, so contamination
-    * exists to find. */
-  private[graft] val EvalSetPath = "/root/repo/fixtures/evalset.parquet"
+    * exists to find. The repo root is overridable (GRAFT_FIXTURES_DIR) for
+    * checkouts outside /root/repo; the DuckDB oracle embeds the SAME
+    * resolved path, so both engines always read one fixture. */
+  private[graft] val EvalSetPath: String =
+    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures") +
+      "/evalset.parquet"
 
   /** Decontamination at PRODUCTION shape: 13-gram overlap (GPT-3/The Pile
     * convention) against a genuinely external eval-set table — the separate

@@ -93,22 +93,32 @@ object TextOps {
 
   // ---- queries ----
 
+  /** Normalized text for content fingerprints: LOWERCASE FIRST, then strip
+    * non-alphanumerics — the other order deletes uppercase letters instead
+    * of normalizing them ('The cat' and 'the cat' would get different
+    * digests, while 'HELLO' and an empty doc would collide). Invisible on
+    * the all-lowercase fixture corpus, so the ordering is load-bearing for
+    * real text even though no gate can catch it. */
+  private def fpNorm: Column =
+    regexp_replace(lower(col("text")), "[^a-z0-9]", "")
+
+  private val fpNormSql: String =
+    "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+
   /** Normalized-content digest (md5 over lowercased alphanumerics) — the
     * exact-dedup key. Shared by the fingerprint query and the streaming
     * ingest dedup ([[graft.streaming.CorpusStream.dedupedDocuments]]), so
     * batch and stream agree on what "the same document" means. */
-  private[graft] def fingerprintMd5: Column =
-    md5(lower(regexp_replace(col("text"), "[^a-z0-9]", "")))
+  private[graft] def fingerprintMd5: Column = md5(fpNorm)
 
   /** Exact/near-exact dedup via content fingerprints: md5 of the
     * normalized text plus the polynomial rolling hash. */
   private val qFingerprint = Q(
     "q_text_fingerprint",
     (s, d) => {
-      val norm = lower(regexp_replace(col("text"), "[^a-z0-9]", ""))
       Tables.documents(s, d)
         .withColumn("fp_md5", fingerprintMd5)
-        .withColumn("fp_roll", polyHash(norm))
+        .withColumn("fp_roll", polyHash(fpNorm))
         .groupBy(col("fp_md5"), col("fp_roll"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
         .orderBy(col("fp_md5"))
@@ -116,8 +126,8 @@ object TextOps {
     Some(
       s"""WITH fp AS (
          |  SELECT doc_id,
-         |         md5(lower(regexp_replace(text, '[^a-z0-9]', '', 'g'))) AS fp_md5,
-         |         ${polyHashSql("lower(regexp_replace(text, '[^a-z0-9]', '', 'g'))")} AS fp_roll
+         |         md5($fpNormSql) AS fp_md5,
+         |         ${polyHashSql(fpNormSql)} AS fp_roll
          |  FROM documents
          |)
          |SELECT fp_md5, fp_roll, count(*) AS n_docs, min(doc_id) AS keeper

@@ -85,8 +85,12 @@ object InvariantCheck {
       val n = chain.count()
       val diameter =
         math.min(n, graft.text.CorpusOps.ChainBucket.toLong) - 1
+      // log2 guard: diameter < 2 (0-2 doc corpora) needs no doubling rounds
+      // at all — without the guard log(0) = -Inf poisons the bound
       val bound =
-        math.ceil(math.log(diameter.toDouble) / math.log(2.0)).toInt + 4
+        (if (diameter >= 2)
+          math.ceil(math.log(diameter.toDouble) / math.log(2.0)).toInt
+        else 0) + 4
       if (rounds <= bound) {
         println(s"[invariant] OK q_cc_chain: $rounds rounds for diameter " +
           s"$diameter (bound $bound)")

@@ -153,9 +153,13 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("exact dedup shuffles digests, not document text") {
-    val qe = probe(SparkEntry.queries("q_dedup_exact")(spark, dir).queryExecution)
-    val plan = probe(qe.executedPlan.toString)
-    assert(plan.contains("md5") || probe(qe.optimizedPlan.toString).contains("md5"),
-      "dedup should aggregate on a digest so the shuffle carries 32 B/row")
+    // one probe block is enough: PlanProbe only matters while the DataFrame
+    // (and its eager checkpoints) would be CONSTRUCTED, not at plan-toString
+    probe {
+      val qe = SparkEntry.queries("q_dedup_exact")(spark, dir).queryExecution
+      assert(qe.executedPlan.toString.contains("md5") ||
+        qe.optimizedPlan.toString.contains("md5"),
+        "dedup should aggregate on a digest so the shuffle carries 32 B/row")
+    }
   }
 }

@@ -48,7 +48,11 @@ class StreamingCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("watermarked streaming exact-dedup equals batch dedup, bounded state") {
     // stage the SAME corpus file twice — the redelivered-ingest scenario the
     // dedup exists for: every document arrives (at least) twice and exactly
-    // one copy per content fingerprint may survive
+    // one copy per content fingerprint may survive. Redelivered copies carry
+    // the same doc_id-derived ingest_ts, so all duplicates land INSIDE one
+    // watermark horizon — the regime where stream ≡ batch holds exactly
+    // (past-horizon duplicates are deliberately kept by the stream gate;
+    // see dedupedDocuments' scaladoc)
     val staged = java.nio.file.Files.createTempDirectory("docs_dedup_stream")
     for (name <- Seq("delivery_a.parquet", "delivery_b.parquet"))
       java.nio.file.Files.createSymbolicLink(
