@@ -129,6 +129,53 @@ object SimilarityOps {
          |ORDER BY cos DESC, q_id, vec_id
          |LIMIT 100""".stripMargin))
 
+  /** Full-corpus embedding near-dup — the UNSAMPLED scale path
+    * (`q_embed_neardup` bounds its work with a sampled broadcast probe
+    * slice; this variant covers the whole corpus): every vector is
+    * IVF-assigned to its nearest quantized centroid (the bucket, an
+    * EQUI-join key), candidate pairs exist only WITHIN a bucket, and exact
+    * cosine ≥ 0.35 verifies candidates. Work is Σ bucket² like the
+    * LSH/SimHash band joins — never the corpus-wide all-pairs matrix — and
+    * the bucket self-join is a hash equi-join, not a nested loop. The
+    * single-assignment trade is the one every IVF dedup makes: a near-dup
+    * pair straddling a Voronoi boundary is missed unless nprobe > 1
+    * (SemDeDup-style pipelines accept this; the recall gate for the probe
+    * machinery is `q_embed_ivf_recall`). */
+  private val qNearDupIvf = Q(
+    "q_embed_neardup_ivf",
+    (s, d) => {
+      val vs = vectors(s, d)
+      val cents = centroidVectors(vs)
+      val assigned = vs.crossJoin(broadcast(cents))
+        .withColumn("score", round(dot(col("v"), col("cv")), 6))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
+          .as("bucket"))
+      val corpus = vs.join(assigned, Seq("vec_id"))
+      val a = corpus.select(col("bucket"), col("vec_id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = corpus.select(col("bucket"), col("vec_id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("cos",
+          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+        .filter(col("cos") >= 0.35)
+        .select(col("bucket"), col("id_a"), col("id_b"), col("cos"))
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    },
+    Some(
+      s"""WITH $vectorsCte,
+         |$ivfAssignCtes,
+         |c AS (SELECT n.*, a.bucket FROM n JOIN assigned a USING (vec_id))
+         |SELECT x.bucket, x.vec_id AS id_a, y.vec_id AS id_b,
+         |       round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos
+         |FROM c x JOIN c y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |WHERE round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= 0.35
+         |ORDER BY cos DESC, id_a, id_b
+         |LIMIT 100""".stripMargin))
+
   /** Sign-LSH bucketing on the first 4 dimensions: bucket populations and the
     * candidate-pair count the bucketed join would examine (Σ n·(n-1)/2 vs the
     * brute-force n²/2). */
@@ -286,8 +333,11 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
   }
 
-  /** Shared oracle CTE chain replicating [[ivfTopk]] (nprobe=3, k=5). */
-  private val ivfSqlCtes: String =
+  /** Oracle CTEs for the IVF coarse assignment (centroids + per-vector
+    * bucket) — shared by the search chain and the bucketed near-dup.
+    * (lazy: referenced by queries declared ABOVE it in source order —
+    * a strict val would still be null at their init time.) */
+  private lazy val ivfAssignCtes: String =
     s"""expanded AS (
        |  SELECT label AS c_label, i AS pos, v[i] AS x
        |  FROM n, unnest(generate_series(1, len(v))) AS t(i)
@@ -309,7 +359,11 @@ object SimilarityOps {
        |  )
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |                             ORDER BY score DESC, c_label ASC) = 1
-       |),
+       |)""".stripMargin
+
+  /** Shared oracle CTE chain replicating [[ivfTopk]] (nprobe=3, k=5). */
+  private val ivfSqlCtes: String =
+    s"""$ivfAssignCtes,
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n
        |      WHERE vec_id % 100 = 0),
        |probes AS (
@@ -445,6 +499,6 @@ object SimilarityOps {
          |         ELSE TRUE END) AS all_within_bound
          |FROM quant""".stripMargin))
 
-  def queries: Seq[Q] = Seq(qCosineTopk, qNearDup, qLshBuckets, qCentroids,
-    qIvfAssign, qIvfSearch, qIvfRecall, qEmbedQuantize)
+  def queries: Seq[Q] = Seq(qCosineTopk, qNearDup, qNearDupIvf, qLshBuckets,
+    qCentroids, qIvfAssign, qIvfSearch, qIvfRecall, qEmbedQuantize)
 }

@@ -52,6 +52,8 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_embed_ivf_assign",      // same centroid set
     "q_embed_ivf_search",      // 10 broadcast centroids (probe stage)
     "q_embed_ivf_recall",      // centroids + sampled brute-force query slice
+    "q_embed_neardup_ivf",     // 10 broadcast centroids (assignment stage);
+                               // the pair join itself is a bucket equi-join
     "q_media_features",        // fixed 8-slot feature positions
     "q_similarity_topk",       // single broadcast query vector
     "q_search_modes",          // three fixed mode rows
