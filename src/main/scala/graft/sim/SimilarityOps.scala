@@ -141,30 +141,35 @@ object SimilarityOps {
     * pair straddling a Voronoi boundary is missed unless nprobe > 1
     * (SemDeDup-style pipelines accept this; the recall gate for the probe
     * machinery is `q_embed_ivf_recall`). */
+  /** All within-bucket near-dup pairs (cosine ≥ 0.35) via the IVF
+    * assignment — shared by [[qNearDupIvf]] (reporting) and
+    * [[qSemanticDedup]] (clustering). */
+  private def ivfCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = centroidVectors(vs)
+    val assigned = vs.crossJoin(broadcast(cents))
+      .withColumn("score", round(dot(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
+        .as("bucket"))
+    val corpus = vs.join(assigned, Seq("vec_id"))
+    val a = corpus.select(col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = corpus.select(col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.35)
+      .select(col("bucket"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   private val qNearDupIvf = Q(
     "q_embed_neardup_ivf",
-    (s, d) => {
-      val vs = vectors(s, d)
-      val cents = centroidVectors(vs)
-      val assigned = vs.crossJoin(broadcast(cents))
-        .withColumn("score", round(dot(col("v"), col("cv")), 6))
-        .groupBy(col("vec_id"))
-        .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
-          .as("bucket"))
-      val corpus = vs.join(assigned, Seq("vec_id"))
-      val a = corpus.select(col("bucket"), col("vec_id").as("id_a"),
-        col("v").as("va"), col("nrm").as("na"))
-      val b = corpus.select(col("bucket"), col("vec_id").as("id_b"),
-        col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("cos",
-          round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-        .filter(col("cos") >= 0.35)
-        .select(col("bucket"), col("id_a"), col("id_b"), col("cos"))
-        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
-        .limit(100)
-    },
+    (s, d) => ivfCosinePairs(s, d)
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(100),
     Some(
       s"""WITH $vectorsCte,
          |$ivfAssignCtes,
@@ -175,6 +180,54 @@ object SimilarityOps {
          |WHERE round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= 0.35
          |ORDER BY cos DESC, id_a, id_b
          |LIMIT 100""".stripMargin))
+
+  /** SemDeDup-style semantic dedup END-TO-END: the IVF within-bucket cosine
+    * pairs become edges of a similarity graph, duplicate CLUSTERS are
+    * resolved with the same distributed connected-components loop the text
+    * pipeline uses ([[graft.text.CorpusOps.connectedComponents]] — min-label
+    * + pointer jumping, per-round checkpoints), and the keep-min policy
+    * flags one survivor per cluster. This is the embedding twin of
+    * `q_dup_clusters`: transitive near-dups (A~B, B~C) collapse to one
+    * cluster even though A and C never shared a bucket pair, which pairwise
+    * reporting alone cannot do. Value-gated per vector by a recursive-CTE
+    * min-reachable-id oracle over the identical pair set. */
+  private val qSemanticDedup = Q(
+    "q_semantic_dedup",
+    (s, d) => {
+      val pairs = ivfCosinePairs(s, d)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val verts = vectors(s, d).select(col("vec_id").as("doc_id"))
+      graft.text.CorpusOps.connectedComponents(verts, edges)
+        .select(col("doc_id").as("vec_id"), col("label").as("cluster"))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy(col("cluster"))))
+        .withColumn("keep", col("vec_id") === col("cluster"))
+        .orderBy(col("vec_id"))
+    },
+    Some(
+      s"""WITH RECURSIVE $vectorsCte,
+         |$ivfAssignCtes,
+         |c AS (SELECT n.*, a.bucket FROM n JOIN assigned a USING (vec_id)),
+         |cand AS (
+         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+         |  FROM c x JOIN c y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |  WHERE round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= 0.35
+         |),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand
+         |),
+         |reach AS (
+         |  SELECT vec_id AS doc, vec_id AS r FROM embeddings
+         |  UNION
+         |  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
+         |),
+         |cc AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc)
+         |SELECT doc AS vec_id, cluster,
+         |       count(*) OVER (PARTITION BY cluster) AS cluster_size,
+         |       doc = cluster AS keep
+         |FROM cc ORDER BY vec_id""".stripMargin))
 
   /** Sign-LSH bucketing on the first 4 dimensions: bucket populations and the
     * candidate-pair count the bucketed join would examine (Σ n·(n-1)/2 vs the
@@ -499,6 +552,7 @@ object SimilarityOps {
          |         ELSE TRUE END) AS all_within_bound
          |FROM quant""".stripMargin))
 
-  def queries: Seq[Q] = Seq(qCosineTopk, qNearDup, qNearDupIvf, qLshBuckets,
-    qCentroids, qIvfAssign, qIvfSearch, qIvfRecall, qEmbedQuantize)
+  def queries: Seq[Q] = Seq(qCosineTopk, qNearDup, qNearDupIvf,
+    qSemanticDedup, qLshBuckets, qCentroids, qIvfAssign, qIvfSearch,
+    qIvfRecall, qEmbedQuantize)
 }

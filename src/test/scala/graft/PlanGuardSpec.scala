@@ -54,6 +54,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_embed_ivf_recall",      // centroids + sampled brute-force query slice
     "q_embed_neardup_ivf",     // 10 broadcast centroids (assignment stage);
                                // the pair join itself is a bucket equi-join
+    "q_semantic_dedup",        // same centroid broadcast feeding the CC loop
     "q_media_features",        // fixed 8-slot feature positions
     "q_similarity_topk",       // single broadcast query vector
     "q_search_modes",          // three fixed mode rows
