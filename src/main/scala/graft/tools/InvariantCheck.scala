@@ -48,7 +48,13 @@ object InvariantCheck {
       "min(cast(abs(pct - case when split = 'train' then 0.8 else 0.1 end)" +
         " < 0.05 as int))",
       v => v == 1,
-      "hash-split proportions within 5 points of 80/10/10 at scale"))
+      "hash-split proportions within 5 points of 80/10/10 at scale"),
+    // exactly one keep-min survivor per semantic duplicate cluster — a
+    // broken CC labeling or survivor policy shows up as a count mismatch
+    ("q_semantic_dedup",
+      "count(DISTINCT cluster) - sum(cast(keep as long))",
+      v => v == 0L,
+      "exactly one keep-min survivor per semantic cluster"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,12 +106,35 @@ object InvariantCheck {
     } catch {
       case e: Throwable => Some(s"q_cc_chain: failed to run: ${e.getMessage}")
     }
-    val failures = tableFailures ++ ccFailure
+    // Sequence-packing conservation: every document is packed exactly once
+    // — the manifests' doc counts and token fills must sum to the corpus
+    // totals (a dropped or double-packed doc breaks training-data audits).
+    val packFailure: Option[String] = try {
+      val manifest = qs("q_pack_manifest")(spark, sfDir)
+        .selectExpr("CAST(sum(n_docs) AS LONG) AS d",
+          "CAST(sum(sum_toks) AS LONG) AS t").head()
+      val corpus = spark.read
+        .parquet(s"$sfDir/documents.parquet")
+        .selectExpr("count(*) AS d",
+          "CAST(sum(ceil(n_chars / 4.0)) AS LONG) AS t").head()
+      if (manifest.getLong(0) == corpus.getLong(0) &&
+        manifest.getLong(1) == corpus.getLong(1)) {
+        println(s"[invariant] OK q_pack_manifest: ${manifest.getLong(0)} " +
+          s"docs / ${manifest.getLong(1)} tokens conserved across packs")
+        None
+      } else Some(s"q_pack_manifest: manifests carry ${manifest.getLong(0)} " +
+        s"docs/${manifest.getLong(1)} toks but corpus has " +
+        s"${corpus.getLong(0)}/${corpus.getLong(1)} — packing lost or " +
+        "duplicated documents")
+    } catch {
+      case e: Throwable => Some(s"q_pack_manifest: failed to run: ${e.getMessage}")
+    }
+    val failures = tableFailures ++ ccFailure ++ packFailure
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach(f => System.err.println(s"[invariant] FAIL $f"))
       sys.exit(1)
     }
-    println(s"[invariant] all ${invariants.size + 1} invariants hold at $sfDir")
+    println(s"[invariant] all ${invariants.size + 2} invariants hold at $sfDir")
   }
 }
