@@ -155,6 +155,23 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected the rank filter to push down as WindowGroupLimit")
   }
 
+  test("sequence packing windows per shard — no global sort feeds the pack") {
+    // the running sum must run on Exchange hashpartitioning(shard) + local
+    // sort, so shards pack in parallel; a rangepartitioning BELOW the
+    // window would mean the whole corpus serializes through a global sort
+    // (the plan prints top-down: the presentation ORDER BY's range exchange
+    // is legitimate and sits above the Window node)
+    val plan = probe(SparkEntry.queries("q_seq_pack")(spark, dir)
+      .queryExecution.executedPlan.toString)
+    assert(plan.contains("hashpartitioning(shard"),
+      "pack running-sum must partition by shard so shards pack in parallel")
+    val windowIdx = plan.indexOf("Window")
+    val rangeIdx = plan.indexOf("rangepartitioning")
+    assert(windowIdx >= 0, "expected a Window node in the pack plan")
+    assert(rangeIdx < 0 || rangeIdx < windowIdx,
+      "a rangepartitioning below the window globally sorts the corpus")
+  }
+
   test("exact dedup shuffles digests, not document text") {
     // one probe block is enough: PlanProbe only matters while the DataFrame
     // (and its eager checkpoints) would be CONSTRUCTED, not at plan-toString
