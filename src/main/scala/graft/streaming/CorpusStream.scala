@@ -47,6 +47,48 @@ object CorpusStream {
   private def ingestTs: Column =
     timestamp_seconds(lit(1704067200L) + col("doc_id"))
 
+  /** Streaming per-source corpus health panel — the in-flight twin of the
+    * batch `q_corpus_stats` monitoring aggregate: hourly tumbling windows
+    * per source with volume, mean length, language share, and the
+    * duplicate-word gate pass rate, so corpus health is visible DURING an
+    * ingest wave instead of after the batch backfill. Watermarked windowed
+    * aggregation (the [[EventStream.weeklyCounts]] pattern): state is one
+    * row per (window, source) and windows older than the watermark finalize
+    * and evict — bounded by the ingest horizon, never the stream history.
+    * All aggregates are algebraic, so each micro-batch contributes
+    * map-side partials exactly like the batch plan. */
+  def corpusStatsStream(stream: DataFrame): DataFrame =
+    corpusStatsShape(stream.withColumn("ingest_ts", ingestTs)
+      .withWatermark("ingest_ts", "1 hour"))
+
+  /** Batch twin over the same window expression, for stream ≡ batch. */
+  def corpusStatsBatch(spark: SparkSession, d: String): DataFrame =
+    corpusStatsShape(graft.model.Tables.documents(spark, d)
+      .withColumn("ingest_ts", ingestTs))
+
+  /** The shared windowed-aggregation shape (expects `ingest_ts` present;
+    * the stream side adds its watermark before entering). */
+  private def corpusStatsShape(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("dup_frac", round(
+        lit(1.0) - size(array_distinct(words)).cast("double") / size(words),
+        6))
+      .groupBy(window(col("ingest_ts"), "1 hour"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_words")), 6).as("avg_words"),
+        round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
+          .as("pct_en"),
+        round(avg(when(col("dup_frac") <= 0.6, 1.0).otherwise(0.0)), 6)
+          .as("keep_rate"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
+        .as("window_start"), col("source"), col("n_docs"),
+        col("total_chars"), col("avg_words"), col("pct_en"), col("keep_rate"))
+  }
+
   /** Stateful rung of the streaming ingest story (the stateless gate above
     * is the stateless rung): watermarked EXACT-DEDUP at the stream
     * boundary, keyed on the normalized-content digest

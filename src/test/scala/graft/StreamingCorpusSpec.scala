@@ -86,6 +86,29 @@ class StreamingCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming corpus health panel equals the batch windowed aggregate") {
+    val staged = java.nio.file.Files.createTempDirectory("docs_stats_stream")
+    java.nio.file.Files.createSymbolicLink(
+      staged.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val stats = CorpusStream.corpusStatsStream(
+      CorpusStream.readStream(spark, staged.toString))
+    val query = stats.writeStream
+      .format("memory")
+      .queryName("corpus_stats_stream")
+      .outputMode("complete")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("corpus_stats_stream")
+      val batch = CorpusStream.corpusStatsBatch(spark, dir)
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty,
+        "drained stream health panel must equal the batch windowed aggregate")
+    } finally query.stop()
+  }
+
   test("per-row bigram gate equals the batch explode+aggregate verdicts") {
     // the stateless gate computes top_bigram_frac INSIDE the row (array
     // lambdas, zero state) while the batch path explodes and aggregates —
