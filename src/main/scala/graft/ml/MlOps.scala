@@ -85,7 +85,16 @@ object MlOps {
       val vecs = Tables.embeddings(s, d)
         .repartition(col("vec_id"))
         .withColumn("features", toVec(col("embedding")))
-      val km = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+      // k scales with the corpus (k ≈ n/targetBucket, matching the
+      // hand-rolled adaptive quantizer in graft.sim) so expected cell
+      // population stays constant as the table grows — a fixed k would make
+      // the within-cell candidate work quadratic at scale. The count() is
+      // one driver action before fit(), which itself runs maxIter passes.
+      val n = vecs.count()
+      val k = math.max(10, math.min(n,
+        math.ceil(n.toDouble / graft.sim.SimilarityOps.IvfTargetBucket)
+          .toLong)).toInt
+      val km = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cluster")
       val model = km.fit(vecs)
       val centers = model.clusterCenters.map(_.toArray)

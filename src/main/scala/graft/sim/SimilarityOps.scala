@@ -129,40 +129,183 @@ object SimilarityOps {
          |ORDER BY cos DESC, q_id, vec_id
          |LIMIT 100""".stripMargin))
 
+  /** Target IVF cell population for the full-corpus near-dup path: the
+    * coarse quantizer's k is derived as ~n/[[IvfTargetBucket]], so expected
+    * bucket size — and with it the within-bucket candidate work — stays
+    * CONSTANT as the corpus grows. Shared with the MLlib KMeans twin
+    * ([[graft.ml.MlOps]]). */
+  private[graft] val IvfTargetBucket = 16
+
+  /** Scale-adaptive coarse quantizer behind the full-corpus near-dup path:
+    * k = ~n/[[IvfTargetBucket]] centroids, built with zero driver actions
+    * and no global sort —
+    *
+    *  1. SEEDS: the deterministic hash-sampled vectors
+    *     (`hash32(vec_id) % targetBucket == 0`, the `q_hash_split`
+    *     membership pattern) — a map-only pick whose expected count is
+    *     n/targetBucket, so k GROWS WITH THE CORPUS by construction
+    *     (the round-6 version fixed k at the 10 data labels, leaving
+    *     Σ bucket² ≈ n²/10 — a constant-factor cut, not sublinear);
+    *  2. one LLOYD round: every vector joins its nearest seed (broadcast
+    *     argmax over round-6-decimal dot scores, seed-id tiebreak), and
+    *     cluster centroids are re-estimated with the quantized-integer-sum
+    *     aggregation (exact integers → order-independent → bit-equal under
+    *     any shuffle schedule, and in DuckDB).
+    *
+    * One Lloyd round (not MLlib's 10, not zero) is the oracle-tractable
+    * middle: it fixes the worst seed-sampling artifacts (a seed pair landing
+    * in one true cell splits it; the re-estimation merges their mass) while
+    * both steps stay expressible as deterministic SQL for the DuckDB twin.
+    *
+    * Returns `(c_id, cv)` centroid vectors. Broadcast note: k centroids =
+    * n/16 rows of dim doubles — fine far past this harness's scales, but at
+    * billions of vectors the flat broadcast argmax (n·k dot products) is the
+    * piece to swap for a hierarchical two-level assignment (argmax over √k
+    * super-centroids, then within the super-cell — FAISS's IVF-on-IVF
+    * shape); the bucket equi-join and verification below are unchanged by
+    * that swap. */
+  private def adaptiveCentroids(vs: DataFrame): DataFrame = {
+    val seeds = vs.filter(
+      graft.text.TextOps.hash32(concat(lit("ivfseed:"),
+        col("vec_id").cast("string"))) % IvfTargetBucket === 0)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+    val assign1 = vs.crossJoin(broadcast(seeds))
+      .withColumn("score", round(dot(col("v"), col("sv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("seed_id"), struct(col("score"), -col("seed_id")))
+        .as("c0"))
+    assign1.join(vs, Seq("vec_id"))
+      .select(col("c0"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("c0"), col("pos"))
+      .agg((sum(floor(col("x") * 1e6)).cast("long") / 1e6 /
+        count(lit(1))).as("cx"))
+      .groupBy(col("c0"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        e => e.getField("cx")).as("cv"))
+      .select(col("c0").as("c_id"), col("cv"))
+  }
+
+  /** Per-vector bucket assignment against [[adaptiveCentroids]] with
+    * nprobe-way MULTI-assignment: each vector lands in its `nprobe` closest
+    * cells (`pr` = 1 is the primary/reporting cell). Candidate generation
+    * reads all rows — a true near-dup pair straddling a Voronoi boundary
+    * still shares its SECOND-closest cell with overwhelming probability,
+    * which single-assignment (the one recall leak of every IVF dedup)
+    * misses; InvariantCheck pins the resulting pair recall against the
+    * brute-force pair set at sf0.1. */
+  private[graft] def ivfAssignments(s: SparkSession, d: String,
+      nprobe: Int = 2): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = adaptiveCentroids(vs)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("c_id"))
+    vs.crossJoin(broadcast(cents))
+      .withColumn("score", round(dot(col("v"), col("cv")), 6))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id"), col("c_id").as("bucket"), col("pr"))
+  }
+
   /** Full-corpus embedding near-dup — the UNSAMPLED scale path
     * (`q_embed_neardup` bounds its work with a sampled broadcast probe
     * slice; this variant covers the whole corpus): every vector is
-    * IVF-assigned to its nearest quantized centroid (the bucket, an
-    * EQUI-join key), candidate pairs exist only WITHIN a bucket, and exact
-    * cosine ≥ 0.35 verifies candidates. Work is Σ bucket² like the
-    * LSH/SimHash band joins — never the corpus-wide all-pairs matrix — and
-    * the bucket self-join is a hash equi-join, not a nested loop. The
-    * single-assignment trade is the one every IVF dedup makes: a near-dup
-    * pair straddling a Voronoi boundary is missed unless nprobe > 1
-    * (SemDeDup-style pipelines accept this; the recall gate for the probe
-    * machinery is `q_embed_ivf_recall`). */
-  /** All within-bucket near-dup pairs (cosine ≥ 0.35) via the IVF
-    * assignment — shared by [[qNearDupIvf]] (reporting) and
-    * [[qSemanticDedup]] (clustering). */
-  private def ivfCosinePairs(s: SparkSession, d: String): DataFrame = {
+    * IVF-assigned to its `nprobe`=2 nearest cells of the SCALE-ADAPTIVE
+    * quantizer (k = ~n/[[IvfTargetBucket]], so cells hold ~targetBucket
+    * vectors at ANY corpus size), candidate pairs exist only within a
+    * shared cell, and exact cosine ≥ 0.35 verifies candidates. Work is
+    * Σ bucket² ≈ n·targetBucket·nprobe² — LINEAR in the corpus, the same
+    * shape as the LSH/SimHash band joins — and the cell self-join is a hash
+    * equi-join carrying only (bucket, vec_id) rows; vectors are re-joined
+    * for verification AFTER the pair set is deduped, so the wide rows never
+    * ride the candidate shuffle. */
+  private[graft] def ivfCosinePairs(s: SparkSession, d: String): DataFrame = {
     val vs = vectors(s, d)
-    val cents = centroidVectors(vs)
-    val assigned = vs.crossJoin(broadcast(cents))
-      .withColumn("score", round(dot(col("v"), col("cv")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
-        .as("bucket"))
-    val corpus = vs.join(assigned, Seq("vec_id"))
-    val a = corpus.select(col("bucket"), col("vec_id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = corpus.select(col("bucket"), col("vec_id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    val asg = ivfAssignments(s, d)
+    val cand = asg.select(col("bucket"), col("vec_id").as("id_a"))
+      .join(asg.select(col("bucket"), col("vec_id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("bucket")).as("bucket"))
+    cand
+      .join(vs.select(col("vec_id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vs.select(col("vec_id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
       .withColumn("cos",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("cos") >= 0.35)
       .select(col("bucket"), col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** DuckDB twin of [[adaptiveCentroids]] + [[ivfAssignments]] +
+    * [[ivfCosinePairs]], ending in `ivf_pairs(bucket, id_a, id_b, cos)`.
+    * Compose after the `n` CTE of [[vectorsCte]]. */
+  private lazy val ivfPairCtes: String = {
+    val seedPred = graft.text.TextOps
+      .hash32Sql("'ivfseed:' || CAST(vec_id AS VARCHAR)")
+    s"""seeds AS (
+       |  SELECT vec_id AS seed_id, v AS sv FROM n
+       |  WHERE $seedPred % $IvfTargetBucket = 0
+       |),
+       |a1 AS (
+       |  SELECT vec_id, seed_id AS c0 FROM (
+       |    SELECT n.vec_id, s.seed_id,
+       |           round(${dotSql("n.v", "s.sv")}, 6) AS score
+       |    FROM n CROSS JOIN seeds s
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY score DESC, seed_id ASC) = 1
+       |),
+       |cdim AS (
+       |  SELECT a1.c0, i AS pos,
+       |         CAST(sum(floor(n.v[i] * 1e6)) AS BIGINT) / 1e6 / count(*) AS cx
+       |  FROM a1 JOIN n USING (vec_id),
+       |       unnest(generate_series(1, len(n.v))) AS t(i)
+       |  GROUP BY a1.c0, i
+       |),
+       |cents2 AS (
+       |  SELECT c0 AS c_id, list(cx ORDER BY pos) AS cv
+       |  FROM cdim GROUP BY c0
+       |),
+       |asg AS (
+       |  SELECT vec_id, c_id AS bucket FROM (
+       |    SELECT n.vec_id, c.c_id,
+       |           round(${dotSql("n.v", "c.cv")}, 6) AS score
+       |    FROM n CROSS JOIN cents2 c
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY score DESC, c_id ASC) <= 2
+       |),
+       |cand AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, min(x.bucket) AS bucket
+       |  FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |  GROUP BY x.vec_id, y.vec_id
+       |),
+       |ivf_pairs AS (
+       |  SELECT c.bucket, c.id_a, c.id_b,
+       |         round(${dotSql("va.v", "vb.v")} / (va.nrm * vb.nrm), 6) AS cos
+       |  FROM cand c
+       |  JOIN n va ON va.vec_id = c.id_a
+       |  JOIN n vb ON vb.vec_id = c.id_b
+       |  WHERE round(${dotSql("va.v", "vb.v")} / (va.nrm * vb.nrm), 6) >= 0.35
+       |)""".stripMargin
+  }
+
+  /** TOOL ONLY (InvariantCheck's recall floor): the exact full-corpus
+    * near-dup pair set via the O(n²) self-join the IVF path exists to avoid
+    * — the measuring stick for [[ivfCosinePairs]]' recall, never part of a
+    * production plan or a registered query. */
+  private[graft] def bruteForcePairs(s: SparkSession, d: String): DataFrame = {
+    val vs = vectors(s, d)
+    val a = vs.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = vs.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    a.crossJoin(broadcast(b)).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("cos") >= 0.35)
+      .select(col("id_a"), col("id_b"))
   }
 
   private val qNearDupIvf = Q(
@@ -172,12 +315,8 @@ object SimilarityOps {
       .limit(100),
     Some(
       s"""WITH $vectorsCte,
-         |$ivfAssignCtes,
-         |c AS (SELECT n.*, a.bucket FROM n JOIN assigned a USING (vec_id))
-         |SELECT x.bucket, x.vec_id AS id_a, y.vec_id AS id_b,
-         |       round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos
-         |FROM c x JOIN c y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |WHERE round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= 0.35
+         |$ivfPairCtes
+         |SELECT bucket, id_a, id_b, cos FROM ivf_pairs
          |ORDER BY cos DESC, id_a, id_b
          |LIMIT 100""".stripMargin))
 
@@ -207,16 +346,10 @@ object SimilarityOps {
     },
     Some(
       s"""WITH RECURSIVE $vectorsCte,
-         |$ivfAssignCtes,
-         |c AS (SELECT n.*, a.bucket FROM n JOIN assigned a USING (vec_id)),
-         |cand AS (
-         |  SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
-         |  FROM c x JOIN c y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |  WHERE round(${dotSql("x.v", "y.v")} / (x.nrm * y.nrm), 6) >= 0.35
-         |),
+         |$ivfPairCtes,
          |edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION ALL SELECT doc_b, doc_a FROM cand
+         |  SELECT id_a AS src, id_b AS dst FROM ivf_pairs
+         |  UNION ALL SELECT id_b, id_a FROM ivf_pairs
          |),
          |reach AS (
          |  SELECT vec_id AS doc, vec_id AS r FROM embeddings

@@ -46,6 +46,34 @@ object CorpusOps {
       maxRounds: Int = 20): DataFrame =
     connectedComponentsWithRounds(vertices, symEdges, maxRounds)._1
 
+  /** The previous CC invocation's FINAL label checkpoint. The loop frees
+    * every superseded round's cut as it goes, but the last cut backs the
+    * returned frame, so only the NEXT invocation can retire it — by then
+    * the previous result has been consumed (queries run sequentially; each
+    * fully materializes its CC result before another CC query starts).
+    * This is what makes repeated invocations (Bench's 3 passes, Verify's
+    * full registry, a long notebook session) hold a CONSTANT two label
+    * sets + shared sketches in the block store instead of accumulating one
+    * final cut per call — `tools/CheckpointAudit` pins that plateau.
+    *
+    * Single-pipeline assumption, documented: a caller holding TWO live CC
+    * results and then building a third would find the oldest's blocks
+    * freed — loudly (checkpoint lineage is truncated, so the read fails;
+    * it cannot silently recompute wrong data). [[releaseCcState]] is the
+    * deterministic hook for consumers that want cleanup NOW. */
+  private val ccStateLock = new Object
+  private var lastFinalCut: Option[DataFrame] = None
+  private def retireLastCut(next: Option[DataFrame]): Unit =
+    ccStateLock.synchronized {
+      lastFinalCut.foreach(
+        org.apache.spark.sql.graft.GraftShims.freeCheckpoint)
+      lastFinalCut = next
+    }
+
+  /** Free the last connected-components invocation's final checkpoint —
+    * call after its result is fully consumed (e.g. session teardown). */
+  def releaseCcState(): Unit = retireLastCut(None)
+
   /** [[connectedComponents]] plus the number of label-propagation rounds the
     * loop ran — the observable InvariantCheck pins to O(log diameter). */
   def connectedComponentsWithRounds(vertices: DataFrame, symEdges: DataFrame,
@@ -115,6 +143,10 @@ object CorpusOps {
     // swap the last cut for a reliable `df.checkpoint()`/write-out;
     // single-JVM local mode cannot lose blocks.
     val free = org.apache.spark.sql.graft.GraftShims.freeCheckpoint _
+    // the previous invocation's final cut is dead by now — retire it so
+    // repeated invocations plateau instead of accumulating (see
+    // lastFinalCut's doc for the single-pipeline assumption)
+    retireLastCut(None)
     val edges = symEdges.localCheckpoint()
     // Iterate ONLY over edge-incident vertices: at realistic near-dup rates
     // the candidate graph touches a few percent of the corpus, so the
@@ -153,8 +185,10 @@ object CorpusOps {
       System.err.println(s"[graft] WARNING: connectedComponents hit the " +
         s"$maxRounds-round cap without converging; labels may be incomplete")
     // the final round's checkpoint is what the returned frame reads; only
-    // the edge list is dead now
+    // the edge list is dead now — the final cut is registered for the NEXT
+    // invocation (or releaseCcState) to retire
     free(edges)
+    retireLastCut(Some(current))
     (withSingletons(labels), rounds)
   }
 
@@ -496,10 +530,15 @@ object CorpusOps {
       .select(col("source"), col("p50"), col("p90"), col("approx_ok"))
       .orderBy(col("source")),
     Some(
+      // the oracle COMPUTES approx_ok with its own sketch (DuckDB
+      // approx_quantile) against its own exact quantile — both engines must
+      // independently land their sketches within the 5% bound for the row
+      // hashes to match; a hardcoded TRUE would only re-check Spark's claim
       """SELECT source,
         |       round(quantile_cont(n_chars, 0.5), 6) AS p50,
         |       round(quantile_cont(n_chars, 0.9), 6) AS p90,
-        |       TRUE AS approx_ok
+        |       abs(approx_quantile(n_chars, 0.5) - quantile_cont(n_chars, 0.5))
+        |         <= greatest(quantile_cont(n_chars, 0.5) * 0.05, 1.0) AS approx_ok
         |FROM documents GROUP BY source ORDER BY source""".stripMargin))
 
   // ---------------------------------------------------------- heavy hitters
@@ -734,12 +773,18 @@ object CorpusOps {
   /** The external eval-set fixture (written once by
     * `graft.tools.MakeFixtures`, committed with the repo): a handful of
     * eval documents whose text overlaps the sf0.01 corpus, so contamination
-    * exists to find. The repo root is overridable (GRAFT_FIXTURES_DIR) for
-    * checkouts outside /root/repo; the DuckDB oracle embeds the SAME
-    * resolved path, so both engines always read one fixture. */
+    * exists to find. Resolution order: GRAFT_FIXTURES_DIR override, then
+    * `fixtures/` under the working directory (sbt and the spark-submit
+    * mains all run from the repo root — no machine-specific absolute path
+    * baked in). The DuckDB oracle embeds the SAME resolved path
+    * (single-quote-escaped), so both engines always read one fixture. */
   private[graft] val EvalSetPath: String =
-    sys.env.getOrElse("GRAFT_FIXTURES_DIR", "/root/repo/fixtures") +
+    sys.env.get("GRAFT_FIXTURES_DIR")
+      .getOrElse(new java.io.File("fixtures").getAbsolutePath) +
       "/evalset.parquet"
+
+  /** [[EvalSetPath]] as a safe SQL string literal body. */
+  private val evalSetPathSql: String = EvalSetPath.replace("'", "''")
 
   /** Decontamination at PRODUCTION shape: 13-gram overlap (GPT-3/The Pile
     * convention) against a genuinely external eval-set table — the separate
@@ -776,7 +821,7 @@ object CorpusOps {
          |  FROM ws WHERE len(words) >= $DecontamGramExt
          |),
          |ev AS (SELECT string_split(text, ' ') AS words
-         |       FROM read_parquet('$EvalSetPath/*.parquet')),
+         |       FROM read_parquet('$evalSetPathSql/*.parquet')),
          |bench AS (
          |  SELECT DISTINCT unnest(${gramSql(DecontamGramExt)}) AS gram
          |  FROM ev WHERE len(words) >= $DecontamGramExt
@@ -839,7 +884,7 @@ object CorpusOps {
   // ------------------------------------------------------- sequence packing
 
   /** Training-sequence token budget (the model's context length). */
-  private val PackBudget = 2048
+  private[graft] val PackBudget = 2048
 
   /** Shard count for parallel packing: each shard packs independently, so
     * the per-shard ordered window never needs a global sort. Fixed at 32
@@ -847,6 +892,19 @@ object CorpusOps {
     * stream fits one task comfortably — packing quality is unaffected
     * because sequences never span shards anyway. */
   private val PackShards = 32
+
+  /** The default packing token count: the chars/4 estimate (`q_token_count`'s
+    * `est_tokens`). [[bpeToks]] is the swappable real-tokenizer stand-in. */
+  private def estToks: Column = ceil(col("n_chars") / 4.0).cast("long")
+  private val estToksSql = "CAST(ceil(n_chars / 4.0) AS BIGINT)"
+
+  /** The BPE-ish regex token count (`q_token_count`'s `bpe_tokens`) —
+    * `q_seq_pack_tok` swaps it into the packing layer to prove the count
+    * column is a PARAMETER of the pack, not a hardcode. */
+  private def bpeToks: Column =
+    regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+  private val bpeToksSql =
+    """CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)"""
 
   /** Sequence packing — the concat-and-chunk step that turns a document
     * corpus into fixed-length training sequences: documents are concatenated
@@ -860,20 +918,36 @@ object CorpusOps {
     * id — deterministic, no RNG state), and the only non-map operation is a
     * per-shard running sum — a window partitioned BY SHARD, so each shard
     * sorts only its own slice and shards pack in parallel; there is no
-    * global sort and no driver state. Token counts use the chars/4 estimate
-    * (`q_token_count`'s `est_tokens`), swappable for a real tokenizer
-    * count column without touching the packing shape. */
+    * global sort and no driver state. The token count is a swap point
+    * ([[packAssignments]]' `toks` parameter): `q_seq_pack` packs on the
+    * chars/4 estimate, `q_seq_pack_tok` on the BPE-ish regex count. */
   private val qSeqPack = Q(
     "q_seq_pack",
     (s, d) => packAssignments(s, d).orderBy(col("doc_id")),
     Some(
-      s"""WITH $packSql
+      s"""WITH ${packSql()}
          |SELECT doc_id, shard, toks, pack_id, start_off
          |FROM packed ORDER BY doc_id""".stripMargin))
 
-  /** The shared packing projection behind [[qSeqPack]] and the manifest. */
-  private def packAssignments(s: SparkSession, d: String): DataFrame = {
-    val toks = ceil(col("n_chars") / 4.0).cast("long")
+  /** [[qSeqPack]] with the BPE-ish regex token counter swapped in — same
+    * pack shape, different `toks` column, exercising the tokenizer swap
+    * point end to end (both engines re-derive every assignment under the
+    * new counts). */
+  private val qSeqPackTok = Q(
+    "q_seq_pack_tok",
+    (s, d) => packAssignments(s, d, bpeToks).orderBy(col("doc_id")),
+    Some(
+      s"""WITH ${packSql(bpeToksSql)}
+         |SELECT doc_id, shard, toks, pack_id, start_off
+         |FROM packed ORDER BY doc_id""".stripMargin))
+
+  /** The shared packing projection behind [[qSeqPack]] and the manifest.
+    * `pack_id` uses integral floor division (`div`), NOT double division —
+    * `/` agrees with the oracle's `//` only while per-shard cumulative
+    * token counts stay below 2^53; `div` makes engine/oracle parity
+    * unconditional. */
+  private def packAssignments(s: SparkSession, d: String,
+      toks: Column = estToks): DataFrame = {
     val shard =
       TextOps.hash32(concat(lit("pack:"), col("doc_id").cast("string"))) %
         PackShards
@@ -882,16 +956,16 @@ object CorpusOps {
       .select(col("doc_id"), toks.as("toks"), shard.as("shard"))
       .withColumn("cum", sum(col("toks")).over(w))
       .select(col("doc_id"), col("shard"), col("toks"),
-        ((col("cum") - col("toks")) / PackBudget).cast("long").as("pack_id"),
+        expr(s"(cum - toks) div $PackBudget").as("pack_id"),
         pmod(col("cum") - col("toks"), lit(PackBudget.toLong))
           .as("start_off"))
   }
 
-  private def packSql: String = {
+  private def packSql(toksSql: String = estToksSql): String = {
     val h = TextOps.hash32Sql("'pack:' || CAST(doc_id AS VARCHAR)")
     s"""t AS (
        |  SELECT doc_id,
-       |         CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks,
+       |         $toksSql AS toks,
        |         $h % $PackShards AS shard
        |  FROM documents
        |),
@@ -908,6 +982,143 @@ object CorpusOps {
        |  FROM c
        |)""".stripMargin
   }
+
+  /** First-fit-decreasing bin packing per shard — the POLICY twin of the
+    * concat-and-chunk pack for the no-document-crossing regime (each doc
+    * lands wholly in one pack; packs may be underfull; an oversize doc gets
+    * its own pack): within a shard, docs are taken longest-first
+    * (deterministic `(toks desc, doc_id)` order) and each goes to the FIRST
+    * open pack with room, else opens a new one. FFD is inherently
+    * sequential per shard (each placement depends on all previous bin
+    * states), so the shard is the parallel unit — `flatMapGroups` over the
+    * hash-sharded corpus, the typed-Dataset analogue of the window the
+    * concat pack uses, with per-task state bounded by the shard. The
+    * in-task first-fit scan is O(docs·bins) per shard; a capacity-indexed
+    * tree drops that to O(docs·log bins) if shards ever get huge — the
+    * distributed shape is unchanged.
+    *
+    * Value-gated doc-by-doc: the DuckDB oracle REPLAYS the same greedy
+    * process with a recursive CTE carrying each shard's open-bin capacity
+    * list, one document per recursion step. */
+  private[graft] def ffdAssignments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val shard =
+      TextOps.hash32(concat(lit("pack:"), col("doc_id").cast("string"))) %
+        PackShards
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), estToks.as("toks"), shard.as("shard"))
+      .as[(Long, Long, Long)]
+    base.groupByKey(_._3).flatMapGroups { (sh: Long, it: Iterator[(Long, Long, Long)]) =>
+      val docs = it.map { case (id, tk, _) => (id, tk) }.toArray
+        .sortBy { case (id, tk) => (-tk, id) }
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      docs.iterator.map { case (id, tk) =>
+        var i = 0
+        while (i < bins.length && bins(i) < tk) i += 1
+        if (i == bins.length) bins += PackBudget.toLong - tk
+        else bins(i) -= tk
+        (id, sh, tk, i.toLong)
+      }
+    }.toDF("doc_id", "shard", "toks", "pack_id")
+  }
+
+  /** DuckDB replay of [[ffdAssignments]]: `fr` ranks each shard's docs in
+    * the FFD order; the recursive `ffd` carries the open-bin remaining-
+    * capacity list per shard and places one doc per step (first index with
+    * room, else append). Ends in `ffd(shard, rn, doc_id, toks, pack_id)`. */
+  private def ffdSql: String = {
+    val h = TextOps.hash32Sql("'pack:' || CAST(doc_id AS VARCHAR)")
+    // first open-bin index with capacity for t.toks (NULL = none fits)
+    val fit = "list_filter(generate_series(1, len(p.bins)), " +
+      "i -> p.bins[i] >= t.toks)[1]"
+    s"""ft AS (
+       |  SELECT doc_id, $estToksSql AS toks, $h % $PackShards AS shard
+       |  FROM documents
+       |),
+       |fr AS (
+       |  SELECT doc_id, toks, shard,
+       |         row_number() OVER (PARTITION BY shard
+       |                            ORDER BY toks DESC, doc_id) AS rn
+       |  FROM ft
+       |),
+       |ffd AS (
+       |  SELECT shard, rn, doc_id, toks, CAST(0 AS BIGINT) AS pack_id,
+       |         [CAST($PackBudget AS BIGINT) - toks] AS bins
+       |  FROM fr WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.shard, t.rn, t.doc_id, t.toks,
+       |         CASE WHEN $fit IS NULL THEN CAST(len(p.bins) AS BIGINT)
+       |              ELSE CAST($fit - 1 AS BIGINT) END,
+       |         CASE WHEN $fit IS NULL
+       |              THEN list_append(p.bins,
+       |                     CAST($PackBudget AS BIGINT) - t.toks)
+       |              ELSE list_transform(generate_series(1, len(p.bins)),
+       |                     i -> CASE WHEN i = $fit
+       |                               THEN p.bins[i] - t.toks
+       |                               ELSE p.bins[i] END)
+       |         END
+       |  FROM ffd p JOIN fr t ON t.shard = p.shard AND t.rn = p.rn + 1
+       |)""".stripMargin
+  }
+
+  private val qSeqPackFfd = Q(
+    "q_seq_pack_ffd",
+    (s, d) => ffdAssignments(s, d).orderBy(col("doc_id")),
+    Some(
+      s"""WITH RECURSIVE $ffdSql
+         |SELECT doc_id, shard, toks, pack_id
+         |FROM ffd ORDER BY doc_id""".stripMargin))
+
+  /** Fill-rate comparison panel across packing policies — the curation
+    * metric that decides the policy trade: concat-and-chunk packs to 100%
+    * by construction (docs cross pack boundaries; pack count per shard is
+    * ⌈Σtoks/budget⌉), FFD trades fill for doc integrity. One aggregate per
+    * policy, both shard-keyed then reduced to one row each. */
+  private val qPackFill = Q(
+    "q_pack_fill",
+    (s, d) => {
+      val cpol = packAssignments(s, d)
+        .groupBy(col("shard")).agg(sum(col("toks")).as("st"))
+        .agg(sum(ceil(col("st") / PackBudget.toDouble)).cast("long")
+          .as("n_packs"),
+          sum(col("st")).as("sum_toks"))
+        .select(lit("concat").as("policy"), col("n_packs"), col("sum_toks"))
+      val fpol = ffdAssignments(s, d)
+        .groupBy(col("shard"), col("pack_id")).agg(sum(col("toks")).as("pt"))
+        .agg(count(lit(1)).as("n_packs"), sum(col("pt")).as("sum_toks"))
+        .select(lit("ffd").as("policy"), col("n_packs"), col("sum_toks"))
+      cpol.union(fpol)
+        .withColumn("fill_rate", round(
+          col("sum_toks").cast("double") / (col("n_packs") * PackBudget), 6))
+        .orderBy(col("policy"))
+    },
+    Some(
+      s"""WITH RECURSIVE ${packSql()},
+         |$ffdSql,
+         |cpol AS (
+         |  SELECT 'concat' AS policy,
+         |         CAST(sum(np) AS BIGINT) AS n_packs,
+         |         CAST(sum(st) AS BIGINT) AS sum_toks
+         |  FROM (
+         |    SELECT CAST(ceil(sum(toks) / ${PackBudget}.0) AS BIGINT) AS np,
+         |           sum(toks) AS st
+         |    FROM t GROUP BY shard
+         |  )
+         |),
+         |fpol AS (
+         |  SELECT 'ffd' AS policy,
+         |         CAST(count(*) AS BIGINT) AS n_packs,
+         |         CAST(sum(pt) AS BIGINT) AS sum_toks
+         |  FROM (
+         |    SELECT shard, pack_id, sum(toks) AS pt
+         |    FROM ffd GROUP BY shard, pack_id
+         |  )
+         |),
+         |u AS (SELECT * FROM cpol UNION ALL SELECT * FROM fpol)
+         |SELECT policy, n_packs, sum_toks,
+         |       round(CAST(sum_toks AS DOUBLE) / (n_packs * $PackBudget), 6)
+         |         AS fill_rate
+         |FROM u ORDER BY policy""".stripMargin))
 
   /** The READER side of sequence packing: one row per (shard, pack) —
     * the training example — with its document manifest in concatenation
@@ -928,7 +1139,7 @@ object CorpusOps {
           .as("docs"))
       .orderBy(col("shard"), col("pack_id")),
     Some(
-      s"""WITH $packSql
+      s"""WITH ${packSql()}
          |SELECT shard, pack_id, count(*) AS n_docs,
          |       CAST(sum(toks) AS BIGINT) AS sum_toks,
          |       string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id) AS docs
@@ -1040,8 +1251,9 @@ object CorpusOps {
     * corpus and every join is keyed — the chain a 100 TB curation run would
     * execute verbatim. (Profiled for redundant work at sf0.1: the dominant
     * cost was CC-round plan analysis, fixed by per-round checkpointing —
-    * extras time fell 5.2 s → 3.5 s; within one invocation the shingle
-    * explode materializes once into the LSH signature checkpoint and
+    * the round-6 bench measured the extra at 4.44 s vs 5.23 s before the
+    * fix, a ~15% cut; within one invocation the shingle explode
+    * materializes once into the LSH signature checkpoint and
     * repetitionStats' two scans are the algorithm, so nothing is
     * double-run.) */
   private val qCorpusPipeline = Q(
@@ -1090,5 +1302,6 @@ object CorpusOps {
   def queries: Seq[Q] = Seq(qDupClusters, qDupKeepBest, qCcChain,
     qRepetitionFilter, qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters,
     qUnigramLogprob, qBm25, qDecontaminate, qDecontaminateExt, qDomainMix,
-    qSeqPack, qPackManifest, qCorpusStats, qCorpusPipeline)
+    qSeqPack, qSeqPackTok, qSeqPackFfd, qPackFill, qPackManifest,
+    qCorpusStats, qCorpusPipeline)
 }

@@ -47,7 +47,7 @@ object TextOps {
   private[graft] def hash32(e: Column): Column =
     conv(substring(md5(e), 1, 8), 16, 10).cast("long")
 
-  private[text] def hash32Sql(e: String): String =
+  private[graft] def hash32Sql(e: String): String =
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
       s"string_split(substr(md5($e), 1, 8), ''), " +
       s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +

@@ -26,18 +26,26 @@ object GraftShims {
     * `Dataset.unpersist()` is a no-op for checkpointed frames — the
     * checkpoint RDD is persisted directly on the RDD, not registered in the
     * CacheManager — so without this, every checkpoint lives for the session.
-    * The checkpointed RDD sits inside the frame's `LogicalRDD` leaf; this
+    * The checkpointed RDD IS the frame's single `LogicalRDD` leaf; this
     * unpersists it (non-blocking).
     *
-    * DANGER: a localCheckpoint'd RDD's lineage was TRUNCATED at first
-    * materialization — after freeing, the frame (and anything lazily built
-    * on it) is unrecoverable, not merely slow. Only call on frames proven
-    * dead (e.g. the intermediate rounds of an iterative loop after the
-    * final result was re-checkpointed). */
-  def freeCheckpoint(df: DataFrame): Unit =
-    analyzed(df).foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    * STRICT by design: the argument must be a DIRECT `localCheckpoint()`
+    * frame — a plan that is exactly one `LogicalRDD` leaf. A derived frame
+    * (anything composed on top of checkpoints) throws instead of freeing:
+    * sweeping every LogicalRDD leaf of a composite plan would also free
+    * UNRELATED shared checkpoints reachable from it, and since checkpoint
+    * lineage is truncated, that is an unrecoverable missing-block failure
+    * later, not a slowdown — fail loudly here instead.
+    *
+    * DANGER: after freeing, the frame (and anything lazily built on it) is
+    * unrecoverable. Only call on frames proven dead (e.g. the intermediate
+    * rounds of an iterative loop after the next round was checkpointed). */
+  def freeCheckpoint(df: DataFrame): Unit = analyzed(df) match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.unpersist(blocking = false)
+    case other => throw new IllegalArgumentException(
+      "freeCheckpoint requires a direct localCheckpoint() frame (a single " +
+        s"LogicalRDD leaf); got ${other.nodeName} — freeing through a " +
+        "composite plan could unpersist unrelated shared checkpoints")
+  }
 }

@@ -47,14 +47,15 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_exposure_panel",        // same scaffold shape
     "q_index_align_ffill",     // dense date spine × series ids
     "q_smooth_kernel",         // finite kernel offsets (≤ 9 rows)
-    "q_ml_kmeans_ivf",         // 10 broadcast centroids
-    "q_embed_centroids",       // same centroid set
-    "q_embed_ivf_assign",      // same centroid set
+    "q_ml_kmeans_ivf",         // k≈n/16 broadcast centroids (scale-adaptive)
+    "q_embed_centroids",       // 10 label-centroids (confusion report)
+    "q_embed_ivf_assign",      // same label-centroid set
     "q_embed_ivf_search",      // 10 broadcast centroids (probe stage)
     "q_embed_ivf_recall",      // centroids + sampled brute-force query slice
-    "q_embed_neardup_ivf",     // 10 broadcast centroids (assignment stage);
-                               // the pair join itself is a bucket equi-join
-    "q_semantic_dedup",        // same centroid broadcast feeding the CC loop
+    "q_embed_neardup_ivf",     // scale-adaptive quantizer: broadcast seed +
+                               // centroid argmax (k≈n/16 rows); the pair
+                               // join itself is a bucket equi-join
+    "q_semantic_dedup",        // same quantizer broadcast feeding the CC loop
     "q_media_features",        // fixed 8-slot feature positions
     "q_similarity_topk",       // single broadcast query vector
     "q_search_modes",          // three fixed mode rows
@@ -160,16 +161,51 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sort, so shards pack in parallel; a rangepartitioning BELOW the
     // window would mean the whole corpus serializes through a global sort
     // (the plan prints top-down: the presentation ORDER BY's range exchange
-    // is legitimate and sits above the Window node)
-    val plan = probe(SparkEntry.queries("q_seq_pack")(spark, dir)
+    // is legitimate and sits above the Window node — so the check is that
+    // the LAST range exchange, if any, still sits above the window; indexOf
+    // alone would pass a plan with a legitimate exchange on top AND an
+    // offending one below). Pinned for both token-count variants: the swap
+    // point must not change the pack's distribution shape.
+    for (q <- Seq("q_seq_pack", "q_seq_pack_tok")) {
+      val plan = probe(SparkEntry.queries(q)(spark, dir)
+        .queryExecution.executedPlan.toString)
+      assert(plan.contains("hashpartitioning(shard"),
+        s"$q: pack running-sum must partition by shard")
+      val windowIdx = plan.indexOf("Window")
+      val lastRangeIdx = plan.lastIndexOf("rangepartitioning")
+      assert(windowIdx >= 0, s"$q: expected a Window node in the pack plan")
+      assert(lastRangeIdx < windowIdx,
+        s"$q: a rangepartitioning below the window globally sorts the corpus")
+    }
+  }
+
+  test("FFD packing distributes by shard (one exchange, no global sort)") {
+    // the flatMapGroups bin-packer must key its exchange on the shard hash
+    // so shards pack in parallel; any rangepartitioning in this plan would
+    // mean a global sort snuck into what should be a grouped map
+    val plan = probe(graft.text.CorpusOps.ffdAssignments(spark, dir)
       .queryExecution.executedPlan.toString)
-    assert(plan.contains("hashpartitioning(shard"),
-      "pack running-sum must partition by shard so shards pack in parallel")
-    val windowIdx = plan.indexOf("Window")
-    val rangeIdx = plan.indexOf("rangepartitioning")
-    assert(windowIdx >= 0, "expected a Window node in the pack plan")
-    assert(rangeIdx < 0 || rangeIdx < windowIdx,
-      "a rangepartitioning below the window globally sorts the corpus")
+    assert(plan.contains("hashpartitioning"),
+      "FFD packer must hash-partition its shard groups")
+    assert(!plan.contains("rangepartitioning"),
+      "FFD packer plan must not contain a global sort")
+  }
+
+  test("executed-mode spot check: the band self-join past a real checkpoint") {
+    // the rest of this spec sweeps in plan-only mode, where checkpoints are
+    // skipped — so planning over LogicalRDD leaves (whose stats differ from
+    // file relations) is never exercised. This one query runs for REAL: the
+    // MinHash signature checkpoint feeds the band self-join, and the join
+    // must stay a keyed equi-join (never a nested loop) in the
+    // post-checkpoint planning regime too.
+    val qe = SparkEntry.queries("q_minhash_lsh")(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "band self-join degenerated to a nested loop over a checkpointed frame")
+    assert(plan.contains("Scan ExistingRDD"),
+      "expected the checkpointed signature RDD in the executed plan — if " +
+        "checkpointing moved, point this spot check at the new cut")
   }
 
   test("exact dedup shuffles digests, not document text") {
