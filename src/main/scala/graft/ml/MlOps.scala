@@ -90,6 +90,13 @@ object MlOps {
       // population stays constant as the table grows — a fixed k would make
       // the within-cell candidate work quadratic at scale. The count() is
       // one driver action before fit(), which itself runs maxIter passes.
+      // SCALE NOTE: KMeans.fit with k ∝ n is O(iters·n·k) = O(n²) flat
+      // Lloyd — acceptable here because this query is the TEST-GATE twin
+      // (it exists to cross-check assignments, not to be the scale path);
+      // the production quantizer is graft.sim.SimilarityOps' hierarchical
+      // two-level assignment (O(n·√k) work, O(√n) broadcast). An MLlib
+      // 100-TB analogue would fit on a hash sample and assign
+      // hierarchically the same way.
       val n = vecs.count()
       val k = math.max(10, math.min(n,
         math.ceil(n.toDouble / graft.sim.SimilarityOps.IvfTargetBucket)

@@ -48,6 +48,11 @@ object SimilarityOps {
       .withColumn("nrm", norm(col("v")))
   }
 
+  /** Tool hook (InvariantCheck's super-set bound): the normalized vector
+    * frame for a data dir. */
+  private[graft] def vectorsFor(s: SparkSession, d: String): DataFrame =
+    vectors(s, d)
+
   private val foldSql = "(acc, x) -> acc + x"
   private def listFoldSql(products: String): String =
     s"list_reduce([CAST(0 AS DOUBLE)] || $products, $foldSql)"
@@ -136,40 +141,137 @@ object SimilarityOps {
     * ([[graft.ml.MlOps]]). */
   private[graft] val IvfTargetBucket = 16
 
+  /** Hierarchical-assignment probe widths: every vector/query-side item
+    * probes its [[VecCellProbes]] nearest super-cells (n·S dot work per
+    * probe), while seeds/centroids — the SMALL side, k rows — are
+    * multi-assigned to their [[SeedCellProbes]] nearest cells (k·S work
+    * per slot). Widening the centroid side is the cheap recall lever:
+    * a (vector, its-near-centroid) meeting requires the two cell sets to
+    * intersect, and 2×4 covers super-Voronoi boundary flips that 2×1
+    * misses. */
+  private[graft] val VecCellProbes = 2
+  private[graft] val SeedCellProbes = 4
+
+  /** Number of INDEPENDENT quantizer tables — OR-amplification, the LSH
+    * banding trick applied to IVF: each table is a full (hash-seeded,
+    * one-Lloyd-round, hierarchically-assigned) coarse quantizer under its
+    * own salt, candidate pairs are the UNION of every table's within-bucket
+    * pairs, and per-table miss probabilities MULTIPLY (measured near
+    * independent: T=8 at per-table recall 0.32 → 0.945 union, vs 0.954
+    * for perfect independence). This is the lever that makes the recall
+    * floor robust to corpus geometry: a single Voronoi partition cannot
+    * recall weakly-correlated near-dup pairs (directions at cos ≈ 0.35 in
+    * 64-dim rank cells almost independently), but 8 independent partitions
+    * bound the miss at p⁸. Work and candidate volume scale ×T — still
+    * LINEAR in n (Σ bucket² ≈ T·n·targetBucket·nprobe²), the same trade
+    * MinHash-LSH makes with its band count. */
+  private[graft] val IvfTables = 8
+
+  /** Composite bucket key base for cross-table pair reporting:
+    * `tbl · 2³² + c_id` (vec_ids are far below 2³²). */
+  private[graft] val BucketKeyBase = 1L << 32
+
+  /** Table `t`'s deterministic hash-sampled seed set
+    * (`hash32("ivfseed:t:" + vec_id) % targetBucket == 0`, the
+    * `q_hash_split` membership pattern) — a map-only pick whose expected
+    * count k ≈ n/[[IvfTargetBucket]], so k GROWS WITH THE CORPUS by
+    * construction; the per-table salt makes every table's partition
+    * independent. */
+  private def seedsOf(vs: DataFrame, t: Int): DataFrame =
+    vs.filter(
+      graft.text.TextOps.hash32(concat(lit(s"ivfseed:$t:"),
+        col("vec_id").cast("string"))) % IvfTargetBucket === 0)
+      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
+
+  /** Level-1 quantizer for the hierarchical (two-level) assignment: a
+    * hash-sampled SUBSET of the seeds with modulus m₂ = max(1, ⌊√n/2⌋), so
+    * the expected super count is S = k/m₂ ≈ √n/8 ≈ √k/2 — an O(√n) set,
+    * the ONLY vector set any assignment stage broadcasts. (The ÷2 rather
+    * than the work-optimal ÷4: slightly fewer, larger super-cells measurably
+    * buy pair recall at the gate SFs — cell sharing between a vector and
+    * its near-centroid is the recall-limiting event — at a ~2× constant on
+    * the per-vector candidate count, same asymptotics.) Guaranteed non-empty
+    * (while seeds exist) by always including the minimum seed id; at small
+    * corpora m₂ = 1 and supers = seeds, degenerating to the flat single-level
+    * assignment. Both the corpus size and the min-seed fallback are
+    * broadcast singleton stats (zero driver actions), and the sampling is
+    * salted (`ivfsuper:`) so super membership is independent of seed
+    * membership within the seed set. */
+  private[graft] def supersOf(vs: DataFrame, t: Int): DataFrame = {
+    val seeds = seedsOf(vs, t)
+    val nStat = vs.agg(count(lit(1)).as("n_total"))
+    val sStat = seeds.agg(min(col("seed_id")).as("min_seed"))
+    seeds.crossJoin(broadcast(nStat)).crossJoin(broadcast(sStat))
+      .withColumn("m2",
+        greatest(lit(1L), floor(sqrt(col("n_total")) / 2.0).cast("long")))
+      .filter(
+        graft.text.TextOps.hash32(concat(lit(s"ivfsuper:$t:"),
+          col("seed_id").cast("string"))) % col("m2") === 0
+          || col("seed_id") === col("min_seed"))
+      .select(col("seed_id").as("s_id"), col("sv").as("suv"))
+  }
+
+  /** Level-1 cell lookup: each item's `p` nearest super-centroids by
+    * round-6-decimal dot score (super-id tiebreak). The broadcast side is
+    * the O(√n) super set — never the O(n/16) centroid set — so this is the
+    * only place assignment work touches every item×super pair: O(items·√k)
+    * dot products. Returns `(idCol, s_id)` rows; vectors are re-joined by
+    * the caller AFTER the top-p cut so wide rows never ride the ranking
+    * shuffle. */
+  private def superCells(items: DataFrame, supers: DataFrame,
+      idCol: String, vecCol: String, p: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sscore").desc, col("s_id"))
+    items.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(supers))
+      .withColumn("sscore", round(dot(col(vecCol), col("suv")), 6))
+      .withColumn("spr", row_number().over(w))
+      .filter(col("spr") <= p)
+      .select(col(idCol), col("s_id"))
+  }
+
   /** Scale-adaptive coarse quantizer behind the full-corpus near-dup path:
     * k = ~n/[[IvfTargetBucket]] centroids, built with zero driver actions
     * and no global sort —
     *
-    *  1. SEEDS: the deterministic hash-sampled vectors
-    *     (`hash32(vec_id) % targetBucket == 0`, the `q_hash_split`
-    *     membership pattern) — a map-only pick whose expected count is
-    *     n/targetBucket, so k GROWS WITH THE CORPUS by construction
-    *     (the round-6 version fixed k at the 10 data labels, leaving
-    *     Σ bucket² ≈ n²/10 — a constant-factor cut, not sublinear);
-    *  2. one LLOYD round: every vector joins its nearest seed (broadcast
-    *     argmax over round-6-decimal dot scores, seed-id tiebreak), and
-    *     cluster centroids are re-estimated with the quantized-integer-sum
-    *     aggregation (exact integers → order-independent → bit-equal under
-    *     any shuffle schedule, and in DuckDB).
+    *  1. SEEDS ([[seedsOf]]): expected count n/targetBucket, so k grows
+    *     with the corpus (the round-6 version fixed k at the 10 data
+    *     labels, leaving Σ bucket² ≈ n²/10 — a constant-factor cut, not
+    *     sublinear);
+    *  2. one LLOYD round, assigned HIERARCHICALLY: seeds land in their
+    *     [[SeedCellProbes]] nearest super-cells ([[supersOf]], O(k·√k)
+    *     work), vectors probe their [[VecCellProbes]] nearest super-cells
+    *     (O(n·√k) work, O(√n) broadcast), and the fine argmax runs over
+    *     only the probed cells' seeds via a hash EQUI-JOIN on the
+    *     super-cell id — the round-7 flat version broadcast all k ≈ n/16
+    *     seeds and did n·k = n²/16 dot products here, the last O(n²) stage
+    *     in the repo. Cluster centroids are then re-estimated with the
+    *     quantized-integer-sum aggregation (exact integers →
+    *     order-independent → bit-equal under any shuffle schedule, and in
+    *     DuckDB).
     *
     * One Lloyd round (not MLlib's 10, not zero) is the oracle-tractable
     * middle: it fixes the worst seed-sampling artifacts (a seed pair landing
     * in one true cell splits it; the re-estimation merges their mass) while
     * both steps stay expressible as deterministic SQL for the DuckDB twin.
     *
-    * Returns `(c_id, cv)` centroid vectors. Broadcast note: k centroids =
-    * n/16 rows of dim doubles — fine far past this harness's scales, but at
-    * billions of vectors the flat broadcast argmax (n·k dot products) is the
-    * piece to swap for a hierarchical two-level assignment (argmax over √k
-    * super-centroids, then within the super-cell — FAISS's IVF-on-IVF
-    * shape); the bucket equi-join and verification below are unchanged by
-    * that swap. */
-  private def adaptiveCentroids(vs: DataFrame): DataFrame = {
-    val seeds = vs.filter(
-      graft.text.TextOps.hash32(concat(lit("ivfseed:"),
-        col("vec_id").cast("string"))) % IvfTargetBucket === 0)
-      .select(col("vec_id").as("seed_id"), col("v").as("sv"))
-    val assign1 = vs.crossJoin(broadcast(seeds))
+    * Returns `(c_id, cv)` centroid vectors. A vector whose probed 2
+    * super-cells hold no seeds (possible only in a pathological sampling
+    * tail; deterministic, oracle-mirrored) simply contributes no mass to
+    * the re-estimation. */
+  private def adaptiveCentroids(vs: DataFrame, supers: DataFrame,
+      vecCell: DataFrame, t: Int): DataFrame = {
+    val seeds = seedsOf(vs, t)
+    val seedCell = superCells(seeds, supers, "seed_id", "sv", SeedCellProbes)
+    // BOTH sides are multi-assigned (seeds to 4 cells, vectors to 2) — the
+    // same boundary-leak fix as the fine-level nprobe=2, one level up: a
+    // vector and its true nearest seed that straddle a super-Voronoi
+    // boundary still meet in a shared cell. The join may emit a (vec, seed)
+    // pair twice (shared cells on both probes); max_by is insensitive to
+    // duplicates, so no dedup is needed here.
+    val assign1 = vecCell
+      .join(vs.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(seedCell.join(seeds, Seq("seed_id")), Seq("s_id"))
       .withColumn("score", round(dot(col("v"), col("sv")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("seed_id"), struct(col("score"), -col("seed_id")))
@@ -185,47 +287,93 @@ object SimilarityOps {
       .select(col("c0").as("c_id"), col("cv"))
   }
 
-  /** Per-vector bucket assignment against [[adaptiveCentroids]] with
-    * nprobe-way MULTI-assignment: each vector lands in its `nprobe` closest
-    * cells (`pr` = 1 is the primary/reporting cell). Candidate generation
-    * reads all rows — a true near-dup pair straddling a Voronoi boundary
-    * still shares its SECOND-closest cell with overwhelming probability,
-    * which single-assignment (the one recall leak of every IVF dedup)
-    * misses; InvariantCheck pins the resulting pair recall against the
-    * brute-force pair set at sf0.1. */
-  private[graft] def ivfAssignments(s: SparkSession, d: String,
-      nprobe: Int = 2): DataFrame = {
-    val vs = vectors(s, d)
-    val cents = adaptiveCentroids(vs)
+  /** One table's per-vector bucket assignment against its
+    * [[adaptiveCentroids]] with nprobe-way MULTI-assignment: each vector
+    * lands in its `nprobe` closest cells among those of its probed
+    * super-cells (`pr` = 1 is the primary/reporting cell). A true near-dup
+    * pair straddling a fine Voronoi boundary still shares its
+    * SECOND-closest cell with high probability, which single-assignment
+    * (the one recall leak of every IVF dedup) misses; the residual
+    * per-table miss is what [[IvfTables]]-way OR-amplification drives down.
+    * InvariantCheck pins the resulting UNION pair recall against the
+    * brute-force pair set at sf0.1 AND sf0.01 (two Voronoi geometries).
+    *
+    * Scale shape: centroids are placed in their [[SeedCellProbes]] nearest
+    * super-cells (k·√k dots), vectors probe [[VecCellProbes]] super-cells
+    * (n·√k dots against the O(√n) broadcast), and the fine scoring is a
+    * hash equi-join on the super-cell id carrying ~n·2·√k candidate rows —
+    * assignment is O(n·√k) end to end with no broadcast side ∝ n,
+    * replacing the round-7 flat argmax (n·k = n²/16 dots, O(n)-row
+    * broadcast). */
+  private def tableAssignments(vs: DataFrame, t: Int,
+      nprobe: Int): DataFrame = {
+    val supers = supersOf(vs, t)
+    // one super-cell probe per table, shared by the Lloyd round and the
+    // final assignment (its result is deterministic, so reuse is free)
+    val vecCell = superCells(vs, supers, "vec_id", "v", VecCellProbes)
+    val cents = adaptiveCentroids(vs, supers, vecCell, t)
+    val centCell = superCells(cents, supers, "c_id", "cv", SeedCellProbes)
+    // Centroids are multi-assigned to their 4 nearest super-cells (the
+    // super-boundary twin of the fine nprobe=2): a vector whose probed
+    // cells miss its true nearest centroid's PRIMARY cell still finds it
+    // through the centroid's other cells. The asymmetry is deliberate —
+    // an extra cell on the CENTROID side costs k·√k extra dots, an extra
+    // probe on the vector side costs n·(k/S); recall per dot is far higher
+    // on the centroid side. The cell overlap can emit a (vec, centroid)
+    // candidate several times — distinct() before the fine ranking so
+    // `pr` counts DISTINCT buckets (a duplicate would silently burn the
+    // second probe slot).
+    val cand = vecCell.join(centCell, Seq("s_id"))
+      .select(col("vec_id"), col("c_id")).distinct()
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("score").desc, col("c_id"))
-    vs.crossJoin(broadcast(cents))
+    cand
+      .join(vs.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(cents, Seq("c_id"))
       .withColumn("score", round(dot(col("v"), col("cv")), 6))
       .withColumn("pr", row_number().over(w))
       .filter(col("pr") <= nprobe)
-      .select(col("vec_id"), col("c_id").as("bucket"), col("pr"))
+      .select(lit(t).cast("long").as("tbl"), col("vec_id"),
+        col("c_id").as("bucket"), col("pr"))
+  }
+
+  /** All [[IvfTables]] tables' assignments: `(tbl, vec_id, bucket, pr)` —
+    * each vector lands in its `nprobe` closest cells of EVERY table
+    * (`pr` = 1 is the table's primary/reporting cell). */
+  private[graft] def ivfAssignments(s: SparkSession, d: String,
+      nprobe: Int = 2): DataFrame = {
+    val vs = vectors(s, d)
+    (0 until IvfTables).map(tableAssignments(vs, _, nprobe))
+      .reduce(_ union _)
   }
 
   /** Full-corpus embedding near-dup — the UNSAMPLED scale path
     * (`q_embed_neardup` bounds its work with a sampled broadcast probe
     * slice; this variant covers the whole corpus): every vector is
-    * IVF-assigned to its `nprobe`=2 nearest cells of the SCALE-ADAPTIVE
-    * quantizer (k = ~n/[[IvfTargetBucket]], so cells hold ~targetBucket
+    * IVF-assigned to its `nprobe`=2 nearest cells of EACH of the
+    * [[IvfTables]] independent SCALE-ADAPTIVE quantizers
+    * (k = ~n/[[IvfTargetBucket]] per table, so cells hold ~targetBucket
     * vectors at ANY corpus size), candidate pairs exist only within a
-    * shared cell, and exact cosine ≥ 0.35 verifies candidates. Work is
-    * Σ bucket² ≈ n·targetBucket·nprobe² — LINEAR in the corpus, the same
-    * shape as the LSH/SimHash band joins — and the cell self-join is a hash
-    * equi-join carrying only (bucket, vec_id) rows; vectors are re-joined
-    * for verification AFTER the pair set is deduped, so the wide rows never
-    * ride the candidate shuffle. */
+    * shared (table, cell), and exact cosine ≥ 0.35 verifies candidates.
+    * Work is Σ bucket² ≈ T·n·targetBucket·nprobe² — LINEAR in the corpus,
+    * the same shape (and the same OR-amplified table union) as the
+    * MinHash-LSH band join — and the cell self-join is a hash equi-join
+    * carrying only (tbl, bucket, vec_id) rows; vectors are re-joined for
+    * verification AFTER the pair set is deduped across tables, so the wide
+    * rows never ride the candidate shuffle. The reported `bucket` is the
+    * minimum composite `tbl·2³² + c_id` key among the cells that produced
+    * the pair. */
   private[graft] def ivfCosinePairs(s: SparkSession, d: String): DataFrame = {
     val vs = vectors(s, d)
     val asg = ivfAssignments(s, d)
-    val cand = asg.select(col("bucket"), col("vec_id").as("id_a"))
-      .join(asg.select(col("bucket"), col("vec_id").as("id_b")), Seq("bucket"))
+      .withColumn("bkey", col("tbl") * BucketKeyBase + col("bucket"))
+    val cand = asg
+      .select(col("tbl"), col("bucket"), col("bkey"), col("vec_id").as("id_a"))
+      .join(asg.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
-      .agg(min(col("bucket")).as("bucket"))
+      .agg(min(col("bkey")).as("bucket"))
     cand
       .join(vs.select(col("vec_id").as("id_a"), col("v").as("va"),
         col("nrm").as("na")), Seq("id_a"))
@@ -237,49 +385,113 @@ object SimilarityOps {
       .select(col("bucket"), col("id_a"), col("id_b"), col("cos"))
   }
 
-  /** DuckDB twin of [[adaptiveCentroids]] + [[ivfAssignments]] +
-    * [[ivfCosinePairs]], ending in `ivf_pairs(bucket, id_a, id_b, cos)`.
-    * Compose after the `n` CTE of [[vectorsCte]]. */
-  private lazy val ivfPairCtes: String = {
+  /** One table's DuckDB CTE chain (names suffixed `_$t`, salts matching
+    * [[seedsOf]]/[[supersOf]]'s per-table salts), ending in
+    * `asg_$t(vec_id, bucket)`. */
+  private def tableCtes(t: Int): String = {
     val seedPred = graft.text.TextOps
-      .hash32Sql("'ivfseed:' || CAST(vec_id AS VARCHAR)")
-    s"""seeds AS (
+      .hash32Sql(s"'ivfseed:$t:' || CAST(vec_id AS VARCHAR)")
+    val superPred = graft.text.TextOps
+      .hash32Sql(s"'ivfsuper:$t:' || CAST(seed_id AS VARCHAR)")
+    s"""seeds_$t AS (
        |  SELECT vec_id AS seed_id, v AS sv FROM n
        |  WHERE $seedPred % $IvfTargetBucket = 0
        |),
-       |a1 AS (
+       |sstat_$t AS (
+       |  SELECT greatest(1, CAST(floor(sqrt((SELECT count(*) FROM n)) / 2.0)
+       |                          AS BIGINT)) AS m2,
+       |         (SELECT min(seed_id) FROM seeds_$t) AS min_seed
+       |),
+       |supers_$t AS (
+       |  SELECT seed_id AS s_id, sv AS suv FROM seeds_$t, sstat_$t
+       |  WHERE $superPred % m2 = 0 OR seed_id = min_seed
+       |),
+       |seed_cell_$t AS (
+       |  SELECT seed_id, s_id FROM (
+       |    SELECT se.seed_id, su.s_id,
+       |           round(${dotSql("se.sv", "su.suv")}, 6) AS sscore
+       |    FROM seeds_$t se CROSS JOIN supers_$t su
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY seed_id
+       |                             ORDER BY sscore DESC, s_id ASC)
+       |          <= $SeedCellProbes
+       |),
+       |vec_cell_$t AS (
+       |  SELECT vec_id, s_id FROM (
+       |    SELECT n.vec_id, su.s_id,
+       |           round(${dotSql("n.v", "su.suv")}, 6) AS sscore
+       |    FROM n CROSS JOIN supers_$t su
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY sscore DESC, s_id ASC)
+       |          <= $VecCellProbes
+       |),
+       |a1_$t AS (
        |  SELECT vec_id, seed_id AS c0 FROM (
-       |    SELECT n.vec_id, s.seed_id,
-       |           round(${dotSql("n.v", "s.sv")}, 6) AS score
-       |    FROM n CROSS JOIN seeds s
+       |    SELECT vc.vec_id, sc.seed_id,
+       |           round(${dotSql("nv.v", "se.sv")}, 6) AS score
+       |    FROM vec_cell_$t vc
+       |    JOIN n nv ON nv.vec_id = vc.vec_id
+       |    JOIN seed_cell_$t sc ON sc.s_id = vc.s_id
+       |    JOIN seeds_$t se ON se.seed_id = sc.seed_id
        |  )
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |                             ORDER BY score DESC, seed_id ASC) = 1
        |),
-       |cdim AS (
-       |  SELECT a1.c0, i AS pos,
+       |cdim_$t AS (
+       |  SELECT a1_$t.c0, i AS pos,
        |         CAST(sum(floor(n.v[i] * 1e6)) AS BIGINT) / 1e6 / count(*) AS cx
-       |  FROM a1 JOIN n USING (vec_id),
+       |  FROM a1_$t JOIN n USING (vec_id),
        |       unnest(generate_series(1, len(n.v))) AS t(i)
-       |  GROUP BY a1.c0, i
+       |  GROUP BY a1_$t.c0, i
        |),
-       |cents2 AS (
+       |cents2_$t AS (
        |  SELECT c0 AS c_id, list(cx ORDER BY pos) AS cv
-       |  FROM cdim GROUP BY c0
+       |  FROM cdim_$t GROUP BY c0
        |),
-       |asg AS (
+       |cent_cell_$t AS (
+       |  SELECT c_id, s_id FROM (
+       |    SELECT c.c_id, su.s_id,
+       |           round(${dotSql("c.cv", "su.suv")}, 6) AS sscore
+       |    FROM cents2_$t c CROSS JOIN supers_$t su
+       |  )
+       |  QUALIFY row_number() OVER (PARTITION BY c_id
+       |                             ORDER BY sscore DESC, s_id ASC)
+       |          <= $SeedCellProbes
+       |),
+       |asg_$t AS (
        |  SELECT vec_id, c_id AS bucket FROM (
-       |    SELECT n.vec_id, c.c_id,
-       |           round(${dotSql("n.v", "c.cv")}, 6) AS score
-       |    FROM n CROSS JOIN cents2 c
+       |    SELECT cd.vec_id, cd.c_id,
+       |           round(${dotSql("nv.v", "c2.cv")}, 6) AS score
+       |    FROM (SELECT DISTINCT vc.vec_id, cc.c_id
+       |          FROM vec_cell_$t vc
+       |          JOIN cent_cell_$t cc ON cc.s_id = vc.s_id) cd
+       |    JOIN n nv ON nv.vec_id = cd.vec_id
+       |    JOIN cents2_$t c2 ON c2.c_id = cd.c_id
        |  )
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
        |                             ORDER BY score DESC, c_id ASC) <= 2
-       |),
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of [[adaptiveCentroids]] + [[ivfAssignments]] +
+    * [[ivfCosinePairs]] across all [[IvfTables]] tables, ending in
+    * `ivf_pairs(bucket, id_a, id_b, cos)` where `bucket` is the composite
+    * `tbl·2³² + c_id` key. Compose after the `n` CTE of [[vectorsCte]]. */
+  private lazy val ivfPairCtes: String = {
+    val tables = (0 until IvfTables).map(tableCtes).mkString(",\n")
+    val unionAsg = (0 until IvfTables).map { t =>
+      s"""  SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |         $t * $BucketKeyBase + x.bucket AS bkey
+         |  FROM asg_$t x
+         |  JOIN asg_$t y ON x.bucket = y.bucket AND x.vec_id < y.vec_id""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""$tables,
        |cand AS (
-       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b, min(x.bucket) AS bucket
-       |  FROM asg x JOIN asg y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-       |  GROUP BY x.vec_id, y.vec_id
+       |  SELECT id_a, id_b, min(bkey) AS bucket FROM (
+       |$unionAsg
+       |  )
+       |  GROUP BY id_a, id_b
        |),
        |ivf_pairs AS (
        |  SELECT c.bucket, c.id_a, c.id_b,

@@ -65,8 +65,14 @@ object CorpusOps {
   private var lastFinalCut: Option[DataFrame] = None
   private def retireLastCut(next: Option[DataFrame]): Unit =
     ccStateLock.synchronized {
-      lastFinalCut.foreach(
-        org.apache.spark.sql.graft.GraftShims.freeCheckpoint)
+      // a cut from an already-STOPPED SparkContext (session cycled in this
+      // JVM — one notebook kernel, many sessions; also any test suite that
+      // runs a CC query then stops its session) has no block manager left
+      // to free against: its blocks died with the context, so just drop
+      // the reference instead of NPE-ing on the dead driver endpoint
+      lastFinalCut
+        .filterNot(_.sparkSession.sparkContext.isStopped)
+        .foreach(org.apache.spark.sql.graft.GraftShims.freeCheckpoint)
       lastFinalCut = next
     }
 
@@ -886,12 +892,39 @@ object CorpusOps {
   /** Training-sequence token budget (the model's context length). */
   private[graft] val PackBudget = 2048
 
-  /** Shard count for parallel packing: each shard packs independently, so
-    * the per-shard ordered window never needs a global sort. Fixed at 32
-    * here (one per local core); at 100 TB raise it until a shard's token
-    * stream fits one task comfortably — packing quality is unaffected
-    * because sequences never span shards anyway. */
-  private val PackShards = 32
+  /** Shard-count FLOOR for parallel packing: each shard packs
+    * independently, so the per-shard ordered window never needs a global
+    * sort. 32 = one per local core; the actual count is derived from the
+    * corpus by [[packShardCount]] so it GROWS with the data. */
+  private[graft] val PackShards = 32
+
+  /** Target token mass per pack shard (64M ≈ 0.5 GiB of (id, toks) state
+    * plus the text that streams through one task's window sort — sized so a
+    * shard always fits one task). The derived shard count is
+    * max([[PackShards]], ⌈Σ est_tokens / target⌉): at test SFs the floor
+    * wins (shards = 32, every plan unchanged); at 100 TB (~25T est tokens)
+    * it derives ~400k shards — the same derived-from-the-data scaling the
+    * IVF quantizer's k uses, with no config to forget. Derivation always
+    * uses the chars/4 estimate (even under a swapped tokenizer): the shard
+    * count is a parallelism knob, not a semantic, and keeping it
+    * tokenizer-independent means both engines agree on it by construction. */
+  private[graft] val TargetShardTokens = 64L * 1024 * 1024
+
+  /** Singleton (n_shards) frame: broadcast-crossJoined into the pack
+    * projections — zero driver actions, mirrored in SQL by a scalar
+    * subquery over the same sum. */
+  private def packShardCount(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.agg(sum(estToks).as("ptt"))
+      .select(greatest(lit(PackShards.toLong),
+        expr(s"(ptt + ${TargetShardTokens - 1L}) div $TargetShardTokens"))
+        .as("n_shards"))
+
+  /** `n_shards` as a DuckDB scalar subquery (the SQL twin of
+    * [[packShardCount]] — exact integer arithmetic in both engines). */
+  private def packShardCountSql: String =
+    s"(SELECT greatest($PackShards, (CAST(sum($estToksSql) AS BIGINT) + " +
+      s"${TargetShardTokens - 1L}) // $TargetShardTokens) FROM documents)"
 
   /** The default packing token count: the chars/4 estimate (`q_token_count`'s
     * `est_tokens`). [[bpeToks]] is the swappable real-tokenizer stand-in. */
@@ -948,11 +981,12 @@ object CorpusOps {
     * unconditional. */
   private def packAssignments(s: SparkSession, d: String,
       toks: Column = estToks): DataFrame = {
+    val docs = Tables.documents(s, d)
     val shard =
       TextOps.hash32(concat(lit("pack:"), col("doc_id").cast("string"))) %
-        PackShards
+        col("n_shards")
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-    Tables.documents(s, d)
+    docs.crossJoin(broadcast(packShardCount(docs)))
       .select(col("doc_id"), toks.as("toks"), shard.as("shard"))
       .withColumn("cum", sum(col("toks")).over(w))
       .select(col("doc_id"), col("shard"), col("toks"),
@@ -966,7 +1000,7 @@ object CorpusOps {
     s"""t AS (
        |  SELECT doc_id,
        |         $toksSql AS toks,
-       |         $h % $PackShards AS shard
+       |         $h % $packShardCountSql AS shard
        |  FROM documents
        |),
        |c AS (
@@ -992,20 +1026,25 @@ object CorpusOps {
     * sequential per shard (each placement depends on all previous bin
     * states), so the shard is the parallel unit — `flatMapGroups` over the
     * hash-sharded corpus, the typed-Dataset analogue of the window the
-    * concat pack uses, with per-task state bounded by the shard. The
-    * in-task first-fit scan is O(docs·bins) per shard; a capacity-indexed
-    * tree drops that to O(docs·log bins) if shards ever get huge — the
-    * distributed shape is unchanged.
+    * concat pack uses, with per-task state bounded by the shard: the
+    * derived shard count ([[packShardCount]]) caps a shard at
+    * ~[[TargetShardTokens]] tokens, i.e. the in-task (id, toks) array and
+    * bin list stay well under 0.5 GiB per task at ANY corpus size — the
+    * per-task memory is a constant of the config, not a function of the
+    * corpus. The in-task first-fit scan is O(docs·bins) per shard; a
+    * capacity-indexed tree drops that to O(docs·log bins) if shards ever
+    * get huge — the distributed shape is unchanged.
     *
     * Value-gated doc-by-doc: the DuckDB oracle REPLAYS the same greedy
     * process with a recursive CTE carrying each shard's open-bin capacity
     * list, one document per recursion step. */
   private[graft] def ffdAssignments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val docs = Tables.documents(s, d)
     val shard =
       TextOps.hash32(concat(lit("pack:"), col("doc_id").cast("string"))) %
-        PackShards
-    val base = Tables.documents(s, d)
+        col("n_shards")
+    val base = docs.crossJoin(broadcast(packShardCount(docs)))
       .select(col("doc_id"), estToks.as("toks"), shard.as("shard"))
       .as[(Long, Long, Long)]
     base.groupByKey(_._3).flatMapGroups { (sh: Long, it: Iterator[(Long, Long, Long)]) =>
@@ -1032,7 +1071,7 @@ object CorpusOps {
     val fit = "list_filter(generate_series(1, len(p.bins)), " +
       "i -> p.bins[i] >= t.toks)[1]"
     s"""ft AS (
-       |  SELECT doc_id, $estToksSql AS toks, $h % $PackShards AS shard
+       |  SELECT doc_id, $estToksSql AS toks, $h % $packShardCountSql AS shard
        |  FROM documents
        |),
        |fr AS (
@@ -1073,7 +1112,14 @@ object CorpusOps {
     * metric that decides the policy trade: concat-and-chunk packs to 100%
     * by construction (docs cross pack boundaries; pack count per shard is
     * ⌈Σtoks/budget⌉), FFD trades fill for doc integrity. One aggregate per
-    * policy, both shard-keyed then reduced to one row each. */
+    * policy, both shard-keyed then reduced to one row each. `max_pack_toks`
+    * makes the panel itself the overfull-bin alarm (no reliance on
+    * InvariantCheck): concat's fullest pack is exactly the budget whenever
+    * any shard holds ≥ one full pack (least(max shard mass, budget) by the
+    * chunk-every-budget construction), and an FFD value ABOVE the budget in
+    * this column means either a legitimate oversize single-doc pack or —
+    * if the InvariantCheck multi-doc law also trips — a broken first-fit
+    * scan. */
   private val qPackFill = Q(
     "q_pack_fill",
     (s, d) => {
@@ -1081,12 +1127,16 @@ object CorpusOps {
         .groupBy(col("shard")).agg(sum(col("toks")).as("st"))
         .agg(sum(ceil(col("st") / PackBudget.toDouble)).cast("long")
           .as("n_packs"),
-          sum(col("st")).as("sum_toks"))
-        .select(lit("concat").as("policy"), col("n_packs"), col("sum_toks"))
+          sum(col("st")).as("sum_toks"),
+          least(max(col("st")), lit(PackBudget.toLong)).as("max_pack_toks"))
+        .select(lit("concat").as("policy"), col("n_packs"), col("sum_toks"),
+          col("max_pack_toks"))
       val fpol = ffdAssignments(s, d)
         .groupBy(col("shard"), col("pack_id")).agg(sum(col("toks")).as("pt"))
-        .agg(count(lit(1)).as("n_packs"), sum(col("pt")).as("sum_toks"))
-        .select(lit("ffd").as("policy"), col("n_packs"), col("sum_toks"))
+        .agg(count(lit(1)).as("n_packs"), sum(col("pt")).as("sum_toks"),
+          max(col("pt")).as("max_pack_toks"))
+        .select(lit("ffd").as("policy"), col("n_packs"), col("sum_toks"),
+          col("max_pack_toks"))
       cpol.union(fpol)
         .withColumn("fill_rate", round(
           col("sum_toks").cast("double") / (col("n_packs") * PackBudget), 6))
@@ -1098,7 +1148,8 @@ object CorpusOps {
          |cpol AS (
          |  SELECT 'concat' AS policy,
          |         CAST(sum(np) AS BIGINT) AS n_packs,
-         |         CAST(sum(st) AS BIGINT) AS sum_toks
+         |         CAST(sum(st) AS BIGINT) AS sum_toks,
+         |         CAST(least(max(st), $PackBudget) AS BIGINT) AS max_pack_toks
          |  FROM (
          |    SELECT CAST(ceil(sum(toks) / ${PackBudget}.0) AS BIGINT) AS np,
          |           sum(toks) AS st
@@ -1108,14 +1159,15 @@ object CorpusOps {
          |fpol AS (
          |  SELECT 'ffd' AS policy,
          |         CAST(count(*) AS BIGINT) AS n_packs,
-         |         CAST(sum(pt) AS BIGINT) AS sum_toks
+         |         CAST(sum(pt) AS BIGINT) AS sum_toks,
+         |         CAST(max(pt) AS BIGINT) AS max_pack_toks
          |  FROM (
          |    SELECT shard, pack_id, sum(toks) AS pt
          |    FROM ffd GROUP BY shard, pack_id
          |  )
          |),
          |u AS (SELECT * FROM cpol UNION ALL SELECT * FROM fpol)
-         |SELECT policy, n_packs, sum_toks,
+         |SELECT policy, n_packs, sum_toks, max_pack_toks,
          |       round(CAST(sum_toks AS DOUBLE) / (n_packs * $PackBudget), 6)
          |         AS fill_rate
          |FROM u ORDER BY policy""".stripMargin))

@@ -165,54 +165,102 @@ object InvariantCheck {
     // straight through these caps at 10× the oracle's SF.
     val ivfShapeFailure: Option[String] = try {
       val tb = graft.sim.SimilarityOps.IvfTargetBucket.toLong
+      // per-TABLE shape: every one of the IvfTables independent quantizers
+      // must have a scaling k and bounded cells — the worst table is
+      // asserted, so one degenerate table can't hide behind the union
       val row = graft.sim.SimilarityOps.ivfAssignments(spark, sfDir)
-        .where("pr = 1").groupBy("bucket").count()
-        .selectExpr("count(*) AS k", "CAST(max(count) AS LONG) AS mx",
-          "CAST(sum(count * count) AS LONG) AS ss").head()
+        .where("pr = 1").groupBy("tbl", "bucket").count()
+        .groupBy("tbl")
+        .agg(org.apache.spark.sql.functions.expr("count(*)").as("k"),
+          org.apache.spark.sql.functions.expr("CAST(max(count) AS LONG)")
+            .as("mx"),
+          org.apache.spark.sql.functions
+            .expr("CAST(sum(count * count) AS LONG)").as("ss"))
+        .selectExpr("CAST(min(k) AS LONG)", "CAST(max(mx) AS LONG)",
+          "CAST(max(ss) AS LONG)", "CAST(count(*) AS LONG)").head()
       val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-      val (k, mx, ss) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      val (k, mx, ss, nt) =
+        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
       val kOk = k >= n / (4L * tb)
       val mxOk = mx <= 8L * tb
       val ssOk = ss <= 8L * n * tb
-      if (kOk && mxOk && ssOk) {
-        println(s"[invariant] OK ivf_quantizer: k=$k for n=$n " +
-          s"(target ${n / tb}), max_bucket=$mx (cap ${8L * tb}), " +
-          s"sum_sq=$ss (cap ${8L * n * tb})")
+      val ntOk = nt == graft.sim.SimilarityOps.IvfTables.toLong
+      if (kOk && mxOk && ssOk && ntOk) {
+        println(s"[invariant] OK ivf_quantizer: $nt tables, worst-table " +
+          s"k=$k for n=$n (target ${n / tb}), max_bucket=$mx " +
+          s"(cap ${8L * tb}), sum_sq=$ss (cap ${8L * n * tb})")
         None
-      } else Some(s"ivf_quantizer: n=$n k=$k max_bucket=$mx sum_sq=$ss " +
-        s"VIOLATES scale shape (need k ≥ n/${4L * tb}·, max ≤ ${8L * tb}, " +
-        s"Σb² ≤ 8·n·$tb) — the quantizer stopped scaling with the corpus")
+      } else Some(s"ivf_quantizer: n=$n tables=$nt worst k=$k " +
+        s"max_bucket=$mx sum_sq=$ss VIOLATES scale shape (need all " +
+        s"${graft.sim.SimilarityOps.IvfTables} tables, k ≥ n/${4L * tb}, " +
+        s"max ≤ ${8L * tb}, Σb² ≤ 8·n·$tb per table) — a quantizer table " +
+        "stopped scaling with the corpus")
     } catch {
       case e: Throwable => Some(s"ivf_quantizer: failed to run: ${e.getMessage}")
+    }
+    // Hierarchical-assignment broadcast bound: the two-level IVF assignment
+    // may broadcast ONLY the super set, whose size must stay O(√n)
+    // (expected √(n/16) = √n/4) — a regression back to broadcasting the
+    // k ≈ n/16 centroid set (the round-7 flat argmax, n²/16 dots and an
+    // O(n)-row broadcast) blows through this cap immediately.
+    val ivfSuperFailure: Option[String] = try {
+      val vs = graft.sim.SimilarityOps.vectorsFor(spark, sfDir)
+      val counts = (0 until graft.sim.SimilarityOps.IvfTables)
+        .map(t => graft.sim.SimilarityOps.supersOf(vs, t).count())
+      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      val cap = math.max(8L, 2L * math.ceil(math.sqrt(n.toDouble)).toLong)
+      if (counts.forall(c => c >= 1L && c <= cap)) {
+        println(s"[invariant] OK ivf_supers: per-table super counts " +
+          s"${counts.mkString("/")} for n=$n (O(√n) cap $cap) — no " +
+          "assignment broadcast side ∝ n")
+        None
+      } else Some(s"ivf_supers: per-table super counts " +
+        s"${counts.mkString("/")} for n=$n VIOLATE the O(√n) broadcast " +
+        s"bound [1, $cap] — a level-1 quantizer stopped being sublinear")
+    } catch {
+      case e: Throwable => Some(s"ivf_supers: failed to run: ${e.getMessage}")
     }
     // IVF pair recall vs ground truth: the nprobe=2 multi-assignment must
     // recover nearly all true near-dup pairs (cos ≥ 0.35) that the O(n²)
     // brute-force sweep finds — the quantitative form of "the unsampled
-    // scale path is a valid substitute for all-pairs".
-    val ivfRecallFailure: Option[String] = try {
-      val bf = graft.sim.SimilarityOps.bruteForcePairs(spark, sfDir)
-      val ivf = graft.sim.SimilarityOps.ivfCosinePairs(spark, sfDir)
-        .select("id_a", "id_b")
-      val nBf = bf.count()
-      val nHit = bf.join(ivf, Seq("id_a", "id_b"), "left_semi").count()
-      val recall = if (nBf == 0) 1.0 else nHit.toDouble / nBf
-      if (nBf > 0 && recall >= 0.8) {
-        println(f"[invariant] OK ivf_recall: $nHit/$nBf pairs = " +
-          f"$recall%.3f ≥ 0.8 floor")
-        None
-      } else Some(f"ivf_recall: $nHit of $nBf brute-force pairs = " +
-        f"$recall%.3f VIOLATES the 0.8 floor (or no ground-truth pairs " +
-        "exist to measure)")
-    } catch {
-      case e: Throwable => Some(s"ivf_recall: failed to run: ${e.getMessage}")
+    // scale path is a valid substitute for all-pairs". Asserted at the
+    // requested SF AND at sf0.01: different n → different k and super
+    // count → different Voronoi geometry, so a quantizer regression that
+    // happens to pass at one operating point can't slip through.
+    val recallDirs = sfDir +: {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParent,
+        "sf0.01").getPath
+      if (sibling != sfDir && new java.io.File(sibling).isDirectory)
+        Seq(sibling) else Seq.empty
+    }
+    val ivfRecallFailures = recallDirs.flatMap { dir =>
+      try {
+        val bf = graft.sim.SimilarityOps.bruteForcePairs(spark, dir)
+        val ivf = graft.sim.SimilarityOps.ivfCosinePairs(spark, dir)
+          .select("id_a", "id_b")
+        val nBf = bf.count()
+        val nHit = bf.join(ivf, Seq("id_a", "id_b"), "left_semi").count()
+        val recall = if (nBf == 0) 1.0 else nHit.toDouble / nBf
+        if (nBf > 0 && recall >= 0.8) {
+          println(f"[invariant] OK ivf_recall[$dir]: $nHit/$nBf pairs = " +
+            f"$recall%.3f ≥ 0.8 floor")
+          None
+        } else Some(f"ivf_recall[$dir]: $nHit of $nBf brute-force pairs = " +
+          f"$recall%.3f VIOLATES the 0.8 floor (or no ground-truth pairs " +
+          "exist to measure)")
+      } catch {
+        case e: Throwable =>
+          Some(s"ivf_recall[$dir]: failed to run: ${e.getMessage}")
+      }
     }
     val failures = tableFailures ++ ccFailure ++ packFailure ++ ffdFailure ++
-      ivfShapeFailure ++ ivfRecallFailure
+      ivfShapeFailure ++ ivfSuperFailure ++ ivfRecallFailures
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach(f => System.err.println(s"[invariant] FAIL $f"))
       sys.exit(1)
     }
-    println(s"[invariant] all ${invariants.size + 5} invariants hold at $sfDir")
+    println(s"[invariant] all ${invariants.size + 5 + recallDirs.size} " +
+      s"invariants hold at $sfDir")
   }
 }

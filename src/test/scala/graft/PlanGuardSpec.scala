@@ -52,17 +52,24 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_embed_ivf_assign",      // same label-centroid set
     "q_embed_ivf_search",      // 10 broadcast centroids (probe stage)
     "q_embed_ivf_recall",      // centroids + sampled brute-force query slice
-    "q_embed_neardup_ivf",     // scale-adaptive quantizer: broadcast seed +
-                               // centroid argmax (k≈n/16 rows); the pair
-                               // join itself is a bucket equi-join
-    "q_semantic_dedup",        // same quantizer broadcast feeding the CC loop
+    "q_embed_neardup_ivf",     // hierarchical quantizer: the ONLY vector
+                               // broadcast is the O(√n) super set (plus
+                               // singleton stats); fine scoring and the
+                               // pair join are hash equi-joins — pinned
+                               // below and by InvariantCheck's super bound
+    "q_semantic_dedup",        // same quantizer broadcasts feeding the CC loop
     "q_media_features",        // fixed 8-slot feature positions
     "q_similarity_topk",       // single broadcast query vector
     "q_search_modes",          // three fixed mode rows
     "q_asof_join",             // union+window route: scalar bound subquery
     "q_cost_estimate",         // single-row cost model join
     "q_bm25",                  // single-row corpus-stats (df/avgdl) broadcast
-    "q_unigram_logprob")       // single-row corpus-total broadcast
+    "q_unigram_logprob",       // single-row corpus-total broadcast
+    "q_seq_pack",              // single-row derived shard-count broadcast
+    "q_seq_pack_tok",          // same singleton (packShardCount)
+    "q_seq_pack_ffd",          // same singleton
+    "q_pack_manifest",         // same singleton
+    "q_pack_fill")             // same singleton, both policies
 
   test("no unbounded nested-loop or cartesian joins in any registered plan") {
     val offenders = probe {
@@ -205,6 +212,42 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "band self-join degenerated to a nested loop over a checkpointed frame")
     assert(plan.contains("Scan ExistingRDD"),
       "expected the checkpointed signature RDD in the executed plan — if " +
+        "checkpointing moved, point this spot check at the new cut")
+  }
+
+  test("IVF fine assignment joins super-cells — no broadcast side ∝ n") {
+    // the hierarchical two-level assignment must reach fine centroids
+    // through the s_id equi-join (vec_cell ⋈ cent_cell) and re-join
+    // centroid vectors by c_id — the round-7 regression shape (all k ≈ n/16
+    // centroids riding one broadcast nested-loop argmax) would leave no
+    // s_id join key in the plan. Size-boundedness of what IS broadcast
+    // (the O(√n) super set) is InvariantCheck's ivf_supers bound; this
+    // pins the structure.
+    val plan = probe(graft.sim.SimilarityOps
+      .ivfAssignments(spark, dir).queryExecution.optimizedPlan.toString)
+    assert(plan.contains("s_id"),
+      "expected the super-cell (s_id) equi-join in the IVF assignment plan")
+    // the fine candidate join keys must appear as join conditions, not
+    // inside a nested-loop filter over a full centroid broadcast
+    assert(!plan.contains("CartesianProduct"),
+      "IVF assignment contains an unhinted cartesian product")
+  }
+
+  test("executed-mode spot check: q_dup_clusters' CC joins past real checkpoints") {
+    // the CC loop localCheckpoints its label/edge frames every round; in
+    // plan-only mode those cuts are skipped, so — like the band-join check
+    // above — the post-checkpoint planning regime (joins over LogicalRDD
+    // leaves with RDD stats) is only covered by running one CC-backed query
+    // for REAL. The propagation joins must stay keyed hash joins over the
+    // checkpointed frames, never a nested loop.
+    val qe = SparkEntry.queries("q_dup_clusters")(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "a CC propagation join degenerated to a nested loop over a " +
+        "checkpointed frame")
+    assert(plan.contains("Scan ExistingRDD"),
+      "expected checkpointed CC frames in the executed plan — if " +
         "checkpointing moved, point this spot check at the new cut")
   }
 
