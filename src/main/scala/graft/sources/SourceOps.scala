@@ -56,11 +56,12 @@ object SourceOps {
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
-  /** S6/S7: tabular workbook sink/source analogue — the reference round-trips
-    * result tables through multi-sheet Excel (`tool.py` ExcelManager,
-    * `Narrative_Miners/src/tool.py:10-26`); the engine's equivalent is
-    * header'd CSV per sheet (xlsx itself is out of engine scope). Dates are
-    * rendered as ISO strings on write so the round-trip is type-stable. */
+  /** S6/S7 (lightweight form): tabular sheet sink/source as header'd CSV per
+    * sheet — the plain-text sibling of the BINARY workbook path, which is
+    * [[Xlsx.saveWorkbook]]/[[Xlsx.readWorkbook]] (real multi-sheet `.xlsx`
+    * round-trip on JDK zip+XML alone; that module carries the reference
+    * contract citations). Dates are rendered as ISO strings on write so the
+    * round-trip is type-stable in both forms. */
   def writeSheet(df: DataFrame, dir: String, sheet: String): Unit =
     df.write.mode("overwrite").option("header", "true")
       .csv(s"$dir/$sheet")

@@ -1,0 +1,373 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** S6/S7 in BINARY form: a real multi-sheet `.xlsx` workbook sink and source
+  * (SURVEY.md §2.1) built on nothing but the JDK — an xlsx file is a zip of
+  * OOXML parts, so `java.util.zip` + `javax.xml.parsers` cover both
+  * directions without any spreadsheet library.
+  *
+  * Reference contract being reproduced:
+  *  - sink: `ExcelManager.save_workbook(df_args, path)` with
+  *    `df_args = [(df, sheet_name, (start_row, start_col)), ...]`
+  *    (`AI_Cost_Cutting_Market_Analysis.ipynb` cell 41) — multiple result
+  *    tables into one workbook, each at a cell offset;
+  *  - source: `pd.read_excel(file_path, header=1)` then drop `Unnamed:`
+  *    columns, parse `Date`, stamp `Source_Type`
+  *    (`Narrative_Miners/src/tool.py:10-26` `load_results`).
+  *
+  * Spark-first scoping, same decision as [[graft.report.ReportSink]] (S9):
+  * workbooks are a PRESENTATION boundary. The sink collects only bounded,
+  * already-aggregated results (guarded by `maxRows` — it throws rather than
+  * silently truncate), and the source materializes a bounded grid on the
+  * driver before handing Spark a typed DataFrame. Neither is a 100 TB path;
+  * the 100 TB paths write parquet ([[SourceOps.cached]],
+  * [[SourceOps.writeBucketed]]).
+  *
+  * Writer layout (mirrors what `load_results` expects to find): at the sheet
+  * offset a one-cell BANNER row (the sheet title), then the header row —
+  * with a blank first cell over the written row-index column (pandas renders
+  * a blank header as `Unnamed: 0`) — then data rows. Reading back with
+  * `header = 1` therefore skips the banner, takes the real header, and the
+  * quirk rule drops the index column: a faithful round-trip of the
+  * reference's own workbook shape.
+  *
+  * Cell typing: strings are written as inline strings (`t="inlineStr"` — no
+  * sharedStrings indirection needed on write), numbers as numeric cells,
+  * booleans as `t="b"`, dates/timestamps as ISO strings (type-stable
+  * round-trip, same decision as [[SourceOps.writeSheet]]), null as an
+  * omitted cell. The READER additionally understands `t="s"` sharedStrings
+  * and `t="str"` formula-cache cells, so workbooks produced by openpyxl/
+  * pandas (which always use sharedStrings) load too — that is what makes
+  * this a source for foreign files, not just an echo of our own sink.
+  */
+object Xlsx {
+
+  // ---------------------------------------------------------------- shared
+
+  /** 0-based column index → A1-style letters (0→A, 25→Z, 26→AA). */
+  private[graft] def colLetters(c: Int): String = {
+    val sb = new StringBuilder
+    var n = c
+    while (n >= 0) {
+      sb.insert(0, ('A' + n % 26).toChar)
+      n = n / 26 - 1
+    }
+    sb.toString
+  }
+
+  /** A1-style reference → (row0, col0). */
+  private[graft] def parseRef(ref: String): (Int, Int) = {
+    val letters = ref.takeWhile(_.isLetter)
+    val digits = ref.drop(letters.length)
+    val col = letters.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
+    (digits.toInt - 1, col)
+  }
+
+  private def escXml(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  // ---------------------------------------------------------------- writer
+
+  private val SsMain = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+  private val RelNs =
+    "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+  private def cellXml(r: Int, c: Int, v: Any): Option[String] = {
+    val ref = s"${colLetters(c)}${r + 1}"
+    v match {
+      case null => None
+      case b: Boolean =>
+        Some(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
+      case n @ (_: Int | _: Long | _: Short | _: Byte) =>
+        Some(s"""<c r="$ref"><v>$n</v></c>""")
+      case d: Double =>
+        if (d.isNaN || d.isInfinite)
+          Some(s"""<c r="$ref" t="inlineStr"><is><t>$d</t></is></c>""")
+        else Some(s"""<c r="$ref"><v>$d</v></c>""")
+      case f: Float => cellXml(r, c, f.toDouble)
+      case d: java.math.BigDecimal => Some(s"""<c r="$ref"><v>$d</v></c>""")
+      case d: java.sql.Date =>
+        Some(s"""<c r="$ref" t="inlineStr"><is><t>$d</t></is></c>""")
+      case t: java.sql.Timestamp =>
+        val iso = t.toInstant.toString
+        Some(s"""<c r="$ref" t="inlineStr"><is><t>${escXml(iso)}</t></is></c>""")
+      case s =>
+        Some(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${escXml(s.toString)}</t></is></c>""")
+    }
+  }
+
+  /** One sheet's XML: banner at the offset, header (blank cell over the
+    * index column), then data rows. */
+  private def sheetXml(name: String, cols: Seq[String], rows: Seq[Row],
+      startRow: Int, startCol: Int, banner: Boolean, index: Boolean)
+      : String = {
+    val out = new StringBuilder
+    out ++= s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    out ++= s"""<worksheet xmlns="$SsMain"><sheetData>"""
+    var r = startRow
+    def rowXml(cells: Seq[Option[String]]): Unit = {
+      val present = cells.flatten
+      if (present.nonEmpty)
+        out ++= s"""<row r="${r + 1}">${present.mkString}</row>"""
+      r += 1
+    }
+    if (banner) rowXml(Seq(cellXml(r, startCol, name)))
+    val headerVals: Seq[Any] =
+      (if (index) Seq(null) else Nil) ++ cols
+    rowXml(headerVals.zipWithIndex.map { case (v, i) =>
+      cellXml(r, startCol + i, v) })
+    rows.zipWithIndex.foreach { case (row, ri) =>
+      val vals: Seq[Any] =
+        (if (index) Seq(ri: Any) else Nil) ++
+          cols.indices.map(i => if (row.isNullAt(i)) null else row.get(i))
+      rowXml(vals.zipWithIndex.map { case (v, i) =>
+        cellXml(r, startCol + i, v) })
+    }
+    out ++= "</sheetData></worksheet>"
+    out.toString
+  }
+
+  /** Write a multi-sheet workbook — the `save_workbook` analogue. Each entry
+    * is `(result, sheetName, (startRow, startCol))`. Bounded by contract:
+    * throws if any sheet exceeds `maxRows` (a presentation sink must not
+    * silently truncate a result, and an unbounded collect must not hide
+    * behind one). */
+  def saveWorkbook(sheets: Seq[(DataFrame, String, (Int, Int))], path: String,
+      maxRows: Int = 10000): Unit = {
+    require(sheets.nonEmpty, "workbook needs at least one sheet")
+    val collected = sheets.map { case (df, name, (r0, c0)) =>
+      val rows = df.limit(maxRows + 1).collect()
+      require(rows.length <= maxRows,
+        s"sheet '$name' exceeds maxRows=$maxRows — aggregate further or " +
+          "raise the bound explicitly; this sink is a presentation boundary")
+      (df.columns.toSeq, rows.toSeq, name, r0, c0)
+    }
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos, java.nio.charset.StandardCharsets.UTF_8)
+    def part(entry: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(entry))
+      zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    val n = collected.size
+    part("[Content_Types].xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        (1 to n).map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+          .mkString +
+        "</Types>")
+    part("_rels/.rels",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        s"""<Relationship Id="rId1" Type="$RelNs/officeDocument" Target="xl/workbook.xml"/>""" +
+        "</Relationships>")
+    part("xl/workbook.xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        s"""<workbook xmlns="$SsMain" xmlns:r="$RelNs"><sheets>""" +
+        collected.zipWithIndex.map { case ((_, _, name, _, _), i) =>
+          s"""<sheet name="${escXml(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString +
+        "</sheets></workbook>")
+    part("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        (1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="$RelNs/worksheet" Target="worksheets/sheet$i.xml"/>""")
+          .mkString +
+        "</Relationships>")
+    collected.zipWithIndex.foreach { case ((cols, rows, name, r0, c0), i) =>
+      part(s"xl/worksheets/sheet${i + 1}.xml",
+        sheetXml(name, cols, rows, r0, c0, banner = true, index = true))
+    }
+    zip.close()
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    val out = fs.create(hPath, true)
+    try out.write(bos.toByteArray) finally out.close()
+  }
+
+  // ---------------------------------------------------------------- reader
+
+  private def parseXml(bytes: Array[Byte]): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    // untrusted spreadsheet input: no DTDs, no external entities
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f.setNamespaceAware(false)
+    f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
+  }
+
+  private def elems(parent: org.w3c.dom.Element, tag: String)
+      : Seq[org.w3c.dom.Element] = {
+    val nl = parent.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+  }
+
+  /** All zip entries of the workbook at `path`, read through the Hadoop
+    * FileSystem API (local/HDFS/S3A alike). Workbooks are bounded
+    * presentation artifacts, so one in-memory pass is the right shape. */
+  private def entriesOf(spark: SparkSession, path: String)
+      : Map[String, Array[Byte]] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hPath)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val out = mutable.LinkedHashMap.empty[String, Array[Byte]]
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory)
+        out(e.getName) = org.apache.commons.io.IOUtils.toByteArray(zin)
+      e = zin.getNextEntry
+    }
+    zin.close()
+    out.toMap
+  }
+
+  /** Sheet names in workbook order. */
+  def sheetNames(spark: SparkSession, path: String): Seq[String] = {
+    val parts = entriesOf(spark, path)
+    val wb = parseXml(parts("xl/workbook.xml"))
+    elems(wb.getDocumentElement, "sheet").map(_.getAttribute("name"))
+  }
+
+  /** The raw cell grid of one sheet: dense Vector of rows of Option[String]
+    * canonical values (booleans as "true"/"false", sharedStrings resolved).
+    * Exposed for tests; [[readWorkbook]] is the typed contract. */
+  private[graft] def sheetGrid(spark: SparkSession, path: String,
+      sheet: Option[String]): Vector[Vector[Option[String]]] = {
+    val parts = entriesOf(spark, path)
+    val wb = parseXml(parts("xl/workbook.xml"))
+    val sheetsMeta = elems(wb.getDocumentElement, "sheet")
+      .map(e => (e.getAttribute("name"), e.getAttribute("r:id")))
+    require(sheetsMeta.nonEmpty, s"no sheets in workbook $path")
+    val (name, rId) = sheet match {
+      case Some(s) => sheetsMeta.find(_._1 == s).getOrElse(
+        throw new IllegalArgumentException(
+          s"sheet '$s' not in workbook (has: ${sheetsMeta.map(_._1).mkString(", ")})"))
+      case None => sheetsMeta.head
+    }
+    val rels = parseXml(parts("xl/_rels/workbook.xml.rels"))
+    val target = elems(rels.getDocumentElement, "Relationship")
+      .find(_.getAttribute("Id") == rId)
+      .map(_.getAttribute("Target"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"sheet '$name' has no relationship target"))
+    val sheetPath =
+      if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+    val shared: IndexedSeq[String] = parts.get("xl/sharedStrings.xml") match {
+      case Some(b) =>
+        // an <si> is either a plain <t> or rich runs <r><t>…; concatenating
+        // every descendant <t> covers both
+        elems(parseXml(b).getDocumentElement, "si")
+          .map(si => elems(si, "t").map(_.getTextContent).mkString)
+          .toIndexedSeq
+      case None => IndexedSeq.empty
+    }
+    val doc = parseXml(parts(sheetPath))
+    val cells = mutable.HashMap.empty[(Int, Int), String]
+    var maxR = -1
+    var maxC = -1
+    elems(doc.getDocumentElement, "row").foreach { rowEl =>
+      elems(rowEl, "c").foreach { c =>
+        val ref = c.getAttribute("r")
+        if (ref.nonEmpty) {
+          val (r, cc) = parseRef(ref)
+          val t = c.getAttribute("t")
+          val value: Option[String] = t match {
+            case "inlineStr" =>
+              Some(elems(c, "t").map(_.getTextContent).mkString)
+            case "s" =>
+              elems(c, "v").headOption.map(v => shared(v.getTextContent.trim.toInt))
+            case "b" =>
+              elems(c, "v").headOption.map(v =>
+                if (v.getTextContent.trim == "1") "true" else "false")
+            case _ => // numeric, "str" formula cache, or untyped
+              elems(c, "v").headOption.map(_.getTextContent)
+          }
+          value.filter(_.nonEmpty).foreach { v =>
+            cells((r, cc)) = v
+            if (r > maxR) maxR = r
+            if (cc > maxC) maxC = cc
+          }
+        }
+      }
+    }
+    Vector.tabulate(maxR + 1)(r => Vector.tabulate(maxC + 1)(c =>
+      cells.get((r, c))))
+  }
+
+  private val LongRe = "[+-]?\\d{1,18}".r
+  private val DoubleRe =
+    "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+  private val DateRe = "\\d{4}-\\d{2}-\\d{2}".r
+
+  private def inferType(vals: Seq[String]): DataType =
+    if (vals.isEmpty) StringType
+    else if (vals.forall(v => LongRe.pattern.matcher(v).matches())) LongType
+    else if (vals.forall(v => DoubleRe.pattern.matcher(v).matches())) DoubleType
+    else if (vals.forall(v => v == "true" || v == "false")) BooleanType
+    else if (vals.forall(v => DateRe.pattern.matcher(v).matches())) DateType
+    else StringType
+
+  /** Read one sheet with the reference's `load_results` contract
+    * (`tool.py:10-26`): row `header` is the header (default 1 — one banner
+    * row above it), columns with blank or `Unnamed`-prefixed headers are
+    * dropped (that rule also swallows the written row-index column and any
+    * start_col padding), per-column types are inferred (long / double /
+    * boolean / ISO date / string), a `Date` column is parsed to DateType,
+    * and `Source_Type` is stamped when given. */
+  def readWorkbook(spark: SparkSession, path: String,
+      sheet: Option[String] = None, sourceType: Option[String] = None,
+      header: Int = 1): DataFrame = {
+    val grid = sheetGrid(spark, path, sheet)
+    require(grid.length > header, s"workbook sheet has no header row $header")
+    val headerRow = grid(header)
+    val kept = headerRow.zipWithIndex.collect {
+      case (Some(h), i) if h.trim.nonEmpty && !h.contains("Unnamed") =>
+        (h.trim, i)
+    }
+    require(kept.nonEmpty, "no named columns in the header row")
+    val body = grid.drop(header + 1)
+      .filter(row => kept.exists { case (_, i) => row.lift(i).flatten.isDefined })
+    val types = kept.map { case (name, i) =>
+      val vals = body.flatMap(_.lift(i).flatten)
+      name -> (if (name == "Date") DateType else inferType(vals))
+    }
+    val schema = StructType(types.map { case (n, t) => StructField(n, t) })
+    val rows: Seq[Row] = body.map { row =>
+      Row.fromSeq(kept.zip(types).map { case ((_, i), (_, t)) =>
+        row.lift(i).flatten.map { v =>
+          t match {
+            case LongType => v.toLong
+            case DoubleType => v.toDouble
+            case BooleanType => v.toBoolean
+            case DateType => java.sql.Date.valueOf(v.take(10))
+            case _ => v
+          }
+        }.orNull
+      })
+    }
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    sourceType.fold(df)(st => df.withColumn("Source_Type", lit(st)))
+  }
+}
