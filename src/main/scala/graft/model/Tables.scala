@@ -29,15 +29,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events stream carries TIMESTAMP(NANOS) parquet, which Spark refuses
-    * by default; read the raw int64 nanos and convert to a microsecond
-    * timestamp (integer DIV — a double division would lose precision above
-    * 2^53 ns). DuckDB reads the same column as TIMESTAMP_NS and truncates to
-    * µs the same way, so bucket-level results agree. */
+  /** The events stream's `ts` column has shipped in two physical parquet
+    * types across generator versions: TIMESTAMP(NANOS) (which Spark refuses
+    * by default — read the raw int64 nanos via `nanosAsLong` and integer-DIV
+    * to a microsecond timestamp; a double division would lose precision
+    * above 2^53 ns) and plain TIMESTAMP(MICROS) (reads as a timestamp
+    * directly). Branch on the loaded dtype so both vintages work; DuckDB
+    * truncates NANOS to µs the same way, so bucket-level results agree. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

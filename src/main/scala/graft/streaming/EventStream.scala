@@ -15,24 +15,25 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as stored (ts = int64 nanos; see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
+  /** `ts` has shipped in two physical parquet types across testdata
+    * generator vintages (see [[graft.model.Tables.events]]): int64 nanos
+    * (surfaced as LongType under `nanosAsLong`) and TIMESTAMP(MICROS)
+    * (surfaced as a timestamp directly). Convert only the former. */
   private def normalize(df: DataFrame): DataFrame =
-    df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
 
   /** File-source stream over a directory of event parquet files (in
     * production: the landing directory the ingestion layer appends to; new
-    * files become new micro-batches). */
+    * files become new micro-batches). A file stream needs its schema up
+    * front — probe the parquet footers with a batch read so either `ts`
+    * vintage works. */
   def readStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.readStream.schema(rawSchema).parquet(eventsDir))
+    val schema = spark.read.parquet(eventsDir).schema
+    normalize(spark.readStream.schema(schema).parquet(eventsDir))
   }
 
   /** 7-day tumbling-window counts per event type with a 7-day watermark:
@@ -76,8 +77,7 @@ object EventStream {
 
   /** Batch twin over the same window expression. */
   def weeklyCountsBatch(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalize(spark.read.parquet(s"$dir/events.parquet"))
+    graft.model.Tables.events(spark, dir)
       .groupBy(window(col("ts"), "7 days"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("week_start"),

@@ -60,9 +60,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       query.processAllAvailable()
       val streamed = spark.table("enriched_events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batch = spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val batch = graft.model.Tables.events(spark, dir)
         .withColumn("cust_key", pmod(col("user_id"), lit(n)))
         .join(dim, col("cust_key") === col("c_custkey"))
         .select(col("event_id"), col("event_type"), col("c_name"),
@@ -93,8 +91,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       query.processAllAvailable()
       val streamed = spark.table("deduped_events")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val batch = spark.read.parquet(s"$dir/events.parquet")
+      val batch = graft.model.Tables.events(spark, dir)
         .select(org.apache.spark.sql.functions.col("event_id")).distinct()
       assert(streamed.count() == batch.count())
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
