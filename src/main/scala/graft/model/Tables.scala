@@ -29,21 +29,44 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events stream's `ts` column has shipped in two physical parquet
-    * types across generator versions: TIMESTAMP(NANOS) (which Spark refuses
-    * by default — read the raw int64 nanos via `nanosAsLong` and integer-DIV
-    * to a microsecond timestamp; a double division would lose precision
-    * above 2^53 ns) and plain TIMESTAMP(MICROS) (reads as a timestamp
-    * directly). Branch on the loaded dtype so both vintages work; DuckDB
-    * truncates NANOS to µs the same way, so bucket-level results agree. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
-    raw.schema("ts").dataType match {
+  /** The events table's `ts` column has shipped in three physical parquet
+    * vintages across testdata generator versions; [[normalizeEventTs]] folds
+    * them all to a session-TZ `TimestampType` so every downstream consumer
+    * (`session_window`, `window`, `withWatermark`, `unix_micros`) sees one
+    * dtype:
+    *
+    *   - TIMESTAMP(NANOS): Spark refuses it by default — read the raw int64
+    *     nanos via `nanosAsLong` and integer-DIV to a microsecond timestamp
+    *     (a double division would lose precision above 2^53 ns).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=true): loads as `TimestampType`
+    *     directly; pass through.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): loads as
+    *     `TimestampNTZType`; cast to `TimestampType`. With the session
+    *     timezone pinned to UTC (every entry point in this repo does so) the
+    *     cast preserves the wall clock, which is exactly DuckDB's reading of
+    *     a naive timestamp — the `epoch_us` oracles stay bit-identical.
+    *
+    * Any other dtype (e.g. a string column from a broken generator) fails
+    * HERE with a clear message instead of surfacing later as an opaque
+    * analysis error inside `window()`. Pinned against tiny fixtures of all
+    * three vintages AND the real testdata in EventsVintageSpec. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported dtype $other — expected int64 nanos " +
+          "(LongType under nanosAsLong), TIMESTAMP, or TIMESTAMP_NTZ")
     }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    // Must be set before the read: without it the NANOS vintage fails at
+    // scan time. Harmless for the other vintages.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

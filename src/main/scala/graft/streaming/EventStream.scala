@@ -15,25 +15,36 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** `ts` has shipped in two physical parquet types across testdata
-    * generator vintages (see [[graft.model.Tables.events]]): int64 nanos
-    * (surfaced as LongType under `nanosAsLong`) and TIMESTAMP(MICROS)
-    * (surfaced as a timestamp directly). Convert only the former. */
-  private def normalize(df: DataFrame): DataFrame =
-    df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => df
-    }
+  /** Schema used when the landing directory is still empty at stream start
+    * (no footers to probe): the current generator's layout with `ts` already
+    * a timestamp. Files of a different `ts` vintage landing later would fail
+    * parquet column conversion mid-stream — a file-stream schema is frozen
+    * at start, so a single physical `ts` type per directory is a documented
+    * contract of this source, not something normalize() can recover. */
+  private[streaming] val fallbackSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   /** File-source stream over a directory of event parquet files (in
     * production: the landing directory the ingestion layer appends to; new
     * files become new micro-batches). A file stream needs its schema up
-    * front — probe the parquet footers with a batch read so either `ts`
-    * vintage works. */
+    * front — probe the parquet footers with a batch read so any `ts` vintage
+    * works ([[graft.model.Tables.normalizeEventTs]] folds all three to
+    * `TimestampType`). If the directory is empty or absent (stream started
+    * before the ingestion layer lands its first file — the normal production
+    * boot order) the probe throws `Unable to infer schema`; fall back to
+    * [[fallbackSchema]] so the stream still starts. */
   def readStream(spark: SparkSession, eventsDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsDir).schema
-    normalize(spark.readStream.schema(schema).parquet(eventsDir))
+    val schema =
+      try spark.read.parquet(eventsDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => fallbackSchema }
+    graft.model.Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(eventsDir))
   }
 
   /** 7-day tumbling-window counts per event type with a 7-day watermark:

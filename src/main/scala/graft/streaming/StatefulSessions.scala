@@ -20,7 +20,13 @@ object StatefulSessions {
   final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
       n_events: Long)
 
-  private def us(t: Timestamp): Long = t.getTime * 1000L
+  /** Full-microsecond epoch: `Timestamp.getTime` alone is ms-truncated, and
+    * the real events data carries sub-ms components — dropping them would
+    * desync this stream from the batch `session_window` twin. getTime's
+    * floor-division recovers whole seconds (valid for epoch ≥ 0), getNanos
+    * restores the fraction. */
+  private def us(t: Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[ClosedSession] = {
     val spark = events.sparkSession

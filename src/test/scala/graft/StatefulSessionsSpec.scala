@@ -62,4 +62,40 @@ class StatefulSessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         s.start_us == baseUs + 125L * 60 * 1000000))
     } finally query.stop()
   }
+
+  test("stream sessionize over REAL events equals batch q_sessionize") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dir = "/root/testdata/sf0.001"
+    val evs = graft.model.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts")).as[Ev].collect()
+    val maxMs = evs.map(_.ts.getTime).max
+    val input = MemoryStream[Ev]
+    val gapUs = 30L * 60 * 1000000L
+    val sessions = StatefulSessions.sessionize(input.toDS(), gapUs)
+    val query = sessions.writeStream.format("memory")
+      .queryName("real_sessions").outputMode("append").start()
+    try {
+      input.addData(evs.toSeq)
+      query.processAllAvailable()
+      // sentinel user pushes the watermark a day past everything so every
+      // real session times out and closes; two nudges so the timeout batch
+      // definitely runs after the watermark advance
+      input.addData(Ev(-1L, new Timestamp(maxMs + 86400000L)))
+      query.processAllAvailable()
+      input.addData(Ev(-1L, new Timestamp(maxMs + 2 * 86400000L)))
+      query.processAllAvailable()
+
+      val streamed = spark.table("real_sessions")
+        .filter(col("user_id") =!= -1L)
+        .select("user_id", "start_us", "end_us", "n_events")
+      val batch = SparkEntry.queries("q_sessionize")(spark, dir)
+        .select("user_id", "start_us", "end_us", "n_events")
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty)
+    } finally query.stop()
+  }
 }
