@@ -56,6 +56,89 @@ object SourceOps {
       .write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
 
+  /** Hive-partitioned landing-layout writer — the sibling of
+    * [[writeBucketed]] for the OTHER 100 TB layout decision: a corpus landed
+    * as `dir/col=value/` directories gets partition PRUNING on every
+    * downstream read (a filter on the partition column skips whole
+    * directories at file-listing time — `PartitionFilters` in the scan, zero
+    * I/O for excluded partitions), which is what makes "last day's events"
+    * or "one source's documents" cheap against a 100 TB landing zone.
+    *
+    * The naive `df.write.partitionBy(c)` has a small-files pathology at
+    * scale: every write TASK emits one file per partition value it holds, so
+    * T tasks × P values → up to T·P files. Repartitioning by the partition
+    * columns first routes each value to exactly one task → exactly one file
+    * per partition; `filesPerPartition > 1` salts that hash so a hot
+    * partition (skewed source/day) splits into a bounded number of files and
+    * doesn't bottleneck on one writer task. PartitionedLayoutSpec pins file
+    * counts, pruning, and the overwrite semantics below. */
+  def writePartitioned(df: DataFrame, dir: String, partitionCols: Seq[String],
+      filesPerPartition: Int = 1): Unit = {
+    require(partitionCols.nonEmpty, "need at least one partition column")
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val keys = partitionCols.map(df.col)
+    val routed =
+      if (filesPerPartition == 1) df.repartition(keys: _*)
+      else {
+        val salted = df.withColumn("__slice",
+          pmod(crc32(to_json(struct(df.columns.map(col): _*))),
+            lit(filesPerPartition)))
+        // explicit partition count: a bare repartition(cols) is an AQE
+        // coalesce target, and coalescing merges slices of one partition
+        // value back into one task — silently defeating the salt (observed:
+        // a tiny write coalesced to a single task → one file per value)
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        salted.repartition(n, keys :+ salted.col("__slice"): _*).drop("__slice")
+      }
+    routed.write.mode("overwrite")
+      .partitionBy(partitionCols: _*).parquet(dir)
+  }
+
+  /** Idempotent partition backfill: overwrite ONLY the partitions present in
+    * `df`, leaving every other partition of the layout untouched (dynamic
+    * partition-overwrite; the per-write option avoids flipping the session
+    * default). This is the production re-run primitive — recompute one
+    * day/source and land it atomically without clobbering the rest, so a
+    * failed-and-retried backfill converges instead of destroying data. The
+    * default static overwrite mode would drop ALL partitions first. */
+  def overwritePartitions(df: DataFrame, dir: String,
+      partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(df.col): _*)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*).parquet(dir)
+
+  /** Partition compaction — the maintenance pass that follows streaming
+    * landing: each micro-batch appends small files, so a long-running stream
+    * accumulates file counts that degrade listing and scan startup at scale.
+    * Read ONLY the partitions matching `predicate` (the read prunes, so
+    * compaction cost is proportional to the data compacted, not the zone),
+    * then re-land them through [[overwritePartitions]] — one file per
+    * partition, siblings untouched, and the overwrite is atomic per
+    * partition so readers never see a half-compacted one. Run it on closed
+    * partitions (yesterday's date=, a finished source=).
+    *
+    * Two deliberate mechanics: (1) the slice is materialized via
+    * `localCheckpoint` before the write — Spark (correctly) refuses a lazy
+    * plan that overwrites its own input path, and the checkpoint bounds the
+    * in-flight state to the partitions being compacted; (2) this applies to
+    * BATCH-written layouts ([[writePartitioned]]) — a STREAM-landed zone
+    * ([[graft.streaming.EventStream.landPartitioned]]) is read through its
+    * `_spark_metadata` manifest, which a batch rewrite would go stale
+    * against; retire the manifest (stop the stream, move/remove
+    * `_spark_metadata`) before compacting such a zone. */
+  def compactPartitions(spark: SparkSession, dir: String,
+      partitionCols: Seq[String],
+      predicate: org.apache.spark.sql.Column): Unit = {
+    require(!new org.apache.hadoop.fs.Path(dir, "_spark_metadata")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata")),
+      s"$dir is a streaming file-sink zone (_spark_metadata present): " +
+        "batch compaction would go stale against the manifest — retire it first")
+    val slice = spark.read.parquet(dir).filter(predicate).localCheckpoint()
+    overwritePartitions(slice, dir, partitionCols)
+  }
+
   /** S6/S7 (lightweight form): tabular sheet sink/source as header'd CSV per
     * sheet — the plain-text sibling of the BINARY workbook path, which is
     * [[Xlsx.saveWorkbook]]/[[Xlsx.readWorkbook]] (real multi-sheet `.xlsx`

@@ -86,6 +86,27 @@ object EventStream {
       .select(col("event_id"), col("event_type"), col("c_name"),
         col("c_nationkey"))
 
+  /** Streaming partitioned landing sink — the writer side of the hive-
+    * partitioned landing zone ([[graft.sources.SourceOps.writePartitioned]]
+    * is its batch sibling): each micro-batch appends files under
+    * `dir/col=value/` directories, so downstream batch readers get partition
+    * pruning over data that is seconds old. The parquet file sink commits
+    * through the `_spark_metadata` transaction log, which is what makes the
+    * landing exactly-once across stream restarts — a batch read of `dir`
+    * sees only committed files, never a torn micro-batch. Per-partition file
+    * counts stay bounded because each micro-batch writes at most
+    * (tasks holding that value) files; compaction is a layout decision for
+    * the batch layer ([[graft.sources.SourceOps.overwritePartitions]]
+    * re-lands a partition in one file). */
+  def landPartitioned(stream: DataFrame, dir: String, checkpointDir: String,
+      partitionCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .format("parquet")
+      .option("path", dir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy(partitionCols: _*)
+      .start()
+
   /** Batch twin over the same window expression. */
   def weeklyCountsBatch(spark: SparkSession, dir: String): DataFrame = {
     graft.model.Tables.events(spark, dir)
