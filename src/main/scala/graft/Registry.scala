@@ -27,5 +27,6 @@ object Registry {
       graft.media.MultimodalOps.queries ++
       graft.summarize.SummarizeOps.queries ++
       graft.ml.MlOps.queries ++
+      graft.report.Presentation.queries ++
       graft.label.Labeler.queries
 }

@@ -104,5 +104,125 @@ object GraphOps {
          |  SELECT dst FROM edges GROUP BY dst HAVING count(DISTINCT src) > 2)
          |ORDER BY src, dst""".stripMargin))
 
+  /** G6: deterministic Fruchterman-Reingold spring layout — the engine-side
+    * stand-in for `nx.spring_layout(G, k=0.1, seed=42, dim=3)`
+    * (`network_analysis.py:206`) / `(k=0.1, iterations=10, seed=1)`
+    * (`visualization_tools.py:690`).
+    *
+    * PRESENTATION boundary, like the xlsx/HTML sinks: the input is an
+    * already-aggregated edge list (G2/G4 output — hundreds of nodes after
+    * the G3/G5 degree filters at any corpus size), so the O(n²·iterations)
+    * force loop runs driver-side over a BOUNDED collect that throws rather
+    * than silently truncates (`maxNodes`). The heavy lifting — building the
+    * edges from 100 TB of chunks — happened upstream in the distributed
+    * self-join; laying out more nodes than a human can read is a spec error,
+    * not a scale path.
+    *
+    * Determinism: nodes are sorted, positions are seeded
+    * (`java.util.Random(seed)`, identical across JVMs), and the force loop
+    * is pure arithmetic — same inputs, bit-identical coordinates. Returns
+    * (node, x, y[, z]) with coordinates rescaled to [-1, 1] per axis
+    * (networkx's `rescale_layout` convention: centered, max extent 1). */
+  def springLayout(spark: SparkSession, edges: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst", dim: Int = 2,
+      k: Double = 0.1, iterations: Int = 50, seed: Long = 42L,
+      maxNodes: Int = 10000, maxEdges: Int = 200000): DataFrame = {
+    require(dim == 2 || dim == 3, s"dim must be 2 or 3, got $dim")
+    val pairRows = edges.select(col(srcCol).cast("string"),
+      col(dstCol).cast("string")).na.drop()
+      .limit(maxEdges + 1).collect()
+    require(pairRows.length <= maxEdges,
+      s"graph exceeds maxEdges=$maxEdges — apply a degree/occurrence " +
+        "filter (G3/G5) before layout")
+    val pairs = pairRows.map(r => (r.getString(0), r.getString(1)))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    require(nodes.length <= maxNodes,
+      s"graph has ${nodes.length} nodes > maxNodes=$maxNodes — apply a " +
+        "degree/occurrence filter (G3/G5) before layout; a plot this large " +
+        "is unreadable and the layout loop is O(n^2) per iteration")
+    val n = nodes.length
+    val idx = nodes.zipWithIndex.toMap
+    val adj = pairs.map(p => (idx(p._1), idx(p._2))).filter(e => e._1 != e._2)
+
+    val rnd = new java.util.Random(seed)
+    val pos = Array.fill(n, dim)(rnd.nextDouble())
+    var t = 0.1
+    val dt = t / (iterations + 1)
+    val disp = Array.ofDim[Double](n, dim)
+    val eps = 1e-9
+    for (_ <- 0 until iterations) {
+      var i = 0
+      while (i < n) { java.util.Arrays.fill(disp(i), 0.0); i += 1 }
+      // repulsion: every pair pushes apart with k^2 / d
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          var d2 = 0.0
+          var a = 0
+          while (a < dim) {
+            val dd = pos(i)(a) - pos(j)(a); d2 += dd * dd; a += 1
+          }
+          val d = math.max(math.sqrt(d2), eps)
+          val f = k * k / (d * d) // force/d: multiplied by the delta vector
+          a = 0
+          while (a < dim) {
+            val push = (pos(i)(a) - pos(j)(a)) * f
+            disp(i)(a) += push; disp(j)(a) -= push; a += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      // attraction: each edge pulls its ends together with d^2 / k
+      adj.foreach { case (u, v) =>
+        var d2 = 0.0
+        var a = 0
+        while (a < dim) {
+          val dd = pos(u)(a) - pos(v)(a); d2 += dd * dd; a += 1
+        }
+        val d = math.max(math.sqrt(d2), eps)
+        val f = d / k // (d^2 / k) / d, multiplied by the delta vector
+        a = 0
+        while (a < dim) {
+          val pull = (pos(u)(a) - pos(v)(a)) * f
+          disp(u)(a) -= pull; disp(v)(a) += pull; a += 1
+        }
+      }
+      // move by displacement, capped at temperature t; cool linearly
+      i = 0
+      while (i < n) {
+        var m2 = 0.0
+        var a = 0
+        while (a < dim) { m2 += disp(i)(a) * disp(i)(a); a += 1 }
+        val m = math.max(math.sqrt(m2), eps)
+        val step = math.min(m, t) / m
+        a = 0
+        while (a < dim) { pos(i)(a) += disp(i)(a) * step; a += 1 }
+        i += 1
+      }
+      t -= dt
+    }
+    // rescale: center each axis, then scale uniformly so max |coord| = 1
+    var scale = 0.0
+    for (a <- 0 until dim) {
+      val mean = pos.map(_(a)).sum / math.max(n, 1)
+      for (i <- 0 until n) {
+        pos(i)(a) -= mean
+        scale = math.max(scale, math.abs(pos(i)(a)))
+      }
+    }
+    if (scale > 0) for (i <- 0 until n; a <- 0 until dim) pos(i)(a) /= scale
+
+    import spark.implicits._
+    if (dim == 2)
+      nodes.zipWithIndex.map { case (nm, i) => (nm, pos(i)(0), pos(i)(1)) }
+        .toSeq.toDF("node", "x", "y")
+    else
+      nodes.zipWithIndex
+        .map { case (nm, i) => (nm, pos(i)(0), pos(i)(1), pos(i)(2)) }
+        .toSeq.toDF("node", "x", "y", "z")
+  }
+
   def queries: Seq[Q] = Seq(qComentionEdges, qBipartiteDegree)
 }

@@ -425,6 +425,60 @@ object ChunkOps {
          |ORDER BY score DESC, sentence_id, entity_id, part_entity_id
          |LIMIT 50""".stripMargin))
 
+  /** Q8 gate: entity auto-batching (`query_builder.py:329-361`) rendered
+    * Spark-first. [[QueryAlgebra.autoBatchEntities]] computes the batch
+    * groups (per-type batches of 10, zip_longest across types); instead of
+    * one scan per batch group (the reference's API fan-out), the
+    * entity→batch assignment becomes a tiny broadcast dimension joined to
+    * the chunk scan ONCE — the three entity-role columns explode to an
+    * `eid` key so the OR-match (`EntityQ` semantics) stays an equi-join
+    * (an OR join condition would degrade to a nested-loop join). Per-batch
+    * hit counts come out of the single shuffle. Entities: suppliers s1–s17
+    * and customers c1–c8, batch size 10 → group 0 = s1..s10 ∪ c1..c8 (18),
+    * group 1 = s11..s17 (7). */
+  private val qEntityBatching = Q(
+    "q_entity_batching",
+    (s, d) => {
+      import s.implicits._
+      val batches = autoBatchEntities(Seq(
+        "companies" -> (1 to 17).map("s" + _),
+        "customers" -> (1 to 8).map("c" + _)), batchSize = 10)
+      val ents = batches.zipWithIndex.flatMap { case (b, i) =>
+        b.qs.collect { case EntityQ(id) => (id, i, b.qs.size.toLong) }
+      }.toDF("eid", "batch_idx", "n_entities")
+      Tables.chunkRows(s, d)
+        .select(col("sentence_id"), col("document_id"),
+          explode(array(col("entity_id"), col("other_entity_id"),
+            col("part_entity_id"))).as("eid"))
+        .join(broadcast(ents), Seq("eid"))
+        .groupBy(col("batch_idx"), col("n_entities"))
+        .agg(countDistinct(col("sentence_id")).as("n_chunks"),
+          countDistinct(col("document_id")).as("n_docs"))
+        .orderBy(col("batch_idx"))
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |ents AS (
+         |  SELECT 's' || i AS eid, CAST((i - 1) // 10 AS INT) AS batch_idx
+         |  FROM range(1, 18) t(i)
+         |  UNION ALL
+         |  SELECT 'c' || i, CAST((i - 1) // 10 AS INT)
+         |  FROM range(1, 9) t(i)
+         |),
+         |sized AS (
+         |  SELECT eid, batch_idx,
+         |         count(*) OVER (PARTITION BY batch_idx) AS n_entities
+         |  FROM ents
+         |)
+         |SELECT e.batch_idx, e.n_entities,
+         |       count(DISTINCT c.sentence_id) AS n_chunks,
+         |       count(DISTINCT c.document_id) AS n_docs
+         |FROM chunk c
+         |JOIN sized e
+         |  ON e.eid IN (c.entity_id, c.other_entity_id, c.part_entity_id)
+         |GROUP BY 1, 2
+         |ORDER BY batch_idx""".stripMargin))
+
   /** Q13: the three search modes (`Board_Management_Monitoring/src/
     * tool.py:121-157, 267-288`): strict = both predicates at chunk level;
     * relaxed = primary only; relaxed_post = primary at chunk level + secondary
@@ -470,5 +524,5 @@ object ChunkOps {
   def queries: Seq[Q] = Seq(qExplodeRoles, qTopicsExplode, qOtherEntities,
     qEntitiesArray, qScrub, qPresentation, qMaskTarget, qMaskMulti,
     qMaskRoundtrip, qEntityMembership, qTypedEntity, qFiscalYear,
-    qQueryAlgebra, qSimilarityTopk, qSearchModes)
+    qQueryAlgebra, qSimilarityTopk, qSearchModes, qEntityBatching)
 }

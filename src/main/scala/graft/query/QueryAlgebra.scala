@@ -103,6 +103,34 @@ object QueryAlgebra {
     def toColumn: Column = score >= minScore
   }
 
+  /** Q8: entity auto-batching (`query_builder.py:329-361`) — split each
+    * type's entity list into batches of `batchSize` (order-preserving), then
+    * combine batches ACROSS types positionally (the reference's
+    * `zip_longest(*all_entity_batches, fillvalue=[])`): batch group i holds
+    * type A's i-th batch ∪ type B's i-th batch ∪ …, flattened into one
+    * `Any(...)` disjunction; empty groups are skipped. The reference needs
+    * this to bound per-API-call cost; here each group compiles to one
+    * `Column` predicate, and the union of all groups over one scan is
+    * semantically ⊇-equivalent to `Any(all entities)` (a row can match
+    * several groups — exactly the reference's overlapping per-batch searches,
+    * which is why D2 cross-search dedup exists downstream). At scale the
+    * groups should share a single scan (Q10's one-scan fan-out) rather than
+    * re-scan per batch — `q_entity_batching` renders it that way: the
+    * entity→batch assignment becomes a broadcast dimension equi-join. */
+  def autoBatchEntities(entitiesByType: Seq[(String, Seq[String])],
+      batchSize: Int): Seq[AnyQ] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val perType: Seq[Seq[Seq[String]]] = entitiesByType.map(_._2)
+      .filter(_.nonEmpty).map(_.grouped(batchSize).toSeq)
+    if (perType.isEmpty) Seq.empty
+    else (0 until perType.map(_.size).max).flatMap { i =>
+      val group = perType.flatMap(batches =>
+        if (i < batches.size) batches(i) else Seq.empty)
+      if (group.isEmpty) None
+      else Some(AnyQ(group.map(EntityQ(_)): _*))
+    }
+  }
+
   /** Q9: date-range partitioner — split [start, end] into calendar intervals
     * with inclusive ends, mirroring `create_date_ranges`
     * (`query_builder.py:488-517`). Used for planning/tests; at execution time

@@ -105,6 +105,20 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("entity batching joins the batch dim as a broadcast equi-join") {
+    // Q8's entity→batch assignment must reach the scan as a broadcast-hash
+    // equi-join on the exploded role key — an OR-condition join (entity_id =
+    // eid OR other = eid OR part = eid) would plan as a nested-loop join and
+    // re-scan the fact per batch at 100 TB
+    val plan = probe(SparkEntry.queries("q_entity_batching")(spark, dir)
+      .queryExecution.executedPlan.toString)
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the entity->batch dim to broadcast")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the role-key explode must keep the batch match an equi-join")
+  }
+
   test("n-gram Jaccard plan keeps the shingle df-cap before the self-join") {
     // the df <= 50 semi-join filter bounds the worst shingle's candidate
     // pairs at τ²/2 — losing it reintroduces the quadratic hot-key tail

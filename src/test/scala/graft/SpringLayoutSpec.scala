@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.graph.GraphOps
+
+/** G6 spring layout: deterministic seeded Fruchterman-Reingold over a
+  * bounded, already-aggregated edge list (presentation boundary — the
+  * distributed work is the G2/G4 edge extraction upstream). */
+class SpringLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def twoCliques = {
+    import spark.implicits._
+    val a = Seq("a1", "a2", "a3")
+    val b = Seq("b1", "b2", "b3")
+    val edges = (for (x <- a; y <- a if x < y) yield (x, y)) ++
+      (for (x <- b; y <- b if x < y) yield (x, y))
+    edges.toDF("src", "dst")
+  }
+
+  test("layout is bit-deterministic for a fixed seed") {
+    val p1 = GraphOps.springLayout(spark, twoCliques, seed = 42L).collect()
+    val p2 = GraphOps.springLayout(spark, twoCliques, seed = 42L).collect()
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+  }
+
+  test("connected cliques end up closer than the disconnected pair") {
+    val pos = GraphOps.springLayout(spark, twoCliques, iterations = 100)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    def d(u: String, v: String): Double = {
+      val (x1, y1) = pos(u); val (x2, y2) = pos(v)
+      math.hypot(x1 - x2, y1 - y2)
+    }
+    val intra = for {
+      c <- Seq(Seq("a1", "a2", "a3"), Seq("b1", "b2", "b3"))
+      x <- c; y <- c if x < y
+    } yield d(x, y)
+    val inter = for (x <- Seq("a1", "a2", "a3"); y <- Seq("b1", "b2", "b3"))
+      yield d(x, y)
+    assert(intra.max < inter.min,
+      s"intra ${intra.max} should be < inter ${inter.min}")
+  }
+
+  test("coordinates are centered and rescaled into [-1, 1]") {
+    val rows = GraphOps.springLayout(spark, twoCliques, dim = 3).collect()
+    assert(rows.head.schema.fieldNames.toSeq == Seq("node", "x", "y", "z"))
+    rows.foreach { r =>
+      for (i <- 1 to 3)
+        assert(math.abs(r.getDouble(i)) <= 1.0 + 1e-12)
+    }
+    assert(rows.exists(r => math.abs(r.getDouble(1)) > 0.5),
+      "rescale should push the extent to the unit box")
+  }
+
+  test("node and edge bounds throw rather than truncate") {
+    intercept[IllegalArgumentException] {
+      GraphOps.springLayout(spark, twoCliques, maxNodes = 3)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.springLayout(spark, twoCliques, maxEdges = 2)
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.springLayout(spark, twoCliques, dim = 4)
+    }
+  }
+
+  test("self-loops are ignored; singleton edge list still lays out") {
+    import spark.implicits._
+    val df = Seq(("n1", "n1"), ("n1", "n2")).toDF("src", "dst")
+    val rows = GraphOps.springLayout(spark, df).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("n1", "n2"))
+  }
+}
