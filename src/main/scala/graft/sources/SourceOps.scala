@@ -139,6 +139,35 @@ object SourceOps {
     overwritePartitions(slice, dir, partitionCols)
   }
 
+  /** Sort-clustered layout writer — the THIRD 100 TB layout lever, next to
+    * [[writeBucketed]] (exchange-free co-located joins) and
+    * [[writePartitioned]] (directory pruning): range-route the rows across
+    * `files` output files and sort each file on the cluster key, so
+    * parquet's per-row-group min/max statistics become SELECTIVE. A
+    * downstream filter on the cluster key then reads only the row
+    * groups/pages whose stat range intersects the predicate (the reader
+    * skips the rest after footer checks) — data skipping WITHOUT a
+    * directory per value, which is the right tool for HIGH-CARDINALITY keys
+    * (user ids, URLs, second-grained timestamps) where `partitionBy` would
+    * explode into millions of tiny directories and `bucketBy` only helps
+    * joins, not range/point predicates. On an unclustered layout every file
+    * spans the full key range, so min/max stats exclude nothing and a point
+    * query reads the corpus.
+    *
+    * The range exchange is paid ONCE at write time (same amortization
+    * argument as the bucketed layout); `files` is a layout decision — size
+    * so one file is a few hundred MB at target SF. ClusteredLayoutSpec pins
+    * the skipping on executed-scan metrics, not intent. */
+  def writeClustered(df: DataFrame, dir: String, clusterCols: Seq[String],
+      files: Int): Unit = {
+    require(clusterCols.nonEmpty, "need at least one cluster column")
+    require(files >= 1, "files must be >= 1")
+    val keys = clusterCols.map(df.col)
+    df.repartitionByRange(files, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(dir)
+  }
+
   /** S6/S7 (lightweight form): tabular sheet sink/source as header'd CSV per
     * sheet — the plain-text sibling of the BINARY workbook path, which is
     * [[Xlsx.saveWorkbook]]/[[Xlsx.readWorkbook]] (real multi-sheet `.xlsx`

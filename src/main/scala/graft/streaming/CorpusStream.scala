@@ -165,4 +165,39 @@ object CorpusStream {
           .otherwise(lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
+
+  /** Streaming near-dup ingest gate — the fourth rung of the ingest story
+    * (stateless gate → watermarked dedup → contamination gate → this):
+    * every arriving document's MinHash band keys, computed IN-ROW
+    * ([[TextOps.inRowBands]] — no explode/groupBy, so the stream stays
+    * stateless), are stream-static equi-joined against the standing corpus
+    * band table ([[TextOps.bandTable]]). A shared (band, key) bucket means
+    * the new document is a candidate near-duplicate of an existing corpus
+    * document — the at-ingest form of `q_minhash_lsh`'s within-corpus
+    * self-join, catching "this crawl re-fetched a page we already hold"
+    * before the document lands.
+    *
+    * Emits one row per MATCHING BAND (new_doc_id, corpus_doc_id): band
+    * multiplicity is deliberate — deduplicating pairs inside the stream
+    * would need stateful aggregation; read-side `distinct()` (or the
+    * downstream CC resolution) collapses it, and the spec compares DISTINCT
+    * pair sets. Exact verification (true Jaccard over the candidate) is the
+    * batch family's job, same as the batch LSH path.
+    *
+    * Scale: the static side is re-planned per micro-batch (standard
+    * stream-static join). At corpus scale, land the band table once via
+    * [[graft.sources.SourceOps.writeBucketed]] on `key` so each micro-batch
+    * joins against a pre-shuffled layout, or snapshot the recent-corpus
+    * slice if the dedup horizon is bounded — the band table grows with the
+    * corpus (4 rows/doc), it is NOT broadcastable. */
+  def nearDupCandidates(docs: DataFrame, corpusBands: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id").as("new_doc_id"),
+        explode(TextOps.inRowBands(col("text"))).as("bk"))
+      .select(col("new_doc_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .join(corpusBands.select(col("doc_id").as("corpus_doc_id"),
+        col("band"), col("key")), Seq("band", "key"))
+      .filter(col("new_doc_id") =!= col("corpus_doc_id"))
+      .select(col("new_doc_id"), col("corpus_doc_id"))
 }

@@ -202,27 +202,58 @@ object TextOps {
   private val minhashB = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
   private val MinhashP = 2147483647L
 
-  /** MinHash band-bucket candidate pairs (doc_a < doc_b, distinct): 8
-    * permutation hashes over the shingle base hash, min per doc → signature;
-    * 4 bands of 2 rows; docs sharing a band bucket become candidates. Shared
-    * by the LSH near-dup query and the duplicate-cluster connected-components
-    * query ([[CorpusOps]]). */
-  private[text] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  /** MinHash band table of a corpus: (doc_id, band, key) — 8 permutation
+    * hashes over the shingle base hash, min per doc → signature; 4 bands of
+    * 2 rows concatenated into the bucket key. This is the standing index
+    * the near-dup family keys off: self-joined for candidate pairs
+    * ([[lshCandidatePairs]]), stream-static joined by the streaming ingest
+    * gate ([[graft.streaming.CorpusStream.nearDupCandidates]]). */
+  private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
     val hashed = docShingles(s, d).withColumn("h", hash32(col("s")))
     val mhCols = minhashA.indices.map(j =>
       min((col("h") * minhashA(j) + minhashB(j)) % MinhashP).as(s"mh$j"))
-    // localCheckpoint (PlanProbe.cut): the band table below is SELF-joined,
-    // so without a lineage cut the whole shingle+minhash pipeline would
-    // execute once per join side (measured: zero exchange reuse across the
-    // self-join). The signature is 1 row/doc — the cheapest thing in the
-    // pipeline to hold — kept for the session by design.
+    // localCheckpoint (PlanProbe.cut): the band table is SELF-joined by the
+    // candidate-pair query, so without a lineage cut the whole
+    // shingle+minhash pipeline would execute once per join side (measured:
+    // zero exchange reuse across the self-join). The signature is 1 row/doc
+    // — the cheapest thing in the pipeline to hold — kept for the session
+    // by design.
     val sig = graft.PlanProbe.cut(hashed.groupBy(col("doc_id"))
       .agg(mhCols.head, mhCols.tail: _*))
-    val bands = sig.select(col("doc_id"), explode(array(
+    sig.select(col("doc_id"), explode(array(
       (0 until 4).map(bd => struct(lit(bd).as("band"),
         concat_ws("_", col(s"mh${2 * bd}"), col(s"mh${2 * bd + 1}"))
           .as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** In-row MinHash band keys — the STREAM-side twin of [[bandTable]]: the
+    * same shingle → hash32 → 8-permutation-min → 4-band pipeline computed
+    * entirely with array lambdas inside one row, no explode/groupBy — a
+    * pure projection, so a file stream can run it STATELESS. `min` over the
+    * shingle multiset equals `min` over the distinct set, so the in-row
+    * signature matches the batch explode+distinct+groupBy signature exactly
+    * (set-equality pinned in StreamingCorpusSpec). Documents under 3 words
+    * have no shingles and yield an EMPTY band array — the batch path drops
+    * them from the signature table the same way. Interpreted-HOF cost is 8
+    * passes over the shingle array per row — the same per-shingle hash work
+    * as the batch path, paid in-row instead of in a shuffle. */
+  private[graft] def inRowBands(text: Column): Column = {
+    val hs = transform(shingles(text), s => hash32(s))
+    val mh = minhashA.indices.map(j =>
+      array_min(transform(hs, h => (h * minhashA(j) + minhashB(j)) % MinhashP)))
+    when(size(hs) > 0, array((0 until 4).map(bd =>
+      struct(lit(bd).as("band"),
+        concat_ws("_", mh(2 * bd), mh(2 * bd + 1)).as("key"))): _*))
+      .otherwise(array().cast("array<struct<band:int,key:string>>"))
+  }
+
+  /** MinHash band-bucket candidate pairs (doc_a < doc_b, distinct): docs
+    * sharing a band bucket of [[bandTable]] become candidates. Shared by
+    * the LSH near-dup query and the duplicate-cluster connected-components
+    * query ([[CorpusOps]]). */
+  private[text] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandTable(s, d)
     bands.as("x").join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))

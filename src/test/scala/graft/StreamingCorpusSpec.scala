@@ -164,4 +164,83 @@ class StreamingCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
         "contamination gate must be stateless")
     } finally query.stop()
   }
+
+  test("in-row MinHash bands equal the batch explode+groupBy band table") {
+    import org.apache.spark.sql.functions._
+    val inRow = graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.inRowBands(col("text"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val batch = graft.text.TextOps.bandTable(spark, dir)
+    assert(inRow.count() > 0)
+    assert(inRow.exceptAll(batch).isEmpty && batch.exceptAll(inRow).isEmpty,
+      "the stateless in-row signature must match the batch signature exactly")
+  }
+
+  test("streaming near-dup gate flags re-fetched docs against the corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // new arrivals: two exact re-fetches of corpus docs (every band must
+    // match), one near-copy (original text + one appended word — shares
+    // most shingles; whether a band agrees is down to this fixed
+    // corpus/hash, so it is left unasserted), and two novel documents that
+    // share no shingles with the corpus
+    val corpus = graft.model.Tables.documents(spark, dir)
+      .orderBy(col("doc_id")).limit(3)
+      .select(col("doc_id"), col("text")).collect()
+    val arrivals = Seq(
+      (100001L, corpus(0).getString(1), "en", "recrawl", 1L),
+      (100002L, corpus(1).getString(1), "en", "recrawl", 1L),
+      (100003L, corpus(2).getString(1) + " appendix", "en", "recrawl", 1L),
+      (100004L, "zq xv qj wk vx kz jq zx nine ten eleven twelve", "en", "novel", 1L),
+      (100005L, "entirely unrelated fresh content nothing shared here at all", "en", "novel", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val staged = java.nio.file.Files.createTempDirectory("neardup_stream")
+    // land as a single flat file (the file stream lists plain files, like
+    // the symlinked fixtures above): write to a scratch dir, move the part
+    val scratch = java.nio.file.Files.createTempDirectory("neardup_scratch")
+    arrivals.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val partFile = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(fail("no part file written"))
+    }
+    java.nio.file.Files.copy(partFile, staged.resolve("batch0.parquet"))
+
+    val bands = graft.text.TextOps.bandTable(spark, dir)
+    val gate = CorpusStream.nearDupCandidates(
+      CorpusStream.readStream(spark, staged.toString), bands)
+    val query = gate.writeStream
+      .format("memory")
+      .queryName("neardup_candidates")
+      .outputMode("append")
+      .start()
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("neardup_candidates")
+      val streamPairs = streamed.distinct()
+      // batch twin: same function over a batch read of the same arrivals
+      val batchPairs = CorpusStream.nearDupCandidates(
+        spark.read.schema(CorpusStream.docSchema)
+          .parquet(staged.toString), bands).distinct()
+      assert(streamPairs.exceptAll(batchPairs).isEmpty &&
+        batchPairs.exceptAll(streamPairs).isEmpty,
+        "stream and batch candidate pairs must be identical")
+      val flagged = streamPairs.select(col("new_doc_id"))
+        .distinct().as[Long].collect().toSet
+      // exact re-fetches MUST be caught, and each must pair with its source
+      assert(flagged.contains(100001L) && flagged.contains(100002L))
+      val p1 = streamPairs.filter(col("new_doc_id") === 100001L)
+        .select(col("corpus_doc_id")).as[Long].collect().toSet
+      assert(p1.contains(corpus(0).getLong(0)),
+        s"re-fetch of doc ${corpus(0).getLong(0)} must pair with it, got $p1")
+      // novel docs must pass untouched
+      assert(!flagged.contains(100004L) && !flagged.contains(100005L),
+        s"novel docs falsely flagged: $flagged")
+      // stream-static join is stateless — no streaming state operators
+      assert(query.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "near-dup gate must be stateless")
+    } finally query.stop()
+  }
 }
