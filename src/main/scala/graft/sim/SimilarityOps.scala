@@ -972,6 +972,40 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))
   }
 
+  /** Incremental index maintenance: assign a batch of NEW vectors against
+    * the PERSISTED codebook (frozen — appends never move centroids, the
+    * standard IVF discipline: a moving codebook would silently invalidate
+    * every existing list assignment) and append them into the partitioned
+    * list zone. Same rounded-dot scoring and deterministic tiebreak as the
+    * build, so an appended vector lands exactly where a rebuild would put
+    * it. Pre-routing by bucket keeps the append to ONE new file per touched
+    * bucket per batch; a long append history is reclaimed by the standard
+    * maintenance pass ([[graft.sources.SourceOps.compactPartitions]] over
+    * the lists zone). Rebuild the codebook when the corpus has drifted
+    * enough that bucket sizes skew (the build is the cheap part — it's one
+    * assignment pass). `newVectors` carries raw `(vec_id, embedding)`;
+    * vec_id uniqueness vs the existing index is the caller's contract
+    * (dedup is the ingest gate's job, upstream of indexing). */
+  def appendToIvfIndex(s: SparkSession, indexDir: String,
+      newVectors: DataFrame): Unit = {
+    graft.functions.VectorExprs.register(s)
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val vs = newVectors
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val buckets = vs.crossJoin(broadcast(cents))
+      .withColumn("score", round(dot(col("v"), col("cv")), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
+        .as("bucket"))
+    vs.join(buckets, Seq("vec_id"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket")
+      .parquet(s"$indexDir/lists")
+  }
+
   def queries: Seq[Q] = Seq(qCosineTopk, qNearDup, qNearDupIvf,
     qSemanticDedup, qLshBuckets, qCentroids, qIvfAssign, qIvfSearch,
     qIvfRecall, qEmbedQuantize)

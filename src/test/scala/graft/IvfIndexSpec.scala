@@ -85,4 +85,84 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scan.metrics("numFiles").value <= 3,
       s"expected <= nprobe files, got ${scan.metrics("numFiles").value}")
   }
+
+  test("incremental append: new vectors become searchable in place") {
+    // own index dir — the shared fixture must stay immutable for the
+    // other tests regardless of execution order
+    val d2 = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    SimilarityOps.buildIvfIndex(spark, dir, d2)
+    val before = spark.read.parquet(s"$d2/lists").count()
+
+    // appended batch: exact copies of three corpus vectors under fresh ids
+    // — each lands in its source's bucket (same arithmetic as the build)
+    // and must surface at cos=1 for a query equal to its source
+    val copies = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(100, 200, 300))
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    SimilarityOps.appendToIvfIndex(spark, d2, copies)
+
+    val after = spark.read.parquet(s"$d2/lists")
+    assert(after.count() == before + 3, "append must not rewrite the zone")
+    assert(after.filter(col("vec_id") >= 100000).count() == 3)
+
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(100, 200, 300))
+    val res = SimilarityOps.searchIvfIndex(spark, d2, queries,
+      nprobe = 3, k = 5).collect()
+    for (q <- Seq(100L, 200L, 300L)) {
+      val top = res.filter(r => r.getLong(0) == q && r.getInt(3) == 1).head
+      assert(top.getLong(1) == q + 100000,
+        s"appended copy of $q should rank first, got ${top.getLong(1)}")
+      assert(math.abs(top.getDouble(2) - 1.0) < 1e-6,
+        s"copy of $q should score cos=1, got ${top.getDouble(2)}")
+    }
+    // the scan still prunes: probed bucket dirs now hold at most 2 files
+    // (build file + one append file), so <= 2 * nprobe files read
+    val one = Tables.embeddings(spark, dir).filter(col("vec_id") === 100)
+    val res1 = SimilarityOps.searchIvfIndex(spark, d2, one, nprobe = 3, k = 5)
+    res1.collect()
+    val scan = fileScans(res1.queryExecution.executedPlan)
+      .filter(_.metadata("Location").contains("lists")).head
+    assert(scan.metrics("numFiles").value <= 6,
+      s"append broke pruning: ${scan.metrics("numFiles").value} files read")
+  }
+
+  test("streaming index maintenance: streamed vectors become searchable") {
+    import graft.streaming.EmbeddingStream
+    val d3 = java.nio.file.Files.createTempDirectory("ivf_stream").toString
+    SimilarityOps.buildIvfIndex(spark, dir, d3)
+    val before = spark.read.parquet(s"$d3/lists").count()
+
+    // stage one arrival file: exact copies of two corpus vectors, fresh ids
+    val staged = java.nio.file.Files.createTempDirectory("emb_stream")
+    val scratch = java.nio.file.Files.createTempDirectory("emb_scratch")
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(400, 450))
+      .select((col("vec_id") + 200000).as("vec_id"), col("embedding"),
+        col("label"))
+      .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val partFile = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(scratch).iterator().asScala
+        .find(_.toString.endsWith(".parquet"))
+        .getOrElse(fail("no part file written"))
+    }
+    java.nio.file.Files.copy(partFile, staged.resolve("batch0.parquet"))
+
+    val ckpt = java.nio.file.Files.createTempDirectory("emb_ckpt").toString
+    val query = EmbeddingStream.indexStream(
+      EmbeddingStream.readStream(spark, staged.toString), d3, ckpt)
+    try query.processAllAvailable() finally query.stop()
+
+    assert(spark.read.parquet(s"$d3/lists").count() == before + 2)
+    val res = SimilarityOps.searchIvfIndex(spark, d3,
+      Tables.embeddings(spark, dir).filter(col("vec_id").isin(400, 450)),
+      nprobe = 3, k = 5).collect()
+    for (q <- Seq(400L, 450L)) {
+      val top = res.filter(r => r.getLong(0) == q && r.getInt(3) == 1).head
+      assert(top.getLong(1) == q + 200000 &&
+        math.abs(top.getDouble(2) - 1.0) < 1e-6,
+        s"streamed copy of $q should rank first at cos=1")
+    }
+  }
 }
