@@ -224,5 +224,28 @@ object GraphOps {
         .toSeq.toDF("node", "x", "y", "z")
   }
 
-  def queries: Seq[Q] = Seq(qComentionEdges, qBipartiteDegree)
+  /** G6 gate (rows-only — the iterated float force loop has no SQL oracle;
+    * the driver contract records a weaker rows>0 check for such ops, and
+    * SpringLayoutSpec pins the semantics): the full co-mention → layout
+    * chain, deterministic by construction (sorted nodes, seeded init, pure
+    * arithmetic — identical rows on every run). */
+  private val qSpringLayout = Q(
+    "q_spring_layout",
+    (s, d) => {
+      val lc = labeled(s, d)
+      val prov = lc.filter(col("label") === "P")
+        .select(col("document_id"), col("entity_name").as("src"))
+      val user = lc.filter(col("label") === "A")
+        .select(col("document_id"), col("entity_name").as("dst"))
+      val edges = prov.join(user, Seq("document_id"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("weight"))
+        .filter(col("weight") >= 2)
+      springLayout(s, edges, iterations = 50, seed = 42L)
+        .orderBy(col("node"))
+    },
+    None)
+
+  def queries: Seq[Q] = Seq(qComentionEdges, qBipartiteDegree, qSpringLayout)
 }
