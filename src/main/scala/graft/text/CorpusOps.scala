@@ -1351,9 +1351,72 @@ object CorpusOps {
          |FROM keep JOIN documents USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
+  /** Fixed-window document chunker with overlap — the RAG/embedding-prep
+    * text splitter (the inverse of sequence packing: packing concatenates
+    * short docs into training rows, this splits long docs into bounded
+    * context windows). Whitespace tokens; windows of `ChunkSize` tokens
+    * every `ChunkStride` (= size − overlap), so consecutive chunks share
+    * `ChunkOverlap` tokens of context; the window count is
+    * 1 + ⌈max(0, n − size) / stride⌉ — the final window is allowed to be
+    * short (it carries the tail), empty chunks are dropped. Map-only over
+    * the corpus scan: at 100 TB the explode multiplies rows ~n/stride-fold
+    * with zero shuffle, and chunk identity (doc_id, chunk_idx) is stable
+    * for downstream embedding/indexing joins. Exact integer arithmetic
+    * mirrored in the oracle. */
+  private val ChunkSize = 32
+  private val ChunkOverlap = 8
+  private val ChunkStride = ChunkSize - ChunkOverlap
+  private val qChunkSplit = Q(
+    "q_chunk_split",
+    (s, d) => {
+      val w = filter(split(col("text"), "\\s+"), x => x =!= "")
+      val n = size(w)
+      val nChunks = lit(1) +
+        floor((greatest(n - ChunkSize, lit(0)) + ChunkStride - 1) /
+          lit(ChunkStride)).cast("int")
+      Tables.documents(s, d)
+        .select(col("doc_id"), w.as("w"), nChunks.as("nc"))
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), col("nc") - 1), i =>
+            struct(i.cast("long").as("chunk_idx"),
+              slice(col("w"), i * ChunkStride + 1, lit(ChunkSize)).as("cw"))))
+            .as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+          array_join(col("c.cw"), " ").as("chunk"),
+          size(col("c.cw")).cast("long").as("n_tokens"))
+        .filter(col("chunk") =!= "")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(
+      s"""WITH ws AS (
+         |  SELECT doc_id,
+         |         list_filter(regexp_split_to_array(text, '\\s+'),
+         |                     x -> x <> '') AS w
+         |  FROM documents
+         |),
+         |nn AS (
+         |  SELECT doc_id, w,
+         |         1 + CAST(floor((greatest(len(w) - $ChunkSize, 0)
+         |                         + $ChunkStride - 1) / $ChunkStride) AS INT)
+         |           AS nc
+         |  FROM ws
+         |),
+         |ch AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |         array_to_string(w[(i * $ChunkStride + 1):
+         |                           (i * $ChunkStride + $ChunkSize)], ' ')
+         |           AS chunk,
+         |         len(w[(i * $ChunkStride + 1):
+         |               (i * $ChunkStride + $ChunkSize)]) AS n_tokens
+         |  FROM nn, unnest(generate_series(0, nc - 1)) t(i)
+         |)
+         |SELECT doc_id, chunk_idx, chunk, n_tokens FROM ch
+         |WHERE chunk <> ''
+         |ORDER BY doc_id, chunk_idx""".stripMargin))
+
   def queries: Seq[Q] = Seq(qDupClusters, qDupKeepBest, qCcChain,
     qRepetitionFilter, qPiiScrub, qHashSplit, qQuantileGate, qHeavyHitters,
     qUnigramLogprob, qBm25, qDecontaminate, qDecontaminateExt, qDomainMix,
     qSeqPack, qSeqPackTok, qSeqPackFfd, qPackFill, qPackManifest,
-    qCorpusStats, qCorpusPipeline)
+    qCorpusStats, qCorpusPipeline, qChunkSplit)
 }
