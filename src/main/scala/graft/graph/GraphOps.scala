@@ -23,25 +23,30 @@ object GraphOps {
   private def labeled(s: SparkSession, d: String): DataFrame =
     Labeler.withStubLabels(Tables.chunkRows(s, d))
 
+  /** G1+G2+J8+G3 edge construction, shared by the edge gate and the layout
+    * gate so the co-mention semantics (role labels, self-pair filter,
+    * weight ≥ 2 floor) live in exactly one place: provider (P) × user (A)
+    * pairs within a document, weight = pair count, headline exemplar. */
+  private def comentionEdges(s: SparkSession, d: String): DataFrame = {
+    val lc = labeled(s, d)
+    val prov = lc.filter(col("label") === "P")
+      .select(col("document_id"), col("entity_name").as("src"), col("headline"))
+    val user = lc.filter(col("label") === "A")
+      .select(col("document_id"), col("entity_name").as("dst"))
+    prov.join(user, Seq("document_id"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"),
+        max(col("headline")).as("example_headline"))
+      .filter(col("weight") >= 2)
+  }
+
   /** G1+G2+J8+G3: role tagging (label P = provider, A = user/adopter),
     * co-mention pairing within a document, edge weight = pair count, payload
     * exemplar, minimum-occurrence filter (weight ≥ 2). */
   private val qComentionEdges = Q(
     "q_comention_edges",
-    (s, d) => {
-      val lc = labeled(s, d)
-      val prov = lc.filter(col("label") === "P")
-        .select(col("document_id"), col("entity_name").as("src"), col("headline"))
-      val user = lc.filter(col("label") === "A")
-        .select(col("document_id"), col("entity_name").as("dst"))
-      prov.join(user, Seq("document_id"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("weight"),
-          max(col("headline")).as("example_headline"))
-        .filter(col("weight") >= 2)
-        .orderBy(col("src"), col("dst"))
-    },
+    (s, d) => comentionEdges(s, d).orderBy(col("src"), col("dst")),
     Some(
       s"""${Oracle.labeledCte}
          |SELECT p.entity_name AS src, u.entity_name AS dst,
@@ -134,7 +139,11 @@ object GraphOps {
     require(pairRows.length <= maxEdges,
       s"graph exceeds maxEdges=$maxEdges — apply a degree/occurrence " +
         "filter (G3/G5) before layout")
-    val pairs = pairRows.map(r => (r.getString(0), r.getString(1)))
+    // SORT the collected edges: collect() order reflects shuffle-fetch
+    // order, and the attraction pass below accumulates doubles in edge
+    // order — non-associative addition would make coordinates depend on
+    // run-to-run row order without this canonicalization
+    val pairs = pairRows.map(r => (r.getString(0), r.getString(1))).sorted
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
     require(nodes.length <= maxNodes,
       s"graph has ${nodes.length} nodes > maxNodes=$maxNodes — apply a " +
@@ -231,20 +240,8 @@ object GraphOps {
     * arithmetic — identical rows on every run). */
   private val qSpringLayout = Q(
     "q_spring_layout",
-    (s, d) => {
-      val lc = labeled(s, d)
-      val prov = lc.filter(col("label") === "P")
-        .select(col("document_id"), col("entity_name").as("src"))
-      val user = lc.filter(col("label") === "A")
-        .select(col("document_id"), col("entity_name").as("dst"))
-      val edges = prov.join(user, Seq("document_id"))
-        .filter(col("src") =!= col("dst"))
-        .groupBy(col("src"), col("dst"))
-        .agg(count(lit(1)).as("weight"))
-        .filter(col("weight") >= 2)
-      springLayout(s, edges, iterations = 50, seed = 42L)
-        .orderBy(col("node"))
-    },
+    (s, d) => springLayout(s, comentionEdges(s, d),
+      iterations = 50, seed = 42L).orderBy(col("node")),
     None)
 
   def queries: Seq[Q] = Seq(qComentionEdges, qBipartiteDegree, qSpringLayout)

@@ -952,11 +952,14 @@ object SimilarityOps {
       .withColumn("qn", norm(col("qv")))
     val wp = Window.partitionBy(col("q_id"))
       .orderBy(col("qscore").desc, col("c_label"))
-    val probes = q.crossJoin(broadcast(cents))
+    // cut (localCheckpoint) the probe table: it feeds BOTH the eager
+    // distinct-bucket collect below and the final join — without the cut
+    // the queries×centroids scoring pass would execute twice per search
+    val probes = graft.PlanProbe.cut(q.crossJoin(broadcast(cents))
       .withColumn("qscore", round(dot(col("qv"), col("cv")), 6))
       .withColumn("pr", row_number().over(wp))
       .filter(col("pr") <= nprobe)
-      .select(col("q_id"), col("qv"), col("qn"), col("c_label").as("bucket"))
+      .select(col("q_id"), col("qv"), col("qn"), col("c_label").as("bucket")))
     val probedBuckets = probes.select(col("bucket")).distinct()
       .collect().map(_.get(0)) // bounded: at most |codebook| values
     val lists = s.read.parquet(s"$indexDir/lists")
@@ -967,6 +970,12 @@ object SimilarityOps {
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+      // collapse duplicate list entries (an at-least-once append retry can
+      // land a vector twice): without this a duplicate would occupy two
+      // ranks and evict the true k-th neighbor; duplicates carry identical
+      // scores, so max == the value and a duplicate-free zone is unchanged
+      .groupBy(col("q_id"), col("vec_id")).agg(max(col("cos")).as("cos"))
       .withColumn("rk", row_number().over(wk))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id"), col("cos"), col("rk"))

@@ -126,16 +126,27 @@ object SourceOps {
     * ([[graft.streaming.EventStream.landPartitioned]]) is read through its
     * `_spark_metadata` manifest, which a batch rewrite would go stale
     * against; retire the manifest (stop the stream, move/remove
-    * `_spark_metadata`) before compacting such a zone. */
+    * `_spark_metadata`) before compacting such a zone.
+    *
+    * `dedupKeys` (optional) also collapses duplicate rows by key while
+    * compacting — the reclamation half of at-least-once append ingestion
+    * (e.g. a retried index append landing a vector twice;
+    * [[graft.streaming.EmbeddingStream]]): the zone comes out both
+    * one-file-per-partition AND exactly-once. Keeper among duplicates is
+    * arbitrary, which is only sound when duplicates are full-row identical
+    * (true for append retries of deterministic rows). */
   def compactPartitions(spark: SparkSession, dir: String,
       partitionCols: Seq[String],
-      predicate: org.apache.spark.sql.Column): Unit = {
+      predicate: org.apache.spark.sql.Column,
+      dedupKeys: Seq[String] = Nil): Unit = {
     require(!new org.apache.hadoop.fs.Path(dir, "_spark_metadata")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata")),
       s"$dir is a streaming file-sink zone (_spark_metadata present): " +
         "batch compaction would go stale against the manifest — retire it first")
-    val slice = spark.read.parquet(dir).filter(predicate).localCheckpoint()
+    val slice0 = spark.read.parquet(dir).filter(predicate)
+    val slice = (if (dedupKeys.nonEmpty) slice0.dropDuplicates(dedupKeys)
+      else slice0).localCheckpoint()
     overwritePartitions(slice, dir, partitionCols)
   }
 

@@ -21,13 +21,15 @@ import graft.sim.SimilarityOps
   *
   * Delivery semantics: the checkpoint gives at-least-once `foreachBatch`
   * execution — a batch retried after a mid-append crash can double-append
-  * its vectors. The index tolerates this benignly for SEARCH (a duplicate
-  * list entry changes no top-k contents, only duplicates a hit at the same
-  * score; rank tiebreak on vec_id keeps results deterministic), but
-  * exact-once hygiene belongs to maintenance: the standard compaction pass
-  * ([[graft.sources.SourceOps.compactPartitions]]) can dedup on `vec_id`
-  * while it collapses append files. Codebook rebuild cadence is the same
-  * judgment as the batch path: when bucket sizes skew, rebuild.
+  * its vectors. Search tolerates this because
+  * [[SimilarityOps.searchIvfIndex]] collapses duplicate `(q_id, vec_id)`
+  * candidates before ranking (without that, a duplicate entry would occupy
+  * two ranks and evict the true k-th neighbor); exactly-once hygiene for
+  * the zone itself is the compaction pass —
+  * `SourceOps.compactPartitions(..., dedupKeys = Seq("vec_id"))` removes
+  * the duplicate rows while it collapses append files. Codebook rebuild
+  * cadence is the same judgment as the batch path: when bucket sizes skew,
+  * rebuild.
   */
 object EmbeddingStream {
 

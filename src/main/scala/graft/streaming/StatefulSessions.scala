@@ -22,11 +22,13 @@ object StatefulSessions {
 
   /** Full-microsecond epoch: `Timestamp.getTime` alone is ms-truncated, and
     * the real events data carries sub-ms components — dropping them would
-    * desync this stream from the batch `session_window` twin. getTime's
-    * floor-division recovers whole seconds (valid for epoch ≥ 0), getNanos
-    * restores the fraction. */
+    * desync this stream from the batch `session_window` twin. `floorDiv`
+    * (not `/`, which truncates toward zero) recovers whole seconds for
+    * NEGATIVE epochs too — a pre-1970 instant with a fractional second
+    * would otherwise come out a full second late; getNanos restores the
+    * fraction. */
   private def us(t: Timestamp): Long =
-    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[ClosedSession] = {
     val spark = events.sparkSession

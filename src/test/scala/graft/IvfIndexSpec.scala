@@ -125,6 +125,28 @@ class IvfIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       .filter(_.metadata("Location").contains("lists")).head
     assert(scan.metrics("numFiles").value <= 6,
       s"append broke pruning: ${scan.metrics("numFiles").value} files read")
+
+    // at-least-once retry: the SAME batch appended twice (a foreachBatch
+    // replay) must not perturb search — the candidate dedup collapses the
+    // duplicate entries before ranking
+    SimilarityOps.appendToIvfIndex(spark, d2, copies)
+    assert(spark.read.parquet(s"$d2/lists").count() == before + 6)
+    def ranked(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+    val resDup = SimilarityOps.searchIvfIndex(spark, d2, queries,
+      nprobe = 3, k = 5).collect()
+    assert(ranked(resDup).toSeq == ranked(res).toSeq,
+      "duplicate list entries must not change ranked results")
+    // compaction with dedupKeys restores exactly-once on the zone itself
+    graft.sources.SourceOps.compactPartitions(spark, s"$d2/lists",
+      Seq("bucket"), col("bucket").isNotNull, dedupKeys = Seq("vec_id"))
+    assert(spark.read.parquet(s"$d2/lists").count() == before + 3,
+      "dedup compaction should remove the replayed rows")
+    val resCompacted = SimilarityOps.searchIvfIndex(spark, d2, queries,
+      nprobe = 3, k = 5).collect()
+    assert(ranked(resCompacted).toSeq == ranked(res).toSeq,
+      "compaction must preserve search results")
   }
 
   test("streaming index maintenance: streamed vectors become searchable") {

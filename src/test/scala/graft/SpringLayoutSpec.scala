@@ -35,6 +35,17 @@ class SpringLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
   }
 
+  test("layout is invariant to input edge ORDER (collect-order hazard)") {
+    import org.apache.spark.sql.functions.col
+    // same edge set, reversed row order: the force loop accumulates doubles
+    // in edge order, so without the internal canonicalizing sort the
+    // coordinates would differ in low-order bits between these two runs
+    val reversed = twoCliques.orderBy(col("src").desc, col("dst").desc)
+    val p1 = GraphOps.springLayout(spark, twoCliques).collect()
+    val p2 = GraphOps.springLayout(spark, reversed).collect()
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq)
+  }
+
   test("connected cliques end up closer than the disconnected pair") {
     val pos = GraphOps.springLayout(spark, twoCliques, iterations = 100)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
