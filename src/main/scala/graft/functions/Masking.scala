@@ -68,13 +68,28 @@ object Masking {
   }
 
   /** UDF over (text, entities array<struct<key,name,start,end>>, target_key)
-    * → struct<masked_text, ph_map array<struct<idx,name>>>. */
+    * → struct<masked_text, ph_map array<struct<idx,name>>>.
+    *
+    * OFFSET CONTRACT: span offsets are Unicode CODE POINTS — the unit every
+    * producer in this engine emits (`Tables.tokenStarts`, Spark
+    * `length`/`instr`/`substring`, DuckDB `strpos`/`substr` all count code
+    * points). [[mask]] itself splices a Java String (UTF-16 code units), so
+    * the UDF converts each span before splicing; on BMP-only text the two
+    * units coincide and the conversion is the identity. Spans whose bounds
+    * fall outside the text's code-point count are dropped, same as [[mask]]
+    * drops out-of-bounds code-unit spans. */
   val maskUdf: UserDefinedFunction =
     udf((text: String, entities: Seq[Row], targetKey: String) => {
-      val spans = Option(entities).getOrElse(Seq.empty).map { r =>
-        Span(r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+      val t = Option(text).getOrElse("")
+      val cpCount = t.codePointCount(0, t.length)
+      def cu(cp: Int): Int = t.offsetByCodePoints(0, cp)
+      val spans = Option(entities).getOrElse(Seq.empty).flatMap { r =>
+        val (s, e) = (r.getInt(2), r.getInt(3))
+        if (s >= 0 && e >= s && e <= cpCount)
+          Some(Span(r.getString(0), r.getString(1), cu(s), cu(e)))
+        else None
       }
-      mask(Option(text).getOrElse(""), spans, targetKey)
+      mask(t, spans, targetKey)
     })
 
   val unmaskUdf: UserDefinedFunction =

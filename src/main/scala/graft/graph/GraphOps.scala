@@ -126,24 +126,52 @@ object GraphOps {
     * Determinism: nodes are sorted, positions are seeded
     * (`java.util.Random(seed)`, identical across JVMs), and the force loop
     * is pure arithmetic — same inputs, bit-identical coordinates. Returns
-    * (node, x, y[, z]) with coordinates rescaled to [-1, 1] per axis
-    * (networkx's `rescale_layout` convention: centered, max extent 1). */
+    * (node, x, y[, z]) with coordinates rescaled to [-1, 1]
+    * (networkx's `rescale_layout` convention: centered per axis, one
+    * uniform scale so the max |coordinate| over all axes is exactly 1).
+    *
+    * Edge semantics match `nx.Graph` + `spring_layout(weight='weight')`:
+    * the graph is UNDIRECTED — (a,b) and (b,a) rows are canonicalized to
+    * one edge, and duplicates merge by SUMMING their weights (for a
+    * co-mention count carried in both directions the sum IS the total pair
+    * count) — and attraction is scaled by `weightCol` when given
+    * (`nx.spring_layout`'s default `weight='weight'`; None = unweighted,
+    * every edge pulls with weight 1). Without the dedup a bidirectional
+    * pair would silently pull twice as hard. */
   def springLayout(spark: SparkSession, edges: DataFrame,
       srcCol: String = "src", dstCol: String = "dst", dim: Int = 2,
       k: Double = 0.1, iterations: Int = 50, seed: Long = 42L,
-      maxNodes: Int = 10000, maxEdges: Int = 200000): DataFrame = {
+      maxNodes: Int = 10000, maxEdges: Int = 200000,
+      weightCol: Option[String] = None): DataFrame = {
     require(dim == 2 || dim == 3, s"dim must be 2 or 3, got $dim")
-    val pairRows = edges.select(col(srcCol).cast("string"),
-      col(dstCol).cast("string")).na.drop()
-      .limit(maxEdges + 1).collect()
+    val sel = weightCol match {
+      case Some(w) => edges.select(col(srcCol).cast("string"),
+        col(dstCol).cast("string"), col(w).cast("double"))
+      case None => edges.select(col(srcCol).cast("string"),
+        col(dstCol).cast("string"), lit(1.0))
+    }
+    val pairRows = sel.na.drop().limit(maxEdges + 1).collect()
     require(pairRows.length <= maxEdges,
       s"graph exceeds maxEdges=$maxEdges — apply a degree/occurrence " +
         "filter (G3/G5) before layout")
-    // SORT the collected edges: collect() order reflects shuffle-fetch
-    // order, and the attraction pass below accumulates doubles in edge
-    // order — non-associative addition would make coordinates depend on
+    // SORT the collected edges before merging: collect() order reflects
+    // shuffle-fetch order, and both the duplicate-weight sum here and the
+    // attraction pass below accumulate doubles in edge order —
+    // non-associative addition would make coordinates depend on
     // run-to-run row order without this canonicalization
-    val pairs = pairRows.map(r => (r.getString(0), r.getString(1))).sorted
+    val canon = pairRows.map { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      (if (a <= b) (a, b) else (b, a), r.getDouble(2))
+    }.sortBy(e => (e._1, e._2))
+    // undirected dedup: one edge per canonical pair. Unweighted input
+    // collapses duplicates to weight 1 (nx.Graph: re-adding an edge is a
+    // no-op); weighted input SUMS the duplicates' weights (in the sorted
+    // order above, so the float sum is deterministic) — for a co-mention
+    // count carried in both directions the sum is the total pair count
+    val pairs = canon.groupBy(_._1).view
+      .mapValues(ws => if (weightCol.isEmpty) 1.0 else ws.map(_._2).sum)
+      .toArray
+      .map { case ((a, b), w) => (a, b, w) }.sortBy(p => (p._1, p._2))
     val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
     require(nodes.length <= maxNodes,
       s"graph has ${nodes.length} nodes > maxNodes=$maxNodes — apply a " +
@@ -151,7 +179,8 @@ object GraphOps {
         "is unreadable and the layout loop is O(n^2) per iteration")
     val n = nodes.length
     val idx = nodes.zipWithIndex.toMap
-    val adj = pairs.map(p => (idx(p._1), idx(p._2))).filter(e => e._1 != e._2)
+    val adj = pairs.map(p => (idx(p._1), idx(p._2), p._3))
+      .filter(e => e._1 != e._2)
 
     val rnd = new java.util.Random(seed)
     val pos = Array.fill(n, dim)(rnd.nextDouble())
@@ -183,15 +212,16 @@ object GraphOps {
         }
         i += 1
       }
-      // attraction: each edge pulls its ends together with d^2 / k
-      adj.foreach { case (u, v) =>
+      // attraction: each edge pulls its ends together with w * d^2 / k
+      // (w = edge weight — networkx scales attraction, never repulsion)
+      adj.foreach { case (u, v, w) =>
         var d2 = 0.0
         var a = 0
         while (a < dim) {
           val dd = pos(u)(a) - pos(v)(a); d2 += dd * dd; a += 1
         }
         val d = math.max(math.sqrt(d2), eps)
-        val f = d / k // (d^2 / k) / d, multiplied by the delta vector
+        val f = w * d / k // (w * d^2 / k) / d, multiplied by the delta vector
         a = 0
         while (a < dim) {
           val pull = (pos(u)(a) - pos(v)(a)) * f
@@ -233,16 +263,45 @@ object GraphOps {
         .toSeq.toDF("node", "x", "y", "z")
   }
 
-  /** G6 gate (rows-only — the iterated float force loop has no SQL oracle;
-    * the driver contract records a weaker rows>0 check for such ops, and
-    * SpringLayoutSpec pins the semantics): the full co-mention → layout
-    * chain, deterministic by construction (sorted nodes, seeded init, pure
-    * arithmetic — identical rows on every run). */
+  /** G6 gate — PARTIAL oracle: the iterated float force loop itself has no
+    * SQL rendering (the coordinates stay spec-pinned in SpringLayoutSpec:
+    * determinism, rescale, clique separation), but two facts about the full
+    * co-mention → layout chain ARE SQL-checkable and are what this gate
+    * projects: (1) the node SET — every entity in the (already-oracled) G2
+    * edge list appears exactly once, derived independently by the oracle
+    * from the same co-mention SQL; (2) the rescale invariants as booleans —
+    * every |coordinate| ≤ 1 and the global max |coordinate| is exactly 1
+    * (the networkx convention the rescale implements). The oracle emits
+    * literal TRUE for both, so a violated invariant or a dropped/duplicated
+    * node hash-mismatches. Weighted layout (`weight` = pair count), the
+    * reference's `nx.spring_layout` default. */
   private val qSpringLayout = Q(
     "q_spring_layout",
-    (s, d) => springLayout(s, comentionEdges(s, d),
-      iterations = 50, seed = 42L).orderBy(col("node")),
-    None)
+    (s, d) => {
+      val layout = springLayout(s, comentionEdges(s, d),
+        iterations = 50, seed = 42L, weightCol = Some("weight"))
+      val cmax = greatest(abs(col("x")), abs(col("y")))
+      // global window is fine here: the layout is bounded by maxNodes
+      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      layout
+        .withColumn("in_range", cmax <= lit(1.0 + 1e-9))
+        .withColumn("axis_max_ok", abs(max(cmax).over(all) - 1.0) <= lit(1e-9))
+        .select(col("node"), col("in_range"), col("axis_max_ok"))
+        .orderBy(col("node"))
+    },
+    Some(
+      s"""${Oracle.labeledCte},
+         |edges AS (
+         |  SELECT p.entity_name AS src, u.entity_name AS dst
+         |  FROM labeled p JOIN labeled u ON p.document_id = u.document_id
+         |  WHERE p.label = 'P' AND u.label = 'A'
+         |    AND p.entity_name <> u.entity_name
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges)
+         |SELECT node, TRUE AS in_range, TRUE AS axis_max_ok
+         |FROM nodes ORDER BY node""".stripMargin))
 
   def queries: Seq[Q] = Seq(qComentionEdges, qBipartiteDegree, qSpringLayout)
 }

@@ -215,12 +215,11 @@ object Tables {
     * input array is evaluated once, and each step touches only its segment.
     * Token must be regex-free (ours are alphanumeric).
     *
-    * OFFSET UNIT: Spark's `length` counts Unicode CODE POINTS, while the
-    * masking UDF consuming these spans splices with `String.substring`
-    * (UTF-16 code units). The two coincide exactly on BMP-only text — the
-    * synthetic corpus is ASCII — but a corpus with supplementary-plane
-    * characters (emoji etc.) needs a code-point→code-unit offset conversion
-    * between producer and consumer before the spans are spliced. */
+    * OFFSET UNIT: Unicode CODE POINTS (Spark's `length` semantics) — the
+    * unit `Masking.maskUdf` declares for its span contract (it converts to
+    * UTF-16 code units internally before splicing), so the spans are safe
+    * on supplementary-plane text, not just the ASCII synthetic corpus;
+    * pinned by the emoji round-trip test in TokenStartsSpec. */
   def tokenStarts(text: org.apache.spark.sql.Column,
       token: String): org.apache.spark.sql.Column = {
     val tl = token.length

@@ -87,6 +87,46 @@ class SpringLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("duplicate and bidirectional rows collapse to one undirected edge") {
+    import spark.implicits._
+    // same edge SET as twoCliques but with every edge also present reversed
+    // and one edge tripled — nx.Graph semantics: re-adding an edge is a
+    // no-op, so the layout must be bit-identical to the clean list
+    val clean = twoCliques
+    val noisy = clean
+      .union(clean.select($"dst".as("src"), $"src".as("dst")))
+      .union(Seq(("a1", "a2"), ("a2", "a1")).toDF("src", "dst"))
+    val p1 = GraphOps.springLayout(spark, clean).collect()
+    val p2 = GraphOps.springLayout(spark, noisy).collect()
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq,
+      "duplicate/bidirectional rows must not double the attraction")
+  }
+
+  test("edge weights scale attraction: heavy edge ends up shorter") {
+    import spark.implicits._
+    val edges = Seq(("hub", "heavy", 10.0), ("hub", "light", 1.0))
+      .toDF("src", "dst", "weight")
+    val pos = GraphOps
+      .springLayout(spark, edges, iterations = 100, weightCol = Some("weight"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    def d(u: String, v: String): Double = {
+      val (x1, y1) = pos(u); val (x2, y2) = pos(v)
+      math.hypot(x1 - x2, y1 - y2)
+    }
+    assert(d("hub", "heavy") < d("hub", "light"),
+      s"heavy ${d("hub", "heavy")} should be < light ${d("hub", "light")}")
+    // weighted duplicates SUM: the same edge list with the heavy edge split
+    // into two directed halves must lay out bit-identically
+    val split = Seq(("hub", "heavy", 4.0), ("heavy", "hub", 6.0),
+      ("hub", "light", 1.0)).toDF("src", "dst", "weight")
+    val p2 = GraphOps
+      .springLayout(spark, split, iterations = 100, weightCol = Some("weight"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(pos == p2, "bidirectional weighted rows must merge by summing")
+  }
+
   test("self-loops are ignored; singleton edge list still lays out") {
     import spark.implicits._
     val df = Seq(("n1", "n1"), ("n1", "n2")).toDF("src", "dst")

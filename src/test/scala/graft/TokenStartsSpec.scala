@@ -14,12 +14,11 @@ import graft.model.Tables
   * `String.indexOf` non-overlapping scan (the reference's `finditer`
   * semantics).
   *
-  * SCOPE: generators are ASCII-only, deliberately — the oracle measures
-  * UTF-16 code units (java.lang.String) while tokenStarts measures code
-  * points (Spark `length`), and the two units coincide only on BMP text.
-  * The corpus contract is ASCII (see the tokenStarts Scaladoc's offset-unit
-  * note); this spec certifies the enumeration on that contract, not a
-  * unicode-offset equivalence. */
+  * The property generators are ASCII (where code units and code points
+  * coincide, so the `String.indexOf` oracle applies verbatim); the
+  * supplementary-plane tests below pin the unit contract itself — offsets
+  * are CODE POINTS end-to-end, and `Masking.maskUdf` converts them to code
+  * units before splicing, so the chain is correct on emoji-bearing text. */
 class TokenStartsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark: SparkSession = SparkSession.builder()
@@ -65,6 +64,43 @@ class TokenStartsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val texts = Seq("", "order", "orderX", "Xorder", "oorderr",
       "orderorder", "ordeorder", "no match here", "ord")
     assert(sparkStarts(texts, token) == texts.map(refStarts(_, token)))
+  }
+
+  test("supplementary-plane text: offsets are code points") {
+    // each emoji is ONE code point but TWO UTF-16 code units; tokenStarts
+    // must report the code-point position (Spark `length` semantics), not
+    // the Java-string index
+    assert(sparkStarts(Seq("🚀part"), "part") == Seq(Seq(1)))
+    assert(sparkStarts(Seq("🚀🎉 part part"), "part")
+      == Seq(Seq(3, 8)))
+  }
+
+  test("emoji-bearing text round-trips through mask→unmask") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.Masking
+    // 🚀🚀 customer loves 🎉 part 🐉 — tokens sit AFTER supplementary-plane
+    // chars, so a code-unit consumer of these code-point offsets would
+    // splice mid-word (the pre-round-10 caveat this test retires)
+    val text = "🚀🚀 customer loves 🎉 part " +
+      "🐉"
+    val df = Seq((text, "c1", "p1")).toDF("text", "ck", "pk")
+    def spans(key: org.apache.spark.sql.Column, token: String) =
+      transform(Tables.tokenStarts(col("text"), token), p =>
+        struct(key.as("key"), key.as("name"), p.as("start"),
+          (p + token.length).cast("int").as("end")))
+    val ents = concat(spans(col("ck"), "customer"), spans(col("pk"), "part"))
+    val m = df.select(
+      Masking.maskUdf(col("text"), ents, col("ck")).as("m")).head()
+      .getStruct(0)
+    val masked = m.getString(0)
+    assert(masked == "🚀🚀 Target Company loves " +
+      "🎉 Other Company_1 🐉",
+      s"bad splice: $masked")
+    val phMap = m.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(Masking.unmask(masked, "customer", phMap)
+      .replace("p1", "part") == text)
   }
 
   test("all three planted tokens cannot self-overlap (split == full scan)") {
