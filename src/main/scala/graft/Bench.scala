@@ -56,6 +56,17 @@ object Bench {
     "q_cc_chain",          // CC in the high-diameter multi-round regime
     "q_corpus_pipeline")   // composed gate→cluster-keep-one→scrub→split chain
 
+  /** Operators born in round 9, first benched round 10 — their OWN frozen
+    * set (`extras_r10` in the JSON, own calibration samples) so they gain
+    * round-over-round drift tracking without contaminating the older
+    * comparable `headline`/`extras` sets (BASELINE.md documents the birth
+    * round). */
+  val extraR10: Seq[String] = Seq(
+    "q_chunk_split",       // fixed-window chunker (map-only explode)
+    "q_entity_batching",   // Q8 one-scan fan-out + broadcast batch dim
+    "q_wrap_truncate",     // P8 wrap UDF + codegen truncation window
+    "q_embed_neardup_ivf") // hierarchical 8-table OR-amplified IVF near-dup
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -94,15 +105,16 @@ object Bench {
     val qs0 = SparkEntry.queries
     val present = headline.filter(qs0.contains)
     val extras = extraHeadline.filter(qs0.contains)
+    val extras10 = extraR10.filter(qs0.contains)
     val passes = 3
     // times(name) accumulates one entry per pass; -1 marks a failed rep
     val times = scala.collection.mutable.Map(
-      (present ++ extras).map(_ -> List.empty[Double]): _*)
+      (present ++ extras ++ extras10).map(_ -> List.empty[Double]): _*)
     // headline passes run FIRST and alone — extras must not perturb the
     // page-cache/GC conditions of headline reps 2-3, or `total` stops being
-    // comparable to rounds benched before extras existed; the extras block
+    // comparable to rounds benched before extras existed; each later block
     // repeats the same interleaved protocol (with its own calibration
-    // samples) after the headline block completes
+    // samples) after the previous block completes
     val calib = (1 to passes).map { _ =>
       val c = calibrate()
       present.foreach { name => times(name) :+= once(name, qs0(name)) }
@@ -111,6 +123,11 @@ object Bench {
     val calibExtras = (1 to passes).map { _ =>
       val c = calibrate()
       extras.foreach { name => times(name) :+= once(name, qs0(name)) }
+      c
+    }
+    val calibExtras10 = (1 to passes).map { _ =>
+      val c = calibrate()
+      extras10.foreach { name => times(name) :+= once(name, qs0(name)) }
       c
     }
     def minOf(name: String): Double = {
@@ -122,11 +139,14 @@ object Bench {
       .mkString("{", ",", "}")
     val extrasJson = extras.map(name => "\"" + name + "\":" + minOf(name))
       .mkString("{", ",", "}")
+    val extras10Json = extras10.map(name => "\"" + name + "\":" + minOf(name))
+      .mkString("{", ",", "}")
     // extras participate in failure gating exactly like headline queries —
     // a broken or unregistered showcase operator must not exit 0
-    val failed = (headline ++ extraHeadline).filterNot(qs0.contains) ++
+    val failed =
+      (headline ++ extraHeadline ++ extraR10).filterNot(qs0.contains) ++
       results.filter(_._2 < 0).map(_._1) ++
-      extras.filter(minOf(_) < 0)
+      (extras ++ extras10).filter(minOf(_) < 0)
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit
     // comma decimals (broken JSON) on comma-decimal default locales
@@ -135,8 +155,9 @@ object Bench {
       .mkString("[", ",", "]")
     val calibJson = fmtCalib(calib)
     val calibExtrasJson = fmtCalib(calibExtras)
+    val calibExtras10Json = fmtCalib(calibExtras10)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -26,7 +26,14 @@ object Presentation {
     * (the trailing space is counted, so a line holds at most `maxLength - 1`
     * visible chars); a word that cannot open a line within budget flushes
     * the current line first — which for the very first word emits an empty
-    * leading line (`lines.append(' '.join([]))`); null/empty pass through. */
+    * leading line (`lines.append(' '.join([]))`); null/empty pass through.
+    *
+    * KNOWN DEVIATION (deliberate): Java's `\s` is ASCII whitespace while
+    * Python's `str.split()` splits on all Unicode whitespace, so NBSP /
+    * ideographic spaces stay inside a "word" here but would separate words
+    * in the reference. The DuckDB oracle's RE2 `\s` is ASCII too, so both
+    * gate sides agree; switching to `(?U)\s+` would desync the oracle for
+    * no gain on the ASCII corpus contract. */
   private[graft] def wrap(text: String, maxLength: Int): String = {
     if (text == null || text.isEmpty) text
     else {

@@ -1,14 +1,25 @@
 package graft.report
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
 
 /** HTML report sink (SURVEY.md §2.1 S9): the reference renders per-entity
   * HTML reports driver-side from collected rows
-  * (`Report_Generator_AI_Threats/src/tool.py:131-351`). The engine keeps the
-  * same contract: rendering happens AFTER aggregation, on a result that is
-  * small by construction (the collect here is the presentation boundary, not
-  * a distributed operator — callers pass a bounded, already-aggregated
-  * DataFrame).
+  * (`Report_Generator_AI_Threats/src/tool.py:131-351`,
+  * `src/html_report.py`). The engine keeps the same contract: rendering
+  * happens AFTER aggregation, on a result that is small by construction
+  * (the collect here is the presentation boundary, not a distributed
+  * operator — callers pass a bounded, already-aggregated DataFrame).
+  *
+  * Two renders: [[render]] is the generic escaped table; [[entityReport]]
+  * reproduces the reference's per-entity report template — definitions
+  * box, one bordered block per entity with a score box (rows of
+  * `label: value` pairs, floats "%.2f", nulls "N/A") and side-by-side
+  * summary boxes (nulls fall back to the reference's "No relevant content
+  * was retrieved."), under the same CSS class vocabulary
+  * (`report-container/-entity/-score-box/-criterion-box/…`). One
+  * deliberate deviation: all interpolated values are HTML-escaped (the
+  * reference f-strings them raw).
   */
 object ReportSink {
 
@@ -40,4 +51,160 @@ object ReportSink {
   def write(df: DataFrame, title: String, path: String, maxRows: Int = 1000): Unit =
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       render(df, title, maxRows))
+
+  /** One `label: value` cell of the entity score box. Numeric rendering is
+    * the reference's (`html_report.py:32-37`): fractional types "%.2f",
+    * integral types verbatim, null "N/A". */
+  final case class ScoreSpec(column: String, label: String)
+
+  /** One summary criterion box (`html_report.py:64-76`): `boxTitle` is the
+    * h4, the column's text the body, null → the reference's fallback. */
+  final case class SummarySpec(column: String, boxTitle: String)
+
+  private val NoContent = "No relevant content was retrieved."
+
+  private def fmtValue(r: Row, i: Int): String =
+    if (r.isNullAt(i)) "N/A"
+    else r.get(i) match {
+      case d: Double => String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
+      case f: Float => String.format(java.util.Locale.ROOT, "%.2f", Double.box(f.toDouble))
+      case d: java.math.BigDecimal =>
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(d.doubleValue()))
+      case other => other.toString
+    }
+
+  /** The reference's report CSS, class-for-class
+    * (`html_report.py:106-192`), minified: the structural vocabulary the
+    * template (and ReportSinkSpec) keys on. */
+  private val reportCss: String = Seq(
+    ".report-container{font-family:Arial,sans-serif;padding:30px;background-color:#ffffff;color:#333}",
+    ".report-container h1{color:#003A70;font-size:24px;margin-bottom:5px;font-weight:700;text-align:center}",
+    ".report-date{font-size:16px;color:#555;margin-bottom:20px;text-align:center}",
+    ".report-section-box{border:1px solid #003A70;padding:15px;margin:25px 0;border-radius:8px;background:#FAFBFC}",
+    ".report-section-title{font-size:22px;color:#003A70;margin:0 0 15px 0;text-align:left}",
+    ".report-entity{border:2px solid #003A70;margin:15px 0;padding:20px;border-radius:8px;background:#F7F9FC}",
+    ".report-score-box{border:1px solid #B0B0B0;padding:10px;margin:10px 0;background:#FFFFFF;border-radius:5px}",
+    ".score-row{display:flex;gap:10px;flex-wrap:wrap}",
+    ".score-row p{margin:5px 0;font-size:14px;color:#333}",
+    ".report-flex-container{display:flex;flex-wrap:wrap;gap:15px;justify-content:space-between}",
+    ".report-criterion-box{flex:1;min-width:200px;padding:15px;border:1px solid #B0B0B0;border-radius:5px;background:#FFFFFF}",
+    ".report-criterion-box h4{margin-top:0;color:#003A70}",
+    "h3{margin-bottom:5px;font-size:20px;color:#003A70}").mkString("\n")
+
+  /** Per-entity HTML report, structurally faithful to the reference
+    * template (`tool.py:131-351` / `html_report.py:8-211`): `<h1>` title +
+    * dated header, a "Score Definitions" section box, then the main section
+    * box with one `report-entity` block per input row — `<h3>` entity
+    * header, a `report-score-box` with one `score-row` per entry of
+    * `scoreRows` (multiple specs in a row joined " / ", the reference's
+    * score/doc-count pairing), and a `report-flex-container` of
+    * `report-criterion-box` summaries.
+    *
+    * Bounded-driver-render discipline (same as the xlsx sink and the
+    * spring layout): a report wider than `maxEntities` THROWS rather than
+    * silently truncates — reports are human artifacts; an unreadable one is
+    * a spec error upstream, not a scale path. `reportDate` is injectable
+    * (the reference stamps `datetime.now`); defaults to today in the
+    * reference's "%B %d, %Y" rendering. */
+  def entityReport(df: DataFrame, title: String,
+      definitions: Seq[(String, String)], sectionTitle: String,
+      scoreRows: Seq[Seq[ScoreSpec]], summaries: Seq[SummarySpec],
+      entityCol: String = "entity_name",
+      reportDate: String = java.time.LocalDate.now.format(
+        java.time.format.DateTimeFormatter.ofPattern("MMMM dd, yyyy",
+          java.util.Locale.ROOT)),
+      maxEntities: Int = 1000): String = {
+    val cols = entityCol +: (scoreRows.flatten.map(_.column) ++
+      summaries.map(_.column))
+    val rows = df.select(cols.map(col): _*).limit(maxEntities + 1).collect()
+    require(rows.length <= maxEntities,
+      s"report has > $maxEntities entities — aggregate or filter upstream " +
+        "(a report this wide is unreadable; this sink never truncates silently)")
+    val colIdx = cols.zipWithIndex.toMap
+
+    val entitySections = rows.map { r =>
+      val scoreBox = scoreRows.map { row =>
+        val cells = row.map(sp =>
+          s"<p><strong>${esc(sp.label)}:</strong> ${esc(fmtValue(r, colIdx(sp.column)))}</p>")
+        s"""<div class="score-row">${cells.mkString(" / ")}</div>"""
+      }.mkString("\n")
+      val summaryBoxes = summaries.map { sm =>
+        val i = colIdx(sm.column)
+        val body = if (r.isNullAt(i)) NoContent else r.get(i).toString
+        s"""<div class="report-criterion-box"><h4>${esc(sm.boxTitle)}</h4><p>${esc(body)}</p></div>"""
+      }.mkString("\n")
+      s"""<div class='report-entity'>
+         |<h3>${esc(if (r.isNullAt(0)) "N/A" else r.get(0).toString)}</h3>
+         |<div class="report-score-box">
+         |$scoreBox
+         |</div>
+         |<div class="report-flex-container">
+         |$summaryBoxes
+         |</div>
+         |</div>""".stripMargin
+    }.mkString("\n")
+
+    val definitionsHtml = definitions.map { case (score, defn) =>
+      s"<p><strong>${esc(score)}</strong>: ${esc(defn)}</p>"
+    }.mkString("\n")
+
+    s"""<!DOCTYPE html>
+       |<html lang="en">
+       |<head>
+       |<meta charset="UTF-8">
+       |<meta name="viewport" content="width=device-width, initial-scale=1.0">
+       |<title>${esc(title)}</title>
+       |<style>
+       |$reportCss
+       |</style>
+       |</head>
+       |<body>
+       |<div class="report-container">
+       |<h1>${esc(title)}</h1>
+       |<div class="report-date">${esc(reportDate)}</div>
+       |<div class="report-section-box">
+       |<p class="report-section-title">Score Definitions</p>
+       |$definitionsHtml
+       |</div>
+       |<div class="report-section-box">
+       |<p class="report-section-title">${esc(sectionTitle)}</p>
+       |$entitySections
+       |</div>
+       |</div>
+       |</body>
+       |</html>""".stripMargin
+  }
+
+  /** The reference's top/bottom/all section selection
+    * (`html_report.py:214-244` `display_report`): "top" sorts `score`
+    * descending, "bottom" ascending — both take `nbEntities` and title the
+    * section "Top/Bottom N Companies for {display name}" — "all" sorts by
+    * entity name with an empty section title. NULL scores sort LAST in both
+    * directions (pandas puts NaN last regardless of `ascending`; Spark's
+    * default asc would put them first). Ties broken by entity name so the
+    * report is deterministic (the reference inherits pandas sort stability
+    * instead). Returns (section DataFrame, section title). */
+  def sectionFor(df: DataFrame, score: String, scoreName: String,
+      top: String, nbEntities: Int,
+      entityCol: String = "entity_name"): (DataFrame, String) = top match {
+    case "top" =>
+      (df.orderBy(col(score).desc_nulls_last, col(entityCol))
+        .limit(nbEntities),
+        s"Top $nbEntities Companies for $scoreName")
+    case "bottom" =>
+      (df.orderBy(col(score).asc_nulls_last, col(entityCol))
+        .limit(nbEntities),
+        s"Bottom $nbEntities Companies for $scoreName")
+    case "all" => (df.orderBy(col(entityCol)), "")
+    case other => throw new IllegalArgumentException(
+      s"top must be 'top', 'bottom', or 'all', got '$other'")
+  }
+
+  def writeEntityReport(df: DataFrame, title: String,
+      definitions: Seq[(String, String)], sectionTitle: String,
+      scoreRows: Seq[Seq[ScoreSpec]], summaries: Seq[SummarySpec],
+      path: String, entityCol: String = "entity_name"): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      entityReport(df, title, definitions, sectionTitle, scoreRows,
+        summaries, entityCol))
 }

@@ -46,15 +46,30 @@ object SourceOps {
     * properties). */
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit =
-    // repartition on the key into exactly `buckets` partitions first: the
+    writeBucketed(df, table, Seq(key), buckets)
+
+  /** Multi-column form of [[writeBucketed]] for joins keyed on a COMPOSITE
+    * key (e.g. the MinHash band table's (band, key)). Bucket on the FULL
+    * join key: Spark's default co-partition check
+    * (`spark.sql.requireAllClusterKeysForCoPartition`) only reuses a
+    * table's hash layout when the bucket columns cover every join key — a
+    * subset-key layout shuffles BOTH sides again (observed; pinned in
+    * StreamingCorpusSpec). */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit = {
+    require(keys.nonEmpty, "need at least one bucket column")
+    // repartition on the keys into exactly `buckets` partitions first: the
     // repartition hash and the bucket hash are the same Murmur3, so each
     // write task holds exactly one bucket → ONE file per bucket. Spark only
     // trusts the sortBy order at read time when buckets are single-file
     // (multi-file buckets get re-sorted), so this is what makes downstream
     // merges sort-free as well as exchange-free.
-    df.repartition(buckets, df.col(key))
+    df.repartition(buckets, keys.map(df.col): _*)
       .write.mode("overwrite").format("parquet")
-      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+  }
 
   /** Hive-partitioned landing-layout writer — the sibling of
     * [[writeBucketed]] for the OTHER 100 TB layout decision: a corpus landed
@@ -134,7 +149,12 @@ object SourceOps {
     * [[graft.streaming.EmbeddingStream]]): the zone comes out both
     * one-file-per-partition AND exactly-once. Keeper among duplicates is
     * arbitrary, which is only sound when duplicates are full-row identical
-    * (true for append retries of deterministic rows). */
+    * (true for append retries of deterministic rows) — ENFORCED below: a
+    * caller whose key collides across DIFFERENT rows (say a re-embedded
+    * vec_id) fails loudly instead of keeping a nondeterministic row. The
+    * check is one extra aggregation over the slice being compacted — cost
+    * proportional to the compaction itself, the right price for turning
+    * silent nondeterminism into a named error on a maintenance pass. */
   def compactPartitions(spark: SparkSession, dir: String,
       partitionCols: Seq[String],
       predicate: org.apache.spark.sql.Column,
@@ -145,8 +165,18 @@ object SourceOps {
       s"$dir is a streaming file-sink zone (_spark_metadata present): " +
         "batch compaction would go stale against the manifest — retire it first")
     val slice0 = spark.read.parquet(dir).filter(predicate)
-    val slice = (if (dedupKeys.nonEmpty) slice0.dropDuplicates(dedupKeys)
-      else slice0).localCheckpoint()
+    val slice = (if (dedupKeys.nonEmpty) {
+      val conflicted = slice0
+        .groupBy(dedupKeys.map(slice0.col): _*)
+        .agg(countDistinct(struct(slice0.columns.map(slice0.col): _*))
+          .as("__variants"))
+        .filter(col("__variants") > 1).limit(1).count()
+      require(conflicted == 0L,
+        s"dedupKeys ${dedupKeys.mkString(",")} collide across non-identical " +
+          "rows — an arbitrary keeper would be nondeterministic; resolve the " +
+          "conflict upstream (dedup here only reclaims exact append retries)")
+      slice0.dropDuplicates(dedupKeys)
+    } else slice0).localCheckpoint()
     overwritePartitions(slice, dir, partitionCols)
   }
 

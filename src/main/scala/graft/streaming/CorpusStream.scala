@@ -185,11 +185,14 @@ object CorpusStream {
     * batch family's job, same as the batch LSH path.
     *
     * Scale: the static side is re-planned per micro-batch (standard
-    * stream-static join). At corpus scale, land the band table once via
-    * [[graft.sources.SourceOps.writeBucketed]] on `key` so each micro-batch
-    * joins against a pre-shuffled layout, or snapshot the recent-corpus
-    * slice if the dedup horizon is bounded — the band table grows with the
-    * corpus (4 rows/doc), it is NOT broadcastable. */
+    * stream-static join), and the band table grows with the corpus (4
+    * rows/doc) — it is NOT broadcastable. At corpus scale, land it once via
+    * [[graft.text.TextOps.landBandTable]] (bucketed on `key`): the standing
+    * side then joins with NO exchange per micro-batch — only the tiny
+    * arriving batch shuffles to match the buckets. That plan shape is
+    * asserted on the EXECUTED micro-batch plan in StreamingCorpusSpec, not
+    * promised in prose. Snapshot the recent-corpus slice instead if the
+    * dedup horizon is bounded. */
   def nearDupCandidates(docs: DataFrame, corpusBands: DataFrame): DataFrame =
     docs
       .select(col("doc_id").as("new_doc_id"),

@@ -227,6 +227,26 @@ object TextOps {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
+  /** Land the standing MinHash band table as a BUCKETED table
+    * ([[graft.sources.SourceOps.writeBucketed]] on the FULL (band, key)
+    * join key — a subset would not satisfy Spark's co-partition check and
+    * both sides would shuffle again) — the 100 TB form of the near-dup
+    * index. The band table grows with the corpus (4 rows/doc) and is NOT
+    * broadcastable, so every consumer join — the batch candidate self-join
+    * and the streaming ingest gate's per-micro-batch stream-static join
+    * ([[graft.streaming.CorpusStream.nearDupCandidates]]) — would otherwise
+    * re-shuffle the whole standing side each time. Bucketing pays that
+    * shuffle once at write: the scan comes up hash-partitioned on
+    * (band, key), so the join shuffles only the (tiny) arriving micro-batch
+    * to match the buckets and the standing side plans with NO exchange —
+    * pinned on the executed micro-batch plan in StreamingCorpusSpec.
+    * Bucket count is a layout decision: size so one bucket fits executor
+    * memory at target SF. */
+  def landBandTable(s: SparkSession, d: String, table: String,
+      buckets: Int): Unit =
+    graft.sources.SourceOps.writeBucketed(bandTable(s, d), table,
+      Seq("band", "key"), buckets)
+
   /** In-row MinHash band keys — the STREAM-side twin of [[bandTable]]: the
     * same shingle → hash32 → 8-permutation-min → 4-band pipeline computed
     * entirely with array lambdas inside one row, no explode/groupBy — a

@@ -253,14 +253,82 @@ object InvariantCheck {
           Some(s"ivf_recall[$dir]: failed to run: ${e.getMessage}")
       }
     }
+    // Persisted-IVF lifecycle at the release gate: the full
+    // build → append (with a deliberate duplicate-retry replay) →
+    // dedup-compact → search cycle on the REAL corpus at this SF.
+    // IvfIndexSpec pins each piece at fixture scale; this is the only place
+    // the whole maintenance loop runs end-to-end on driver data. Asserts:
+    // (1) appended copies surface at cos≈1 for their source queries,
+    // (2) a replayed (at-least-once) append batch does not perturb ranked
+    // results, (3) dedup compaction reclaims the replay exactly and
+    // preserves search bit-identity, (4) the compacted zone is back to one
+    // file per bucket directory.
+    val ivfLifecycleFailure: Option[String] = try {
+      import org.apache.spark.sql.functions.col
+      val S = graft.sim.SimilarityOps
+      val idx = java.nio.file.Files.createTempDirectory("ivf_gate").toString
+      S.buildIvfIndex(spark, sfDir, idx)
+      val built = spark.read.parquet(s"$idx/lists").count()
+      val sources = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") % 40 === 0)
+      val nCopies = sources.count()
+      val copies = sources
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      S.appendToIvfIndex(spark, idx, copies)
+      def ranked() = S.searchIvfIndex(spark, idx, sources, nprobe = 3, k = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val once = ranked()
+      // every source query must see its appended copy at cos≈1 (rank not
+      // asserted: a corpus with planted exact-duplicate vectors could tie)
+      val copiesSeen = once.count { case (q, v, c, _) =>
+        v == q + 10000000L && math.abs(c - 1.0) < 1e-6 }
+      S.appendToIvfIndex(spark, idx, copies) // the at-least-once replay
+      val afterReplay = spark.read.parquet(s"$idx/lists").count()
+      val twice = ranked()
+      graft.sources.SourceOps.compactPartitions(spark, s"$idx/lists",
+        Seq("bucket"), col("bucket").isNotNull, dedupKeys = Seq("vec_id"))
+      val compacted = spark.read.parquet(s"$idx/lists").count()
+      val post = ranked()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/lists"))
+      val filesPerBucket =
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .toList.groupBy(_.getParent.getFileName.toString)
+            .view.mapValues(_.size).toMap
+        } finally walk.close()
+      val copyOk = copiesSeen == nCopies
+      val replayOk = afterReplay == built + 2 * nCopies && twice == once
+      val compactOk = compacted == built + nCopies && post == once
+      val layoutOk = filesPerBucket.nonEmpty &&
+        filesPerBucket.values.forall(_ == 1)
+      if (copyOk && replayOk && compactOk && layoutOk) {
+        println(s"[invariant] OK ivf_lifecycle: built $built, appended " +
+          s"$nCopies copies ×2 (replay), compacted back to " +
+          s"${built + nCopies}; copies searchable at cos≈1, ranked results " +
+          "bit-identical across replay and compaction, 1 file/bucket")
+        None
+      } else Some(s"ivf_lifecycle: copy_seen=$copiesSeen/$nCopies " +
+        s"replay(count=$afterReplay vs ${built + 2 * nCopies}, " +
+        s"identical=${twice == once}) compact(count=$compacted vs " +
+        s"${built + nCopies}, identical=${post == once}) " +
+        s"files/bucket=${filesPerBucket.values.toSeq.distinct.sorted} — " +
+        "the build→append→compact→search cycle broke on real data")
+    } catch {
+      case e: Throwable =>
+        Some(s"ivf_lifecycle: failed to run: ${e.getMessage}")
+    }
     val failures = tableFailures ++ ccFailure ++ packFailure ++ ffdFailure ++
-      ivfShapeFailure ++ ivfSuperFailure ++ ivfRecallFailures
+      ivfShapeFailure ++ ivfSuperFailure ++ ivfRecallFailures ++
+      ivfLifecycleFailure
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach(f => System.err.println(s"[invariant] FAIL $f"))
       sys.exit(1)
     }
-    println(s"[invariant] all ${invariants.size + 5 + recallDirs.size} " +
+    println(s"[invariant] all ${invariants.size + 6 + recallDirs.size} " +
       s"invariants hold at $sfDir")
   }
 }

@@ -55,6 +55,33 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == plain.count())
   }
 
+  test("composite-key bucketing joins exchange-free on the full key") {
+    // the multi-column overload exists because Spark's co-partition check
+    // ignores a subset-key layout (both sides would re-shuffle on the full
+    // join key — observed with the band table's (band, key) join); bucket
+    // the FULL key and the join plans shuffle-free
+    SourceOps.writeBucketed(Tables.lineitem(spark, dir), "li_mk",
+      Seq("l_orderkey", "l_linenumber"), 8)
+    SourceOps.writeBucketed(Tables.lineitem(spark, dir), "li_mk2",
+      Seq("l_orderkey", "l_linenumber"), 8)
+    val joined = spark.table("li_mk").select(col("l_orderkey"),
+      col("l_linenumber"), col("l_quantity"))
+      .join(spark.table("li_mk2").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice")),
+        Seq("l_orderkey", "l_linenumber"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"),
+      s"full-key bucketed join should not shuffle:\n$plan")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    // so compare against the plain shuffled join, not the table count
+    val li = Tables.lineitem(spark, dir)
+    val plainCount = li.select(col("l_orderkey"), col("l_linenumber"))
+      .join(li.select(col("l_orderkey"), col("l_linenumber")),
+        Seq("l_orderkey", "l_linenumber")).count()
+    assert(joined.count() == plainCount)
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val agg = spark.table("li_b")
       .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))

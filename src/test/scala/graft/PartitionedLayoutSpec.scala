@@ -130,6 +130,28 @@ class PartitionedLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reread.exceptAll(docs.select(cols.map(col): _*)).isEmpty)
   }
 
+  test("compactPartitions dedupKeys: reclaims exact retries, rejects conflicts") {
+    val out = tmp("layout_dedup")
+    val docs = Tables.documents(spark, dir).limit(50).localCheckpoint()
+    SourceOps.writePartitioned(docs, out, Seq("source"))
+    // at-least-once replay: the SAME rows appended again → dedup reclaims
+    docs.write.mode("append").partitionBy("source").parquet(out)
+    assert(spark.read.parquet(out).count() == 100)
+    SourceOps.compactPartitions(spark, out, Seq("source"), lit(true),
+      dedupKeys = Seq("doc_id"))
+    assert(spark.read.parquet(out).count() == 50)
+    // same key, DIFFERENT payload: an arbitrary keeper would be
+    // nondeterministic — the compactor must refuse, not pick one
+    docs.withColumn("text", lit("MUTATED"))
+      .write.mode("append").partitionBy("source").parquet(out)
+    val e = intercept[IllegalArgumentException](
+      SourceOps.compactPartitions(spark, out, Seq("source"), lit(true),
+        dedupKeys = Seq("doc_id")))
+    assert(e.getMessage.contains("non-identical"))
+    // and the refusal must not have half-compacted the zone
+    assert(spark.read.parquet(out).count() == 100)
+  }
+
   test("compactPartitions refuses a streaming file-sink zone") {
     val out = tmp("layout_compact_stream")
     java.nio.file.Files.createDirectory(

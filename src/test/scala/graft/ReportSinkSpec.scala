@@ -34,4 +34,139 @@ class ReportSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     val html = ReportSink.render(df.orderBy($"i"), "t", maxRows = 5)
     assert(html.contains("5 rows") && !html.contains("row6"))
   }
+
+  // ---- per-entity report template (reference tool.py:131-351) ----
+
+  import ReportSink.{ScoreSpec, SummarySpec}
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      ("Acme <Corp>", Some(1.25), Some(0.5), Some(3L),
+        Some("risk summary for acme"), Some("response & plan")),
+      ("Bolt", None, Some(2.0), None, None, Some("bolt responds")),
+      ("Core", Some(0.0), None, Some(7L), Some("core risk"), None))
+      .toDF("entity_name", "net_score", "risk_score", "n_docs_risk",
+        "risk_summary", "response_summary")
+  }
+
+  private val scoreRows = Seq(
+    Seq(ScoreSpec("net_score", "Net Score")),
+    Seq(ScoreSpec("risk_score", "Risk Score"),
+      ScoreSpec("n_docs_risk", "Nb Documents Risk")))
+  private val summaries = Seq(
+    SummarySpec("risk_summary", "Disruption Risk"),
+    SummarySpec("response_summary", "Response"))
+  private val definitions = Seq(
+    "Net Score" -> "risk minus response, normalized.",
+    "Risk Score" -> "document count over watchlist mean.")
+
+  private def count(html: String, needle: String): Int =
+    needle.r.findAllMatchIn(html).length
+
+  test("entity report: one block per entity with the reference's structure") {
+    val html = ReportSink.entityReport(fixture, "AI Disruption <Risk>",
+      definitions, "All Companies", scoreRows, summaries,
+      reportDate = "August 14, 2026")
+    // document chrome
+    assert(html.contains("<title>AI Disruption &lt;Risk&gt;</title>"))
+    assert(html.contains("""<div class="report-date">August 14, 2026</div>"""))
+    // definitions section: one <p><strong> per definition inside its box
+    assert(count(html, """<p class="report-section-title">Score Definitions</p>""") == 1)
+    assert(html.contains("<p><strong>Net Score</strong>: risk minus response, normalized.</p>"))
+    // section title + one report-entity block per input row
+    assert(count(html, """<p class="report-section-title">All Companies</p>""") == 1)
+    assert(count(html, "<div class='report-entity'>") == 3)
+    assert(count(html, "<h3>") == 3 && html.contains("<h3>Acme &lt;Corp&gt;</h3>"))
+    // score box: one per entity, two score rows each (3 entities × 2)
+    assert(count(html, """<div class="report-score-box">""") == 3)
+    assert(count(html, """<div class="score-row">""") == 6)
+    // criterion boxes: 2 per entity, with h4 titles
+    assert(count(html, """<div class="report-criterion-box">""") == 6)
+    assert(count(html, "<h4>Disruption Risk</h4>") == 3)
+  }
+
+  test("entity report: value formatting — %.2f floats, raw ints, N/A nulls") {
+    val html = ReportSink.entityReport(fixture, "t", definitions, "s",
+      scoreRows, summaries, reportDate = "August 14, 2026")
+    assert(html.contains("<strong>Net Score:</strong> 1.25"))
+    assert(html.contains("<strong>Risk Score:</strong> 0.50"))
+    assert(html.contains("<strong>Net Score:</strong> 0.00"))
+    assert(html.contains("<strong>Nb Documents Risk:</strong> 3")
+      && html.contains("<strong>Nb Documents Risk:</strong> 7"))
+    // Bolt: null net_score and null n_docs → N/A in both rows
+    assert(count(html, "<strong>Net Score:</strong> N/A") == 1)
+    assert(count(html, "<strong>Nb Documents Risk:</strong> N/A") == 1)
+    // null summaries fall back to the reference's fixed sentence
+    assert(count(html, "No relevant content was retrieved.") == 2)
+    // present summaries render escaped
+    assert(html.contains("<p>response &amp; plan</p>"))
+  }
+
+  test("entity report: sectionFor orders/limits and titles like the reference") {
+    val (topDf, topTitle) =
+      ReportSink.sectionFor(fixture, "risk_score", "Risk Score", "top", 2)
+    assert(topTitle == "Top 2 Companies for Risk Score")
+    // pandas NaN-last semantics in both directions: Core (null) never
+    // outranks a scored entity
+    assert(topDf.collect().map(_.getString(0)).toSeq == Seq("Bolt", "Acme <Corp>"))
+    val (botDf, botTitle) =
+      ReportSink.sectionFor(fixture, "risk_score", "Risk Score", "bottom", 1)
+    assert(botTitle == "Bottom 1 Companies for Risk Score")
+    assert(botDf.collect().map(_.getString(0)).toSeq == Seq("Acme <Corp>"))
+    val (allDf, allTitle) =
+      ReportSink.sectionFor(fixture, "risk_score", "Risk Score", "all", 99)
+    assert(allTitle == "")
+    assert(allDf.collect().map(_.getString(0)).toSeq
+      == Seq("Acme <Corp>", "Bolt", "Core"))
+    intercept[IllegalArgumentException] {
+      ReportSink.sectionFor(fixture, "risk_score", "Risk Score", "sideways", 1)
+    }
+  }
+
+  test("entity report: maxEntities throws rather than truncates") {
+    intercept[IllegalArgumentException] {
+      ReportSink.entityReport(fixture, "t", definitions, "s", scoreRows,
+        summaries, maxEntities = 2)
+    }
+  }
+
+  test("entity report renders the real pipeline output end-to-end") {
+    // the reference feeds display_report with the per-company basket +
+    // response-coalesce result; drive the same shape from the engine's own
+    // gated queries on real testdata — one entity block per basket row,
+    // every coalesced response present
+    import org.apache.spark.sql.functions.col
+    val d = "/root/testdata/sf0.001"
+    val exposure = SparkEntry.queries("q_outer_merge_indicator")(spark, d)
+    val responses = SparkEntry.queries("q_response_coalesce")(spark, d)
+    val joined = exposure.join(responses, Seq("entity_name"), "left")
+    val n = joined.count()
+    assert(n > 0 && n <= 200)
+    val (sect, sTitle) = ReportSink.sectionFor(joined, "provider_cnt",
+      "Provider Mentions", "top", 10)
+    val html = ReportSink.entityReport(sect, "Exposure Report",
+      definitions = Seq("Provider Mentions" -> "distinct provider chunks"),
+      sectionTitle = sTitle,
+      scoreRows = Seq(Seq(ScoreSpec("provider_cnt", "Provider Mentions"),
+        ScoreSpec("adopter_cnt", "Adopter Mentions"))),
+      summaries = Seq(SummarySpec("response", "Response")),
+      reportDate = "August 14, 2026")
+    assert(count(html, "<div class='report-entity'>") == 10)
+    assert(html.contains("<p class=\"report-section-title\">Top 10 Companies for Provider Mentions</p>"))
+    // every rendered entity's coalesced response text appears in its box
+    val top10 = sect.limit(10).select(col("response")).collect()
+      .map(_.getString(0))
+    assert(top10.forall(r => r == null || html.contains(
+      r.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;"))))
+  }
+
+  test("entity report: writes to disk") {
+    val p = java.nio.file.Files.createTempDirectory("report").resolve("r.html")
+    ReportSink.writeEntityReport(fixture, "t", definitions, "s", scoreRows,
+      summaries, p.toString)
+    val html = java.nio.file.Files.readString(p)
+    assert(html.startsWith("<!DOCTYPE html>") &&
+      count(html, "<div class='report-entity'>") == 3)
+  }
 }

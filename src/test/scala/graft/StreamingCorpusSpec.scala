@@ -16,6 +16,8 @@ class StreamingCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_stream_wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -242,5 +244,78 @@ class StreamingCorpusSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(query.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
         "near-dup gate must be stateless")
     } finally query.stop()
+  }
+
+  test("bucketed band table: standing side of the near-dup join is exchange-free") {
+    import org.apache.spark.sql.functions.col
+    // the scale shape TextOps.landBandTable promises: the standing corpus
+    // band table — which grows with the corpus and is NOT broadcastable —
+    // must NOT re-shuffle on every micro-batch; only the tiny arriving
+    // batch may. Asserted on the EXECUTED micro-batch plan.
+    graft.text.TextOps.landBandTable(spark, dir, "bands_bucketed", 8)
+    // force the sort-merge path: at sf0.001 the table would broadcast and
+    // the exchange-elision claim would pass vacuously
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // arrivals: the whole corpus re-fetched under fresh ids, so every
+      // doc must pair with its original and the candidate set can't be
+      // vacuously empty
+      val staged = java.nio.file.Files.createTempDirectory("neardup_bucketed")
+      val scratch = java.nio.file.Files.createTempDirectory("neardup_b_scratch")
+      graft.model.Tables.documents(spark, dir)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+      val partFile = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(scratch).iterator().asScala
+          .find(_.toString.endsWith(".parquet"))
+          .getOrElse(fail("no part file written"))
+      }
+      java.nio.file.Files.copy(partFile, staged.resolve("batch0.parquet"))
+      val gate = CorpusStream.nearDupCandidates(
+        CorpusStream.readStream(spark, staged.toString),
+        spark.table("bands_bucketed"))
+      val query = gate.writeStream
+        .format("memory").queryName("neardup_bucketed_sink")
+        .outputMode("append").start()
+      try {
+        query.processAllAvailable()
+        // the micro-batch join executes inside the stream; its physical
+        // plan is what query.explain() prints (foreachBatch would only
+        // show the post-join ExistingRDD handed to the sink)
+        val baos = new java.io.ByteArrayOutputStream()
+        Console.withOut(new java.io.PrintStream(baos, true, "UTF-8")) {
+          query.explain()
+        }
+        // AQE explain prints Final AND Initial plans — assert on the
+        // EXECUTED (final) one only
+        val plan = baos.toString("UTF-8").split("== Initial Plan ==")(0)
+        assert(plan.contains("SortMergeJoin"),
+          s"expected a shuffled join with broadcast disabled:\n$plan")
+        assert(plan.contains("Bucketed: true") &&
+          plan.contains("SelectedBucketsCount: 8 out of 8"),
+          s"band-table scan should come up bucketed:\n$plan")
+        val nExchanges = "Exchange hashpartitioning".r
+          .findAllMatchIn(plan).length
+        assert(nExchanges == 1,
+          s"expected exactly ONE exchange (the tiny stream side; the " +
+            s"standing band table must join pre-shuffled), got $nExchanges:\n$plan")
+
+        // the bucketed layout changes the plan, never the answer: same
+        // candidate pairs as the unbucketed batch twin on the same arrivals
+        val streamed = spark.table("neardup_bucketed_sink").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val expected = CorpusStream.nearDupCandidates(
+          spark.read.schema(CorpusStream.docSchema).parquet(staged.toString),
+          graft.text.TextOps.bandTable(spark, dir))
+          .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(streamed == expected,
+          "bucketed and plain band tables must yield identical candidates")
+        assert(streamed.nonEmpty,
+          "re-ingesting the corpus under fresh ids must flag every doc")
+      } finally query.stop()
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 }
