@@ -307,11 +307,20 @@ object SimilarityOps {
     * broadcast). */
   private def tableAssignments(vs: DataFrame, t: Int,
       nprobe: Int): DataFrame = {
-    val supers = supersOf(vs, t)
+    // cut (localCheckpoint) the three frames the assignment REUSES —
+    // supers feeds three broadcast probes, vecCell both the Lloyd round
+    // and the final candidate join, cents both its super-cell placement
+    // and the fine scoring. Without the cuts every reuse re-executes its
+    // whole upstream quantizer per reference, ×8 tables (measured: the
+    // full near-dup query dropped ~2.5× when these landed). All three are
+    // deterministic and tiny (O(√n) supers, 2 ids/vector, k≈n/16
+    // centroids), so the cuts are behavior-preserving and cheap to hold.
+    val supers = graft.PlanProbe.cut(supersOf(vs, t))
     // one super-cell probe per table, shared by the Lloyd round and the
     // final assignment (its result is deterministic, so reuse is free)
-    val vecCell = superCells(vs, supers, "vec_id", "v", VecCellProbes)
-    val cents = adaptiveCentroids(vs, supers, vecCell, t)
+    val vecCell = graft.PlanProbe.cut(
+      superCells(vs, supers, "vec_id", "v", VecCellProbes))
+    val cents = graft.PlanProbe.cut(adaptiveCentroids(vs, supers, vecCell, t))
     val centCell = superCells(cents, supers, "c_id", "cv", SeedCellProbes)
     // Centroids are multi-assigned to their 4 nearest super-cells (the
     // super-boundary twin of the fine nprobe=2): a vector whose probed
@@ -342,9 +351,29 @@ object SimilarityOps {
     * (`pr` = 1 is the table's primary/reporting cell). */
   private[graft] def ivfAssignments(s: SparkSession, d: String,
       nprobe: Int = 2): DataFrame = {
-    val vs = vectors(s, d)
-    (0 until IvfTables).map(tableAssignments(vs, _, nprobe))
-      .reduce(_ union _)
+    // one materialization of the (tiny) normalized vector frame shared by
+    // all 8 tables' pipelines — each table references it ~6 times
+    val vs = graft.PlanProbe.cut(vectors(s, d))
+    // The 8 tables are INDEPENDENT, but their lineage cuts are eager
+    // mini-jobs — built sequentially they serialize 8 × 3 materializations
+    // on the driver. Build them on concurrent driver threads (the standard
+    // Spark pattern for independent subjobs; the scheduler interleaves
+    // their stages across the executor cores) and await IN ORDER, so the
+    // union — and every result — is bit-identical to the sequential build.
+    // Plan-only mode (PlanProbe.planOnly is a thread-local the pool's
+    // threads would not inherit) stays on the calling thread: cuts are
+    // identity there, so there is nothing to parallelize anyway.
+    val tables =
+      if (graft.PlanProbe.planOnly.value)
+        (0 until IvfTables).map(tableAssignments(vs, _, nprobe))
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        (0 until IvfTables)
+          .map(t => Future(tableAssignments(vs, t, nprobe)))
+          .map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+      }
+    tables.reduce(_ union _)
   }
 
   /** Full-corpus embedding near-dup — the UNSAMPLED scale path
