@@ -82,11 +82,26 @@ object Masking {
     udf((text: String, entities: Seq[Row], targetKey: String) => {
       val t = Option(text).getOrElse("")
       val cpCount = t.codePointCount(0, t.length)
-      def cu(cp: Int): Int = t.offsetByCodePoints(0, cp)
-      val spans = Option(entities).getOrElse(Seq.empty).flatMap { r =>
-        val (s, e) = (r.getInt(2), r.getInt(3))
+      val raw = Option(entities).getOrElse(Seq.empty).map { r =>
+        (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+      }
+      // convert all distinct in-bounds code-point offsets in ONE forward
+      // pass (offsetByCodePoints from the previous offset, not from 0) —
+      // a per-span conversion from index 0 would rescan the string per
+      // bound, O(spans · |text|) on the many-span production shape
+      val cuOf = {
+        val offsets = raw.iterator
+          .flatMap { case (_, _, s, e) => Iterator(s, e) }
+          .filter(o => o >= 0 && o <= cpCount).toSeq.distinct.sorted
+        var cp = 0
+        var cu = 0
+        offsets.map { o =>
+          cu = t.offsetByCodePoints(cu, o - cp); cp = o; o -> cu
+        }.toMap
+      }
+      val spans = raw.flatMap { case (key, name, s, e) =>
         if (s >= 0 && e >= s && e <= cpCount)
-          Some(Span(r.getString(0), r.getString(1), cu(s), cu(e)))
+          Some(Span(key, name, cuOf(s), cuOf(e)))
         else None
       }
       mask(t, spans, targetKey)

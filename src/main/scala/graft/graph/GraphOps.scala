@@ -144,16 +144,23 @@ object GraphOps {
       maxNodes: Int = 10000, maxEdges: Int = 200000,
       weightCol: Option[String] = None): DataFrame = {
     require(dim == 2 || dim == 3, s"dim must be 2 or 3, got $dim")
+    // a NULL weight is a missing attribute, not a missing edge: default it
+    // to 1 (nx.spring_layout's G[u][v].get(weight, 1) semantics) BEFORE the
+    // na.drop, which must only prune rows lacking an endpoint
     val sel = weightCol match {
       case Some(w) => edges.select(col(srcCol).cast("string"),
-        col(dstCol).cast("string"), col(w).cast("double"))
+        col(dstCol).cast("string"), coalesce(col(w).cast("double"), lit(1.0)))
       case None => edges.select(col(srcCol).cast("string"),
         col(dstCol).cast("string"), lit(1.0))
     }
     val pairRows = sel.na.drop().limit(maxEdges + 1).collect()
+    // NOTE: the bound counts RAW input rows, pre-dedup — it exists to bound
+    // the collect itself, which must happen before canonicalization can
+    // merge bidirectional/duplicate rows
     require(pairRows.length <= maxEdges,
-      s"graph exceeds maxEdges=$maxEdges — apply a degree/occurrence " +
-        "filter (G3/G5) before layout")
+      s"edge list exceeds maxEdges=$maxEdges raw rows (counted before " +
+        "undirected dedup) — apply a degree/occurrence filter (G3/G5), or " +
+        "pre-aggregate bidirectional rows, before layout")
     // SORT the collected edges before merging: collect() order reflects
     // shuffle-fetch order, and both the duplicate-weight sum here and the
     // attraction pass below accumulate doubles in edge order —

@@ -1,7 +1,7 @@
 package graft.report
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, nanvl}
 
 /** HTML report sink (SURVEY.md §2.1 S9): the reference renders per-entity
   * HTML reports driver-side from collected rows
@@ -66,6 +66,10 @@ object ReportSink {
   private def fmtValue(r: Row, i: Int): String =
     if (r.isNullAt(i)) "N/A"
     else r.get(i) match {
+      // NaN renders "N/A" like NULL: pandas pd.notnull(NaN) is False, so
+      // the reference prints N/A for both missing shapes
+      case d: Double if d.isNaN => "N/A"
+      case f: Float if f.isNaN => "N/A"
       case d: Double => String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
       case f: Float => String.format(java.util.Locale.ROOT, "%.2f", Double.box(f.toDouble))
       case d: java.math.BigDecimal =>
@@ -179,25 +183,36 @@ object ReportSink {
     * (`html_report.py:214-244` `display_report`): "top" sorts `score`
     * descending, "bottom" ascending — both take `nbEntities` and title the
     * section "Top/Bottom N Companies for {display name}" — "all" sorts by
-    * entity name with an empty section title. NULL scores sort LAST in both
-    * directions (pandas puts NaN last regardless of `ascending`; Spark's
-    * default asc would put them first). Ties broken by entity name so the
-    * report is deterministic (the reference inherits pandas sort stability
-    * instead). Returns (section DataFrame, section title). */
+    * entity name with an empty section title. NULL AND NaN scores sort LAST
+    * in both directions (pandas puts NaN last regardless of `ascending`;
+    * Spark's default asc puts NULL first and its desc puts NaN first, so
+    * NaN is folded into NULL for ordering). Ties broken by entity name so
+    * the report is deterministic (the reference inherits pandas sort
+    * stability instead). Returns (section DataFrame, section title). */
   def sectionFor(df: DataFrame, score: String, scoreName: String,
       top: String, nbEntities: Int,
-      entityCol: String = "entity_name"): (DataFrame, String) = top match {
+      entityCol: String = "entity_name"): (DataFrame, String) = {
+    // nanvl is only defined on float/double; other numeric types carry no
+    // NaN, so they order on the raw column
+    val key = df.schema(score).dataType match {
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType =>
+        nanvl(col(score), lit(null).cast("double"))
+      case _ => col(score)
+    }
+    top match {
     case "top" =>
-      (df.orderBy(col(score).desc_nulls_last, col(entityCol))
+      (df.orderBy(key.desc_nulls_last, col(entityCol))
         .limit(nbEntities),
         s"Top $nbEntities Companies for $scoreName")
     case "bottom" =>
-      (df.orderBy(col(score).asc_nulls_last, col(entityCol))
+      (df.orderBy(key.asc_nulls_last, col(entityCol))
         .limit(nbEntities),
         s"Bottom $nbEntities Companies for $scoreName")
     case "all" => (df.orderBy(col(entityCol)), "")
     case other => throw new IllegalArgumentException(
       s"top must be 'top', 'bottom', or 'all', got '$other'")
+    }
   }
 
   def writeEntityReport(df: DataFrame, title: String,

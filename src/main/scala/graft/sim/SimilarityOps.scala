@@ -360,9 +360,13 @@ object SimilarityOps {
     // Spark pattern for independent subjobs; the scheduler interleaves
     // their stages across the executor cores) and await IN ORDER, so the
     // union — and every result — is bit-identical to the sequential build.
-    // Plan-only mode (PlanProbe.planOnly is a thread-local the pool's
-    // threads would not inherit) stays on the calling thread: cuts are
-    // identity there, so there is nothing to parallelize anyway.
+    // Plan-only mode stays on the calling thread: PlanProbe.planOnly is a
+    // DynamicVariable (InheritableThreadLocal), whose value reaches a pool
+    // thread only if that thread happens to be CREATED inside the withValue
+    // scope — an unreliable contract in either direction — so the sweep
+    // path must not depend on what the pool's threads see; sequential on
+    // the caller, the cuts are identity and there is nothing to
+    // parallelize anyway.
     val tables =
       if (graft.PlanProbe.planOnly.value)
         (0 until IvfTables).map(tableAssignments(vs, _, nprobe))

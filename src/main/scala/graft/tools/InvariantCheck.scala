@@ -266,7 +266,9 @@ object InvariantCheck {
     val ivfLifecycleFailure: Option[String] = try {
       import org.apache.spark.sql.functions.col
       val S = graft.sim.SimilarityOps
-      val idx = java.nio.file.Files.createTempDirectory("ivf_gate").toString
+      val idxPath = java.nio.file.Files.createTempDirectory("ivf_gate")
+      val idx = idxPath.toString
+      try {
       S.buildIvfIndex(spark, sfDir, idx)
       val built = spark.read.parquet(s"$idx/lists").count()
       val sources = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -280,10 +282,14 @@ object InvariantCheck {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .sortBy(t => (t._1, t._4)).toSeq
       val once = ranked()
-      // every source query must see its appended copy at cos≈1 (rank not
-      // asserted: a corpus with planted exact-duplicate vectors could tie)
-      val copiesSeen = once.count { case (q, v, c, _) =>
-        v == q + 10000000L && math.abs(c - 1.0) < 1e-6 }
+      // every source query must see its appended copy at cos≈1 — OR have
+      // its whole top-k saturated at cos≈1, the one case that can evict
+      // the copy legitimately (a planted exact-duplicate cluster of ≥ k
+      // smaller-id vectors wins every tiebreak; such a corpus is valid)
+      val byQuery = once.groupBy(_._1)
+      val copiesSeen = byQuery.count { case (q, rs) =>
+        rs.exists(r => r._2 == q + 10000000L && math.abs(r._3 - 1.0) < 1e-6) ||
+          (rs.size >= 5 && rs.forall(r => math.abs(r._3 - 1.0) < 1e-6)) }
       S.appendToIvfIndex(spark, idx, copies) // the at-least-once replay
       val afterReplay = spark.read.parquet(s"$idx/lists").count()
       val twice = ranked()
@@ -316,6 +322,15 @@ object InvariantCheck {
         s"${built + nCopies}, identical=${post == once}) " +
         s"files/bucket=${filesPerBucket.values.toSeq.distinct.sorted} — " +
         "the build→append→compact→search cycle broke on real data")
+      } finally {
+        // gate hygiene: don't leave a full sf-scale index zone in /tmp on
+        // every release run
+        import scala.jdk.CollectionConverters._
+        val w = java.nio.file.Files.walk(idxPath)
+        try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
     } catch {
       case e: Throwable =>
         Some(s"ivf_lifecycle: failed to run: ${e.getMessage}")

@@ -124,6 +124,24 @@ class ReportSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("entity report: NaN scores order last and render N/A (pandas parity)") {
+    import spark.implicits._
+    val df = Seq(("NanCo", Double.NaN), ("Low", 0.5), ("High", 2.0))
+      .toDF("entity_name", "risk_score")
+    // Spark's raw desc would rank NaN FIRST; pandas puts it last
+    val (topDf, _) = ReportSink.sectionFor(df, "risk_score", "Risk", "top", 3)
+    assert(topDf.collect().map(_.getString(0)).toSeq
+      == Seq("High", "Low", "NanCo"))
+    val (botDf, _) = ReportSink.sectionFor(df, "risk_score", "Risk", "bottom", 3)
+    assert(botDf.collect().map(_.getString(0)).toSeq
+      == Seq("Low", "High", "NanCo"))
+    val html = ReportSink.entityReport(df, "t", definitions, "s",
+      Seq(Seq(ScoreSpec("risk_score", "Risk Score"))), Nil,
+      reportDate = "August 14, 2026")
+    assert(count(html, "<strong>Risk Score:</strong> N/A") == 1
+      && !html.contains("NaN"))
+  }
+
   test("entity report: maxEntities throws rather than truncates") {
     intercept[IllegalArgumentException] {
       ReportSink.entityReport(fixture, "t", definitions, "s", scoreRows,

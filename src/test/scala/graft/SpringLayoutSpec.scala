@@ -127,6 +127,23 @@ class SpringLayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pos == p2, "bidirectional weighted rows must merge by summing")
   }
 
+  test("a NULL weight means weight 1, not a dropped edge") {
+    import spark.implicits._
+    // nx semantics: a missing weight attribute defaults to 1 — the edge
+    // (and its nodes) must survive; only a missing ENDPOINT drops a row
+    val withNull = Seq(("a", "b", Some(5.0)), ("a", "c", None))
+      .toDF("src", "dst", "weight")
+    val withOne = Seq(("a", "b", 5.0), ("a", "c", 1.0))
+      .toDF("src", "dst", "weight")
+    val p1 = GraphOps.springLayout(spark, withNull,
+      weightCol = Some("weight")).collect()
+    val p2 = GraphOps.springLayout(spark, withOne,
+      weightCol = Some("weight")).collect()
+    assert(p1.map(_.getString(0)).sorted.toSeq == Seq("a", "b", "c"))
+    assert(p1.map(_.toSeq).toSeq == p2.map(_.toSeq).toSeq,
+      "NULL weight must behave exactly like weight 1")
+  }
+
   test("self-loops are ignored; singleton edge list still lays out") {
     import spark.implicits._
     val df = Seq(("n1", "n1"), ("n1", "n2")).toDF("src", "dst")
