@@ -67,23 +67,17 @@ object CorpusStream {
       .withColumn("ingest_ts", ingestTs))
 
   /** The shared windowed-aggregation shape (expects `ingest_ts` present;
-    * the stream side adds its watermark before entering). */
+    * the stream side adds its watermark before entering). Derivation and
+    * aggregate columns come from [[CorpusOps.healthDerived]]/
+    * [[CorpusOps.healthAggs]] — the SAME definitions the batch
+    * `q_corpus_stats` gate aggregates, so the in-flight panel cannot drift
+    * from the oracled batch panel; only the grouping (hourly window ×
+    * source vs source) differs. */
   private def corpusStatsShape(docs: DataFrame): DataFrame = {
-    val words = split(col("text"), " ")
-    docs
-      .withColumn("n_words", size(words).cast("long"))
-      .withColumn("dup_frac", round(
-        lit(1.0) - size(array_distinct(words)).cast("double") / size(words),
-        6))
+    val aggs = CorpusOps.healthAggs
+    CorpusOps.healthDerived(docs)
       .groupBy(window(col("ingest_ts"), "1 hour"), col("source"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("total_chars"),
-        round(avg(col("n_words")), 6).as("avg_words"),
-        round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
-          .as("pct_en"),
-        round(avg(when(col("dup_frac") <= 0.6, 1.0).otherwise(0.0)), 6)
-          .as("keep_rate"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm")
         .as("window_start"), col("source"), col("n_docs"),
         col("total_chars"), col("avg_words"), col("pct_en"), col("keep_rate"))

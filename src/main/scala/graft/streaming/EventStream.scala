@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -49,11 +49,20 @@ object EventStream {
 
   /** 7-day tumbling-window counts per event type with a 7-day watermark:
     * state is bounded — windows older than the watermark are finalized and
-    * evicted, which is what makes this run indefinitely at scale. */
+    * evicted, which is what makes this run indefinitely at scale.
+    *
+    * MONDAY-aligned: a bare `window(ts, "7 days")` aligns to the epoch —
+    * 1970-01-01, a THURSDAY — so its `week_start` labels would never match
+    * the W1/W2 batch queries' `date_trunc('week')` (Monday) buckets this
+    * stream extends; the 4-day `startTime` shifts the window grid onto
+    * Mondays (epoch Thursday + 4 days = Monday 1970-01-05 + k·7d). */
+  private val mondayWeeks: Column =
+    window(col("ts"), "7 days", "7 days", "4 days")
+
   def weeklyCounts(stream: DataFrame): DataFrame =
     stream
       .withWatermark("ts", "7 days")
-      .groupBy(window(col("ts"), "7 days"), col("event_type"))
+      .groupBy(mondayWeeks, col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("week_start"),
         col("event_type"), col("cnt"))
@@ -81,7 +90,10 @@ object EventStream {
   def enrichedEvents(stream: DataFrame, dim: DataFrame,
       dimSize: Long): DataFrame =
     stream
-      .withColumn("cust_key", pmod(col("user_id"), lit(dimSize)))
+      // +1: c_custkey is the 1-based TPC-H key (1..dimSize); a bare pmod
+      // maps onto 0..dimSize-1, silently dropping every user_id ≡ 0 event
+      // at the inner join and starving customer dimSize
+      .withColumn("cust_key", pmod(col("user_id"), lit(dimSize)) + 1)
       .join(broadcast(dim), col("cust_key") === col("c_custkey"))
       .select(col("event_id"), col("event_type"), col("c_name"),
         col("c_nationkey"))
@@ -107,10 +119,10 @@ object EventStream {
       .partitionBy(partitionCols: _*)
       .start()
 
-  /** Batch twin over the same window expression. */
+  /** Batch twin over the same (Monday-aligned) window expression. */
   def weeklyCountsBatch(spark: SparkSession, dir: String): DataFrame = {
     graft.model.Tables.events(spark, dir)
-      .groupBy(window(col("ts"), "7 days"), col("event_type"))
+      .groupBy(mondayWeeks, col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("week_start"),
         col("event_type"), col("cnt"))

@@ -12,6 +12,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * for users that simply stop sending. State is O(active users) and the
   * watermark bounds it — this is the indefinitely-running form of the batch
   * session_window query.
+  *
+  * Bounded-state semantics (the same trade the dedup gate makes): a
+  * cross-batch out-of-order event merges into the user's OPEN session,
+  * extending either bound; one arriving so late it precedes the open
+  * session's start by more than the gap still merges here, where the batch
+  * twin would reconstruct a separate earlier session — only state for the
+  * one open session is held, never the session history.
   */
 object StatefulSessions {
 
@@ -30,7 +37,15 @@ object StatefulSessions {
   private def us(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
-  def sessionize(events: Dataset[Ev], gapUs: Long): Dataset[ClosedSession] = {
+  /** @param watermarkDelay how much event-time DISORDER the stream admits:
+    *   rows older than (max event time − delay) are dropped by the stateful
+    *   operator's late-row filter before they reach the session logic. The
+    *   "0 seconds" default keeps the strict stream ≡ batch regime the spec
+    *   pins (every admitted event is in watermark order across batches); a
+    *   production ingest with out-of-order files wants a real delay, and
+    *   the merge logic below handles the disorder the delay admits. */
+  def sessionize(events: Dataset[Ev], gapUs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
 
@@ -48,7 +63,12 @@ object StatefulSessions {
       times.foreach { t =>
         open = open match {
           case Some(s) if t - s.lastUs < gapUs =>
-            Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+            // merge: a CROSS-batch out-of-order event can precede the open
+            // session's start (flatMapGroupsWithState receives late rows;
+            // nothing drops them) — extend BOTH bounds or the emitted
+            // session desyncs from the batch session_window twin
+            Some(s.copy(startUs = math.min(s.startUs, t),
+              lastUs = math.max(s.lastUs, t), n = s.n + 1))
           case Some(s) =>
             closed += ClosedSession(userId, s.startUs, s.lastUs + gapUs, s.n)
             Some(OpenSession(t, t, 1))
@@ -57,14 +77,23 @@ object StatefulSessions {
       }
       open.foreach { s =>
         state.update(s)
-        // close via timeout once event time passes last + gap
-        state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+        // close via timeout once event time passes last + gap — CLAMPED
+        // above the current watermark, DEFENSIVELY: the stateful operator
+        // already drops rows older than the watermark before they reach
+        // process(), so every admitted t (and hence last + gap) should sit
+        // above it; but setTimeoutTimestamp THROWS — killing the whole
+        // query — if any interleaving ever lets one through, and an
+        // indefinitely-running sessionizer must degrade (time out next
+        // batch) rather than crash on a straggler
+        state.setTimeoutTimestamp(
+          math.max((s.lastUs + gapUs) / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
       }
       closed.result().iterator
     }
 
     events
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(process)

@@ -1207,24 +1207,36 @@ object CorpusOps {
     * source. Pure map-side derivation + algebraic aggregates (sum/count/avg
     * all partial-aggregate), so at 100 TB this is one scan and one tiny
     * shuffle keyed on source. */
+  /** The health panel's shared derivation + aggregate columns — ONE
+    * definition consumed by the batch gate below (grouped by source) AND
+    * the streaming panel ([[graft.streaming.CorpusStream]], grouped by
+    * (window, source)), so a gate-threshold or rounding change propagates
+    * to both instead of silently drifting between twins. */
+  private[graft] def healthDerived(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("dup_frac", round(
+        lit(1.0) - size(array_distinct(words)).cast("double") / size(words),
+        6))
+  }
+
+  private[graft] def healthAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_chars")).as("total_chars"),
+    round(avg(col("n_words")), 6).as("avg_words"),
+    round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
+      .as("pct_en"),
+    round(avg(when(col("dup_frac") <= 0.6, 1.0).otherwise(0.0)), 6)
+      .as("keep_rate"))
+
   private val qCorpusStats = Q(
     "q_corpus_stats",
     (s, d) => {
-      val words = split(col("text"), " ")
-      Tables.documents(s, d)
-        .withColumn("n_words", size(words).cast("long"))
-        .withColumn("dup_frac", round(
-          lit(1.0) - size(array_distinct(words)).cast("double") / size(words),
-          6))
+      val aggs = healthAggs
+      healthDerived(Tables.documents(s, d))
         .groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("total_chars"),
-          round(avg(col("n_words")), 6).as("avg_words"),
-          round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
-            .as("pct_en"),
-          round(avg(when(col("dup_frac") <= 0.6, 1.0).otherwise(0.0)), 6)
-            .as("keep_rate"))
+        .agg(aggs.head, aggs.tail: _*)
         .orderBy(col("source"))
     },
     Some(

@@ -63,6 +63,51 @@ class StatefulSessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("bounded disorder: a nonzero watermark delay admits out-of-order events safely") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val gapUs = 30L * 60 * 1000000
+    // 2-hour allowed disorder: cross-batch events up to 2 h behind the
+    // max seen event time reach the session logic instead of being
+    // dropped by the operator's late-row filter
+    val sessions = StatefulSessions.sessionize(input.toDS(), gapUs,
+      watermarkDelay = "2 hours")
+    val query = sessions.writeStream.format("memory")
+      .queryName("disorder_sessions").outputMode("append").start()
+    try {
+      // batch 1: watermark (after) = ts(120) - 2h = ts(0)
+      input.addData(Ev(1L, ts(120)))
+      query.processAllAvailable()
+      // batch 2: a straggler 90 min behind the max event time — inside
+      // the delay, so it must open a session, not vanish
+      input.addData(Ev(2L, ts(30)))
+      query.processAllAvailable()
+      // batches 3-4: user 3's session arrives OUT OF ORDER across
+      // batches — the later event first; the earlier one (within gap,
+      // within delay) must merge AND lower the session start
+      input.addData(Ev(3L, ts(500)))
+      query.processAllAvailable()
+      input.addData(Ev(3L, ts(490)))
+      query.processAllAvailable()
+      // advance the watermark far past everything so users 2 and 3 close
+      // via event-time timeout
+      input.addData(Ev(1L, ts(800)))
+      query.processAllAvailable()
+      input.addData(Ev(1L, ts(900)))
+      query.processAllAvailable()
+      assert(query.isActive, "disorder must not kill the stream")
+      val got = spark.table("disorder_sessions").as[ClosedSession].collect()
+      assert(got.exists(s => s.user_id == 2 &&
+        s.start_us == baseUs + 30L * 60 * 1000000 && s.n_events == 1),
+        s"straggler-opened session should close via timeout, got ${got.toSeq}")
+      assert(got.exists(s => s.user_id == 3 &&
+        s.start_us == baseUs + 490L * 60 * 1000000 && s.n_events == 2 &&
+        s.end_us == baseUs + (500L + 30L) * 60 * 1000000),
+        s"merged earlier event must extend the session start, got ${got.toSeq}")
+    } finally query.stop()
+  }
+
   test("stream sessionize over REAL events equals batch q_sessionize") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

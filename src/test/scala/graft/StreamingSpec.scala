@@ -38,6 +38,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val batch = EventStream.weeklyCountsBatch(spark, dir)
       assert(streamed.count() > 0)
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+      // Monday alignment (date_trunc('week') parity with the W1/W2 batch
+      // queries): a bare epoch-aligned 7-day window would label Thursdays
+      import org.apache.spark.sql.functions.{col, dayofweek, to_date}
+      val dows = streamed
+        .select(dayofweek(to_date(col("week_start")))).distinct().collect()
+        .map(_.getInt(0)).toSeq
+      assert(dows == Seq(2), s"week_start must be Mondays, got dow $dows")
     } finally query.stop()
   }
 
@@ -60,12 +67,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     try {
       query.processAllAvailable()
       val streamed = spark.table("enriched_events")
+      // +1 mirrors enrichedEvents: c_custkey is 1-based (1..n)
       val batch = graft.model.Tables.events(spark, dir)
-        .withColumn("cust_key", pmod(col("user_id"), lit(n)))
+        .withColumn("cust_key", pmod(col("user_id"), lit(n)) + 1)
         .join(dim, col("cust_key") === col("c_custkey"))
         .select(col("event_id"), col("event_type"), col("c_name"),
           col("c_nationkey"))
       assert(streamed.count() > 0)
+      // the 1-based mapping must be LOSSLESS: every event enriches (the
+      // 0-based bug silently dropped every user_id ≡ 0 event at the join)
+      assert(streamed.count() == graft.model.Tables.events(spark, dir).count(),
+        "enrichment must not drop events — key mapping must cover 1..n")
       assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
     } finally query.stop()
   }
