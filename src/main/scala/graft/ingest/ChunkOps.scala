@@ -165,18 +165,28 @@ object ChunkOps {
          |FROM chunk
          |ORDER BY "Company", "Date", "Document ID", "Quote"""".stripMargin))
 
+  /** The single-span ('customer' first occurrence → other-entity key)
+    * entities array shared by both single-span mask gates — ONE definition
+    * of the span contract (0-based code-point offsets, half-open end) so a
+    * change to it cannot reach one gate and miss the other. Returns
+    * (1-based instr position, entities array). */
+  private def customerSpan: (Column, Column) = {
+    val p = instr(col("text"), "customer")
+    val ents = filter(
+      array(struct(col("other_entity_id").as("key"),
+        col("other_entity_name").as("name"),
+        (p - 1).cast("int").as("start"), (p + 7).cast("int").as("end"))),
+      e => e.getField("start") >= 0)
+    (p, ents)
+  }
+
   /** P3 (oracle-gated core): mask the target entity's span via the real
     * masking UDF; the oracle reproduces the single-span splice in SQL. */
   private val qMaskTarget = Q(
     "q_mask_target",
     (s, d) => {
       val c = Tables.chunkRows(s, d)
-      val p = instr(col("text"), "customer")
-      val ents = filter(
-        array(struct(col("other_entity_id").as("key"),
-          col("other_entity_name").as("name"),
-          (p - 1).cast("int").as("start"), (p + 7).cast("int").as("end"))),
-        e => e.getField("start") >= 0)
+      val (_, ents) = customerSpan
       c.withColumn("m",
         Masking.maskUdf(col("text"), ents, col("other_entity_id")))
         .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
@@ -264,12 +274,7 @@ object ChunkOps {
     "q_mask_roundtrip",
     (s, d) => {
       val c = Tables.chunkRows(s, d)
-      val p = instr(col("text"), "customer")
-      val ents = filter(
-        array(struct(col("other_entity_id").as("key"),
-          col("other_entity_name").as("name"),
-          (p - 1).cast("int").as("start"), (p + 7).cast("int").as("end"))),
-        e => e.getField("start") >= 0)
+      val (p, ents) = customerSpan
       val expected = when(p > 0,
         concat(substring(col("text"), lit(1), p - 1),
           col("other_entity_name"),
@@ -380,10 +385,10 @@ object ChunkOps {
       s"""WITH ${Oracle.chunkCte},
          |scored AS (
          |  SELECT *,
-         |    (CASE WHEN contains(text, 'fast') THEN 1.0 ELSE 0.0 END
-         |     + CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END
-         |     + CASE WHEN contains(text, 'merge') THEN 1.0 ELSE 0.0 END
-         |     + CASE WHEN contains(text, 'query') THEN 1.0 ELSE 0.0 END) / 4.0 AS score
+         |    (CASE WHEN contains(lower(text), 'fast') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(lower(text), 'spark') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(lower(text), 'merge') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(lower(text), 'query') THEN 1.0 ELSE 0.0 END) / 4.0 AS score
          |  FROM chunk
          |)
          |SELECT strftime(timestamp_utc, '%Y-%m') AS month, count(*) AS n_hits,
@@ -415,10 +420,10 @@ object ChunkOps {
       s"""WITH ${Oracle.chunkCte},
          |scored AS (
          |  SELECT sentence_id, entity_id, part_entity_id,
-         |    (CASE WHEN contains(text, 'fast') THEN 1.0 ELSE 0.0 END
-         |     + CASE WHEN contains(text, 'spark') THEN 1.0 ELSE 0.0 END
-         |     + CASE WHEN contains(text, 'merge') THEN 1.0 ELSE 0.0 END
-         |     + CASE WHEN contains(text, 'query') THEN 1.0 ELSE 0.0 END) / 4.0 AS score
+         |    (CASE WHEN contains(lower(text), 'fast') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(lower(text), 'spark') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(lower(text), 'merge') THEN 1.0 ELSE 0.0 END
+         |     + CASE WHEN contains(lower(text), 'query') THEN 1.0 ELSE 0.0 END) / 4.0 AS score
          |  FROM chunk
          |)
          |SELECT * FROM scored WHERE score >= 0.75

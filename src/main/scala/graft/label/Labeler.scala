@@ -54,6 +54,21 @@ object Labeler {
   def withStubLabels(df: DataFrame): DataFrame =
     df.withColumn("label", labelCol).withColumn("motivation", motivationCol)
 
+  /** Content digest used as the merge-back join key in every labeling path:
+    * the label side carries (entity_id, md5(text)) instead of the raw text,
+    * so the join shuffles and compares a 32-char key where it would
+    * otherwise ship and compare whole chunk texts on the label side — the
+    * same digest-for-identity trust the exact-dedup family already places
+    * in md5. */
+  private def textKey(c: Column): Column = md5(c.cast("binary"))
+
+  /** Join `labeled` (entity_id, __tk, label, motivation) back onto every
+    * row of `df` by (entity_id, digest(text)). */
+  private def mergeBack(df: DataFrame, labeled: DataFrame): DataFrame =
+    df.withColumn("__tk", textKey(col("text")))
+      .join(labeled, Seq("entity_id", "__tk"), "left")
+      .drop("__tk")
+
   /** Full external-classifier path: dedup (entity_id, text) → classify unique
     * pairs via mapPartitions barrier → broadcast-join labels back (D6 in
     * SURVEY.md §2.4). At scale the unique side is orders of magnitude smaller
@@ -68,20 +83,29 @@ object Labeler {
     val labeled = unique
       .mapPartitions(rows => clf.classify(rows))
       .toDF("entity_id", "text", "label", "motivation")
-    df.join(labeled, Seq("entity_id", "text"), "left")
+      .select(col("entity_id"), textKey(col("text")).as("__tk"),
+        col("label"), col("motivation"))
+    mergeBack(df, labeled)
   }
 
   /** The stub as an [[ExternalClassifier]] — used to exercise the
     * mapPartitions path with results identical to [[withStubLabels]]. */
+  /** The stub's rule set as one plain function — the SINGLE Scala-side
+    * definition behind both classifier stubs below (the Column twins
+    * [[labelCol]]/[[motivationCol]] deliberately remain a separate,
+    * gate-pinned rendering: q_label_batched exists to prove the two
+    * mechanisms agree). */
+  private[label] def stubRule(text: String): (String, String) =
+    if (text.contains("slow") && text.contains("merge"))
+      ("N", "negative: " + text.take(40))
+    else if (text.contains("fast")) ("P", "positive: " + text.take(40))
+    else if (text.contains("stream")) ("A", "adopter: " + text.take(40))
+    else ("U", "unclear")
+
   object StubClassifier extends ExternalClassifier {
     def classify(rows: Iterator[(String, String)]): Iterator[(String, String, String, String)] =
       rows.map { case (entityId, text) =>
-        val (label, motivation) =
-          if (text.contains("slow") && text.contains("merge"))
-            ("N", "negative: " + text.take(40))
-          else if (text.contains("fast")) ("P", "positive: " + text.take(40))
-          else if (text.contains("stream")) ("A", "adopter: " + text.take(40))
-          else ("U", "unclear")
+        val (label, motivation) = stubRule(text)
         (entityId, text, label, motivation)
       }
   }
@@ -133,17 +157,20 @@ object Labeler {
     // dropDuplicates, but with fresh output attributes, which keeps
     // downstream set operations over this join unambiguous.
     val lookup = spark.read.schema(cacheSchema).parquet(cachePath)
-      .groupBy(col("entity_id"), col("text"))
+      .groupBy(col("entity_id"), textKey(col("text")).as("__tk"))
       .agg(first(col("label")).as("label"),
         first(col("motivation")).as("motivation"))
-    df.join(lookup, Seq("entity_id", "text"), "left")
+    mergeBack(df, lookup)
   }
 
   /** Post-hoc consistency guard (L2): a non-U label must be backed by a
-    * motivation that is not "unclear", else forced to 'U'. */
+    * motivation that is not "unclear" — and a NULL motivation (a classifier
+    * returning a label with no rationale at all, or a merge-back miss) is
+    * just as unbacked as an explicit "unclear", so it demotes too. */
   def guarded(df: DataFrame): DataFrame =
     df.withColumn("label",
-      when(col("motivation") === "unclear", lit("U")).otherwise(col("label")))
+      when(col("motivation").isNull || col("motivation") === "unclear",
+        lit("U")).otherwise(col("label")))
 
   // ---- batched-prompt contract (`labeling.py:141-224`) ----
 
@@ -165,8 +192,13 @@ object Labeler {
     * None on any malformed input → caller applies the batch-level fallback. */
   def parseBatchResponse(raw: String): Option[Map[String, (String, String)]] = {
     import org.json4s._
-    val scrubbed = raw.replace("```", "")
-      .replaceAll("^\\s*(?i:json)", "").trim
+    // strip only the WRAPPING fences (anchored at the ends) + language tag:
+    // a global replace("```", "") would corrupt JSON string values that
+    // legitimately contain backtick runs
+    val scrubbed = raw.trim
+      .replaceAll("(?s)^```\\s*(?i:json)?\\s*", "")
+      .replaceAll("(?s)\\s*```$", "")
+      .trim
     scala.util.Try {
       org.json4s.jackson.JsonMethods.parse(scrubbed) match {
         case JObject(fields) =>
@@ -193,7 +225,11 @@ object Labeler {
     import spark.implicits._
     val unique = df.select(col("entity_id"), col("text"))
       .dropDuplicates("entity_id", "text")
-      .withColumn("row_id", md5(concat_ws("|", col("entity_id"), col("text"))))
+      // row_id hashes a JSON struct rendering, not a delimiter join:
+      // concat_ws("|", ...) is ambiguous — ("a|b","c") and ("a","b|c")
+      // would share an id and silently swap labels within a batch
+      .withColumn("row_id",
+        md5(to_json(struct(col("entity_id"), col("text")))))
       .as[(String, String, String)]
     val labeled = unique.mapPartitions { rows =>
       rows.grouped(clf.chunkSize).flatMap { batch =>
@@ -206,7 +242,9 @@ object Labeler {
         }
       }
     }.toDF("entity_id", "text", "label", "motivation")
-    df.join(labeled, Seq("entity_id", "text"), "left")
+      .select(col("entity_id"), textKey(col("text")).as("__tk"),
+        col("label"), col("motivation"))
+    mergeBack(df, labeled)
   }
 
   /** L7: retry/backoff decorator around any [[BatchedClassifier]] — the
@@ -225,7 +263,11 @@ object Labeler {
   final class RetryingClassifier(
       inner: BatchedClassifier,
       maxAttempts: Int = 4,
-      backoffMs: Int => Long = attempt => 250L << (attempt - 1),
+      // capped at 60 s: an uncapped 250·2^(n-1) schedule reaches multi-hour
+      // sleeps within 20 attempts and OVERFLOWS the shift at 64, turning a
+      // transport error into Thread.sleep(negative)'s IllegalArgumentException
+      backoffMs: Int => Long =
+        attempt => math.min(250L << math.min(attempt - 1, 30), 60000L),
       sleep: Long => Unit = Thread.sleep) extends BatchedClassifier {
     require(maxAttempts >= 1, "maxAttempts must be at least 1")
     def chunkSize: Int = inner.chunkSize
@@ -253,12 +295,7 @@ object Labeler {
       import org.json4s.JsonDSL._
       import org.json4s.jackson.JsonMethods
       val obj = rows.map { case (id, text) =>
-        val (label, motivation) =
-          if (text.contains("slow") && text.contains("merge"))
-            ("N", "negative: " + text.take(40))
-          else if (text.contains("fast")) ("P", "positive: " + text.take(40))
-          else if (text.contains("stream")) ("A", "adopter: " + text.take(40))
-          else ("U", "unclear")
+        val (label, motivation) = stubRule(text)
         id -> (("label" -> label) ~ ("motivation" -> motivation))
       }.foldLeft(org.json4s.JObject()) { case (acc, (k, v)) =>
         org.json4s.JObject(acc.obj :+ (k -> (v: org.json4s.JValue)))
@@ -322,7 +359,8 @@ object Labeler {
          |),
          |guarded AS (
          |  SELECT * REPLACE (
-         |    CASE WHEN motivation = 'unclear' THEN 'U' ELSE label END AS label)
+         |    CASE WHEN motivation IS NULL OR motivation = 'unclear'
+         |         THEN 'U' ELSE label END AS label)
          |  FROM blanked
          |)
          |SELECT label, count(*) AS n_rows,

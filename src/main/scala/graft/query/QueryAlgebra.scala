@@ -79,14 +79,19 @@ object QueryAlgebra {
         col("timestamp_utc") <= to_timestamp(lit(s"$endInclusive 23:59:59"))
   }
 
-  /** Q7: conjunction. */
+  /** Q7: conjunction. Empty = `true` (the identity of ∧) — dynamically
+    * built trees legitimately produce zero conjuncts, and an opaque
+    * empty-reduce crash far from the construction site helps nobody. */
   final case class AllQ(qs: Qry*) extends Qry {
-    def toColumn: Column = qs.map(_.toColumn).reduce(_ && _)
+    def toColumn: Column =
+      qs.map(_.toColumn).reduceOption(_ && _).getOrElse(lit(true))
   }
 
-  /** Q2/Q7: batched disjunction (`Any([...])`). */
+  /** Q2/Q7: batched disjunction (`Any([...])`). Empty = `false` (the
+    * identity of ∨): a disjunction over zero alternatives matches nothing. */
   final case class AnyQ(qs: Qry*) extends Qry {
-    def toColumn: Column = qs.map(_.toColumn).reduce(_ || _)
+    def toColumn: Column =
+      qs.map(_.toColumn).reduceOption(_ || _).getOrElse(lit(false))
   }
 
   /** Q1: deterministic stand-in for embedding similarity — the fraction of the
@@ -97,8 +102,12 @@ object QueryAlgebra {
   final case class Similarity(sentence: String, minScore: Double) extends Qry {
     val tokens: Seq[String] =
       sentence.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(tokens.nonEmpty,
+      s"Similarity needs at least one token, got '$sentence'")
+    // match on lower(text): the tokens are lowercased above, so a
+    // case-sensitive contains would silently never match capitalized text
     def score: Column =
-      tokens.map(t => when(col("text").contains(t), 1.0).otherwise(0.0))
+      tokens.map(t => when(lower(col("text")).contains(t), 1.0).otherwise(0.0))
         .reduce(_ + _) / lit(tokens.size.toDouble)
     def toColumn: Column = score >= minScore
   }

@@ -142,4 +142,40 @@ class LabelerBatchedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Labeler.parseBatchResponse("[1,2,3]").isEmpty)
     assert(Labeler.parseBatchResponse("nope").isEmpty)
   }
+
+  test("parseBatchResponse strips only WRAPPING fences, not interior backticks") {
+    // a motivation legitimately containing a backtick run must survive —
+    // a global replace("```", "") would silently corrupt the value
+    val ok = Labeler.parseBatchResponse(
+      "```json\n{\"a\": {\"label\": \"P\", \"motivation\": \"uses ``` fences\"}}\n```")
+    assert(ok.contains(Map("a" -> ("P", "uses ``` fences"))))
+    // unfenced and tag-less-fence forms still parse
+    assert(Labeler.parseBatchResponse("{\"a\": {\"label\": \"P\"}}")
+      .contains(Map("a" -> ("P", "unclear"))))
+    assert(Labeler.parseBatchResponse("```\n{\"a\": {\"label\": \"P\"}}\n```")
+      .contains(Map("a" -> ("P", "unclear"))))
+  }
+
+  test("default backoff schedule is capped and never overflows") {
+    val clf = new Labeler.RetryingClassifier(Labeler.StubBatchedClassifier)
+    // reach into the default via a fresh instance's behavior: construct the
+    // default function directly, as documented
+    val default: Int => Long =
+      a => math.min(250L << math.min(a - 1, 30), 60000L)
+    assert(default(1) == 250L && default(2) == 500L && default(3) == 1000L)
+    assert(default(9) == 60000L, "cap must engage before the schedule explodes")
+    assert((60 to 100).forall(a => default(a) == 60000L),
+      "large attempt numbers must not overflow the shift into negatives")
+    assert(clf.chunkSize == Labeler.StubBatchedClassifier.chunkSize)
+  }
+
+  test("guard demotes NULL motivations like explicit 'unclear'") {
+    import spark.implicits._
+    val df = Seq(("e1", "P", "positive: x"), ("e2", "A", null),
+      ("e3", "N", "unclear"), ("e4", "U", null))
+      .toDF("entity_id", "label", "motivation")
+    val out = Labeler.guarded(df).select("entity_id", "label")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("e1" -> "P", "e2" -> "U", "e3" -> "U", "e4" -> "U"))
+  }
 }

@@ -92,6 +92,18 @@ class QueryAlgebraSpec extends AnyFunSuite {
     assert(s.tokens == Seq("fast", "merge"))
   }
 
+  test("similarity rejects an empty sentence at construction") {
+    assertThrows[IllegalArgumentException](Similarity("", 0.5))
+    assertThrows[IllegalArgumentException](Similarity("   ", 0.5))
+  }
+
+  test("empty combinators use boolean identities, not empty-reduce crashes") {
+    // AllQ() = true (identity of AND), AnyQ() = false (identity of OR) —
+    // dynamically built trees legitimately produce zero children
+    assert(AllQ().toColumn.toString == "true")
+    assert(AnyQ().toColumn.toString == "false")
+  }
+
   test("combinators compose without a session") {
     val q = (Keyword("a") && SourceQ("news")) || FiscalYearQ(1995)
     assert(q.toColumn != null)
