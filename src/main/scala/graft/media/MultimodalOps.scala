@@ -1,6 +1,6 @@
 package graft.media
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Q
@@ -36,6 +36,21 @@ object MultimodalOps {
       to_binary(col("text"), lit("utf-8")).as("payload"),
       col("n_chars"), col("source"))
 
+  /** The stub codec's deterministic fake-dimension contract, single-sourced
+    * in Column form and plain-Int form (the typed decoder): width/height
+    * derive from a size measure, frames from doc_id. The metadata/resize
+    * queries feed `n_chars` while the decoder uses the payload BYTE count —
+    * equal on the ASCII corpus, and the features gate pins the byte-derived
+    * form against the decoder on every row. The DuckDB oracles repeat the
+    * arithmetic textually, but any drift there fails the hash gate. */
+  private def fakeWidth(n: Column): Column = (lit(64) + n % 640).cast("int")
+  private def fakeHeight(n: Column): Column =
+    (lit(64) + (n * 7) % 480).cast("int")
+  private def fakeFrames(docId: Column): Column =
+    (lit(1) + docId % 16).cast("int")
+  private[media] def fakeWidthInt(n: Int): Int = 64 + n % 640
+  private[media] def fakeHeightInt(n: Int): Int = 64 + (n * 7) % 480
+
   /** Metadata extraction — pure column arithmetic over byte size and the
     * deterministic fake dimensions (in a real pipeline: parsed headers). */
   private val qMediaMetadata = Q(
@@ -44,9 +59,9 @@ object MultimodalOps {
       .select(
         col("doc_id"),
         octet_length(col("payload")).cast("long").as("size_bytes"),
-        (lit(64) + col("n_chars") % 640).cast("int").as("width"),
-        (lit(64) + (col("n_chars") * 7) % 480).cast("int").as("height"),
-        (lit(1) + col("doc_id") % 16).cast("int").as("frames"))
+        fakeWidth(col("n_chars")).as("width"),
+        fakeHeight(col("n_chars")).as("height"),
+        fakeFrames(col("doc_id")).as("frames"))
       .orderBy(col("doc_id")),
     Some(
       """SELECT doc_id,
@@ -102,8 +117,8 @@ object MultimodalOps {
         octet_length(to_binary(col("text"), lit("utf-8"))).as("t_bytes"),
         byteSum.as("t_sum"),
         featTwin.as("t_feat"))
-        .withColumn("t_width", (lit(64) + col("t_bytes") % 640).cast("int"))
-        .withColumn("t_height", (lit(64) + (col("t_bytes") * 7) % 480).cast("int"))
+        .withColumn("t_width", fakeWidth(col("t_bytes")))
+        .withColumn("t_height", fakeHeight(col("t_bytes")))
         .withColumn("t_mean",
           when(col("t_bytes") === 0, lit(0.0))
             .otherwise(col("t_sum").cast("double") / col("t_bytes")))
@@ -133,8 +148,8 @@ object MultimodalOps {
     "q_media_resize",
     (s, d) => mediaTable(s, d)
       .select(col("doc_id"),
-        (lit(64) + col("n_chars") % 640).cast("long").as("w"),
-        (lit(64) + (col("n_chars") * 7) % 480).cast("long").as("h"))
+        fakeWidth(col("n_chars")).cast("long").as("w"),
+        fakeHeight(col("n_chars")).cast("long").as("h"))
       .select(
         col("doc_id"),
         col("w").cast("int").as("width"),
@@ -167,7 +182,7 @@ object MultimodalOps {
     "q_media_framesample",
     (s, d) => mediaTable(s, d)
       .select(col("doc_id"),
-        (lit(1) + col("doc_id") % 16).cast("int").as("frames"))
+        fakeFrames(col("doc_id")).as("frames"))
       .select(col("doc_id"), col("frames"),
         explode(sequence(lit(0), col("frames") - 1, lit(4))).as("frame_idx"))
       .select(col("doc_id"), col("frames"), col("frame_idx").cast("int").as("frame_idx"),
@@ -195,7 +210,7 @@ object MultimodalOps {
     // only reproduce float values produced the same way
     val feat = Array.tabulate(8)(i =>
       if (i < n) ((b(i) & 0xff) / 255.0).toFloat else 0.0f)
-    MediaFeatures(docId, n, 64 + n % 640, 64 + (n * 7) % 480, mean, feat)
+    MediaFeatures(docId, n, fakeWidthInt(n), fakeHeightInt(n), mean, feat)
   }
 
   def queries: Seq[Q] = Seq(qMediaMetadata, qMediaFeatures, qMediaResize,

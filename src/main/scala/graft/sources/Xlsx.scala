@@ -75,6 +75,28 @@ object Xlsx {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
+  /** OOXML `_xHHHH_` escaping for characters ILLEGAL in XML 1.0 (controls
+    * other than tab/newline/CR): scraped text carries them, a verbatim write
+    * would produce a workbook that throws a SAXParseException at read time —
+    * far from the producing query. A literal substring that LOOKS like an
+    * escape is itself escaped (`_x` → `_x005F_x`, the spec's convention) so
+    * the round-trip is unambiguous. */
+  private val EscapeLikeRe = "_x([0-9A-Fa-f]{4})_".r
+  private[graft] def ooxmlEscape(s: String): String = {
+    val guarded = EscapeLikeRe.replaceAllIn(s, m => "_x005F_x" + m.group(1) + "_")
+    if (guarded.forall(ch => ch >= 0x20 || ch == '\t' || ch == '\n' || ch == '\r'))
+      guarded
+    else guarded.flatMap(ch =>
+      if (ch >= 0x20 || ch == '\t' || ch == '\n' || ch == '\r') ch.toString
+      else f"_x${ch.toInt}%04X_")
+  }
+
+  private[graft] def ooxmlUnescape(s: String): String =
+    if (!s.contains("_x")) s
+    else EscapeLikeRe.replaceAllIn(s, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        Integer.parseInt(m.group(1), 16).toChar.toString))
+
   // ---------------------------------------------------------------- writer
 
   private val SsMain = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
@@ -101,7 +123,7 @@ object Xlsx {
         val iso = t.toInstant.toString
         Some(s"""<c r="$ref" t="inlineStr"><is><t>${escXml(iso)}</t></is></c>""")
       case s =>
-        Some(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${escXml(s.toString)}</t></is></c>""")
+        Some(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${escXml(ooxmlEscape(s.toString))}</t></is></c>""")
     }
   }
 
@@ -208,14 +230,25 @@ object Xlsx {
     f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
     f.setXIncludeAware(false)
     f.setExpandEntityReferences(false)
-    f.setNamespaceAware(false)
+    // namespace-aware so elems() can match by LOCAL name: some writers emit
+    // prefixed OOXML (<x:sheet .../>), which a literal-tag lookup would
+    // reject as "no sheets in workbook" despite being a valid workbook
+    f.setNamespaceAware(true)
     f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
   }
 
   private def elems(parent: org.w3c.dom.Element, tag: String)
       : Seq[org.w3c.dom.Element] = {
-    val nl = parent.getElementsByTagName(tag)
+    val nl = parent.getElementsByTagNameNS("*", tag)
     (0 until nl.getLength).map(nl.item(_).asInstanceOf[org.w3c.dom.Element])
+  }
+
+  /** Attribute lookup tolerant of the relationship-id prefix convention:
+    * `r:id` as written by this sink and most writers, or any prefix bound
+    * to the relationships namespace. */
+  private def ridOf(e: org.w3c.dom.Element): String = {
+    val ns = e.getAttributeNS(RelNs, "id")
+    if (ns.nonEmpty) ns else e.getAttribute("r:id")
   }
 
   /** All zip entries of the workbook at `path`, read through the Hadoop
@@ -256,7 +289,7 @@ object Xlsx {
     val parts = entriesOf(spark, path)
     val wb = parseXml(parts("xl/workbook.xml"))
     val sheetsMeta = elems(wb.getDocumentElement, "sheet")
-      .map(e => (e.getAttribute("name"), e.getAttribute("r:id")))
+      .map(e => (e.getAttribute("name"), ridOf(e)))
     require(sheetsMeta.nonEmpty, s"no sheets in workbook $path")
     val (name, rId) = sheet match {
       case Some(s) => sheetsMeta.find(_._1 == s).getOrElse(
@@ -291,18 +324,24 @@ object Xlsx {
         if (ref.nonEmpty) {
           val (r, cc) = parseRef(ref)
           val t = c.getAttribute("t")
+          // string-typed cells keep EMPTY values ("" is data, not absence —
+          // dropping it would null it out and could erase the whole row);
+          // escapes decode on read, the inverse of the writer's ooxmlEscape
           val value: Option[String] = t match {
             case "inlineStr" =>
-              Some(elems(c, "t").map(_.getTextContent).mkString)
+              Some(ooxmlUnescape(elems(c, "t").map(_.getTextContent).mkString))
             case "s" =>
-              elems(c, "v").headOption.map(v => shared(v.getTextContent.trim.toInt))
+              elems(c, "v").headOption
+                .map(v => ooxmlUnescape(shared(v.getTextContent.trim.toInt)))
             case "b" =>
               elems(c, "v").headOption.map(v =>
                 if (v.getTextContent.trim == "1") "true" else "false")
-            case _ => // numeric, "str" formula cache, or untyped
+            case _ => // numeric, "str" formula cache, or untyped: an empty
+              // <v> carries nothing
               elems(c, "v").headOption.map(_.getTextContent)
+                .filter(_.nonEmpty)
           }
-          value.filter(_.nonEmpty).foreach { v =>
+          value.foreach { v =>
             cells((r, cc)) = v
             if (r > maxR) maxR = r
             if (cc > maxC) maxC = cc
@@ -314,15 +353,28 @@ object Xlsx {
       cells.get((r, c))))
   }
 
-  private val LongRe = "[+-]?\\d{1,18}".r
+  private val IntLikeRe = "[+-]?\\d{1,19}".r
   private val DoubleRe =
     "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
   private val DateRe = "\\d{4}-\\d{2}-\\d{2}".r
 
+  // a value is Long iff it actually PARSES as one (the shape regex alone
+  // would either cap at 18 digits — silently demoting full-range 19-digit
+  // Longs to lossy Doubles — or overflow on out-of-range 19-digit strings)
+  private def isLong(v: String): Boolean =
+    IntLikeRe.pattern.matcher(v).matches() &&
+      scala.util.Try(java.lang.Long.parseLong(v)).isSuccess
+
+  // the writer renders non-finite doubles as inline strings; they must
+  // still infer as Double or one NaN degrades the whole column to String
+  private def isDouble(v: String): Boolean =
+    DoubleRe.pattern.matcher(v).matches() ||
+      v == "NaN" || v == "Infinity" || v == "-Infinity"
+
   private def inferType(vals: Seq[String]): DataType =
     if (vals.isEmpty) StringType
-    else if (vals.forall(v => LongRe.pattern.matcher(v).matches())) LongType
-    else if (vals.forall(v => DoubleRe.pattern.matcher(v).matches())) DoubleType
+    else if (vals.forall(isLong)) LongType
+    else if (vals.forall(isDouble)) DoubleType
     else if (vals.forall(v => v == "true" || v == "false")) BooleanType
     else if (vals.forall(v => DateRe.pattern.matcher(v).matches())) DateType
     else StringType
@@ -345,8 +397,11 @@ object Xlsx {
         (h.trim, i)
     }
     require(kept.nonEmpty, "no named columns in the header row")
-    val body = grid.drop(header + 1)
-      .filter(row => kept.exists { case (_, i) => row.lift(i).flatten.isDefined })
+    // keep a row if ANY cell is present (kept or not): a data row whose
+    // kept columns are all null still exists (its index cell is written),
+    // and dropping it would change round-trip row counts; fully empty grid
+    // rows (blank separators in foreign files) still fall away
+    val body = grid.drop(header + 1).filter(_.exists(_.isDefined))
     val types = kept.map { case (name, i) =>
       val vals = body.flatMap(_.lift(i).flatten)
       name -> (if (name == "Date") DateType else inferType(vals))

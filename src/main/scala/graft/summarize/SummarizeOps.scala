@@ -26,10 +26,36 @@ object SummarizeOps {
   val FinalBudget = 600
 
   object Summarizer {
+    /** CODE-POINT lexicographic ordering — the order Spark's `array_sort`
+      * (binary UTF-8, which preserves code-point order) and DuckDB's
+      * `ORDER BY` use. The JVM default String ordering compares UTF-16
+      * code units, which ranks supplementary-plane characters (surrogate
+      * 0xD800-0xDFFF) BELOW U+E000..U+FFFF — a divergence the ASCII
+      * fixtures would never show. */
+    private[summarize] val codePointOrdering: Ordering[String] =
+      (a: String, b: String) => {
+        val ai = a.codePoints().iterator()
+        val bi = b.codePoints().iterator()
+        var r = 0
+        while (r == 0 && ai.hasNext && bi.hasNext)
+          r = Integer.compare(ai.nextInt(), bi.nextInt())
+        if (r != 0) r
+        else Boolean.box(ai.hasNext).compareTo(bi.hasNext)
+      }
+
+    /** First `n` CODE POINTS of `s` — the unit Spark's `substring` and
+      * DuckDB's `substr` count; `String.take` would count UTF-16 units and
+      * split a surrogate pair at the boundary. */
+    private def takeCodePoints(s: String, n: Int): String =
+      if (s.codePointCount(0, s.length) <= n) s
+      else s.substring(0, s.offsetByCodePoints(0, n))
+
     /** Deterministic stand-in for the per-chunk LLM summary: ordered join,
-      * hard truncation at the budget. */
+      * hard truncation at the budget — code-point order and code-point
+      * budget, so it is bit-equal to the column-expression twin
+      * (`array_sort` + `substring`) on ANY text, not just BMP. */
     def stub(parts: Seq[String], budget: Int): String =
-      parts.sorted.mkString(" | ").take(budget)
+      takeCodePoints(parts.sorted(codePointOrdering).mkString(" | "), budget)
   }
 
   /** The summarizer as a typed [[org.apache.spark.sql.expressions.Aggregator]]

@@ -39,19 +39,25 @@ object TextOps {
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(string_split($e, ''), " +
       s"c -> CAST(ascii(c) AS BIGINT)), (acc, x) -> (acc * 31 + x) % 2147483647)"
 
-  /** 32-bit content hash shared by both engines: first 8 hex digits of md5,
-    * parsed as an integer. On the Spark side this is conv(substr(md5)) —
-    * all codegen'd built-ins, so the sketching pipelines stay inside
-    * whole-stage codegen (the char-fold variant above measured 100×
-    * slower in the interpreted path). */
-  private[graft] def hash32(e: Column): Column =
-    conv(substring(md5(e), 1, 8), 16, 10).cast("long")
+  /** First `hexDigits` md5 hex digits as a non-negative long — ONE
+    * parameterized definition (with its DuckDB twin below) behind both the
+    * 32-bit shingle/minhash hash and the 60-bit SimHash fingerprint, so a
+    * fold or cast change cannot reach one width and miss the other. On the
+    * Spark side this is conv(substr(md5)) — all codegen'd built-ins, so the
+    * sketching pipelines stay inside whole-stage codegen (the char-fold
+    * variant above measured 100× slower in the interpreted path). */
+  private[graft] def hashN(e: Column, hexDigits: Int): Column =
+    conv(substring(md5(e), 1, hexDigits), 16, 10).cast("long")
 
-  private[graft] def hash32Sql(e: String): String =
+  private[graft] def hashNSql(e: String, hexDigits: Int): String =
     s"list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
-      s"string_split(substr(md5($e), 1, 8), ''), " +
+      s"string_split(substr(md5($e), 1, $hexDigits), ''), " +
       s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
       s"(acc, x) -> acc * 16 + x)"
+
+  private[graft] def hash32(e: Column): Column = hashN(e, 8)
+
+  private[graft] def hash32Sql(e: String): String = hashNSql(e, 8)
 
   /** 3-word shingles of the whitespace-tokenized text (empty below 3 words).
     * Built by zipping three shifted slices — NOT `transform(sequence, i ->
@@ -360,14 +366,9 @@ object TextOps {
   /** 60-bit content hash shared by both engines: first 15 hex digits of md5
     * (15×4 = 60 bits fits signed BIGINT in both). Codegen'd built-ins on the
     * Spark side, hex fold on the DuckDB side. */
-  private def hash60(e: Column): Column =
-    conv(substring(md5(e), 1, 15), 16, 10).cast("long")
+  private def hash60(e: Column): Column = hashN(e, 15)
 
-  private def hash60Sql(e: String): String =
-    s"list_reduce([CAST(0 AS BIGINT)] || list_transform(" +
-      s"string_split(substr(md5($e), 1, 15), ''), " +
-      s"c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), " +
-      s"(acc, x) -> acc * 16 + x)"
+  private def hash60Sql(e: String): String = hashNSql(e, 15)
 
   /** SimHash: 60-bit fingerprint from signed per-bit votes of shingle hashes;
     * candidate pairs via 5 band tables of 12 bits each (the same banded trick

@@ -41,4 +41,27 @@ class SummarizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaColumns.exceptAll(viaAggregator).isEmpty &&
       viaAggregator.exceptAll(viaColumns).isEmpty)
   }
+
+  test("Aggregator equals the column twin on supplementary-plane text") {
+    import spark.implicits._
+    // 🚀 (U+1F680) sorts BELOW ｡ (U+FF61) in UTF-16 code-unit order but
+    // ABOVE it in code-point order (what array_sort and DuckDB use); the
+    // emoji is also 2 UTF-16 units but 1 code point, so a String.take
+    // budget would cut differently than substring's — both divergences
+    // must be absent
+    val rows = Seq(("g", "🚀 rocket"), ("g", "｡ halfwidth"),
+      ("g", "ascii plain"), ("g", "😀😀😀"))
+      .toDF("k", "v")
+    val budget = 14
+    val viaColumns = rows.groupBy(col("k"))
+      .agg(substring(concat_ws(" | ", array_sort(collect_set(col("v")))),
+        1, budget).as("summary"))
+    val agg = new SummarizeOps.BudgetSummarize[(String, String)](budget, _._2)
+    val viaAggregator = rows.as[(String, String)]
+      .groupByKey(_._1).agg(agg.toColumn.name("summary"))
+      .toDF("k", "summary")
+    val a = viaColumns.head().getString(1)
+    val b = viaAggregator.head().getString(1)
+    assert(a == b, s"column '${a}' vs aggregator '${b}'")
+  }
 }

@@ -135,4 +135,50 @@ class XlsxSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.filter(col("V").isNull && col("K") === "b").count() == 1)
     assert(back.count() == 3)
   }
+
+  test("fidelity edges: full-range longs, NaN columns, empty strings, all-null rows") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1234567890123456789L), Some(1.5), Some("x")),
+      ("b", Some(Long.MaxValue), Some(Double.NaN), Some("")),
+      (null, None, None, None))
+      .toDF("K", "L", "D", "S")
+    val path = tmpXlsx()
+    Xlsx.saveWorkbook(Seq((df, "S", (0, 0))), path)
+    val back = Xlsx.readWorkbook(spark, path)
+    // a 19-digit in-range long stays LongType (not a lossy double)
+    assert(back.schema("L").dataType.typeName == "long")
+    assert(back.filter(col("L") === 1234567890123456789L).count() == 1)
+    assert(back.filter(col("L") === Long.MaxValue).count() == 1)
+    // NaN must not degrade the column to strings
+    assert(back.schema("D").dataType.typeName == "double")
+    assert(back.filter(isnan(col("D"))).count() == 1)
+    // "" is data, not absence
+    assert(back.filter(col("S") === "").count() == 1)
+    // the all-null row survives the round trip (its index cell exists)
+    assert(back.count() == 3)
+    assert(back.filter(col("K").isNull && col("L").isNull).count() == 1)
+  }
+
+  test("control characters round-trip via OOXML _xHHHH_ escapes") {
+    import spark.implicits._
+    val nasty = "bad\u0001mid\u0007end"
+    val literal = "keep _x0041_ literal" // must NOT decode to 'A'
+    val df = Seq((nasty, 1L), (literal, 2L)).toDF("T", "N")
+    val path = tmpXlsx()
+    Xlsx.saveWorkbook(Seq((df, "S", (0, 0))), path)
+    val back = Xlsx.readWorkbook(spark, path)
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(back(1L) == nasty, s"control chars must survive, got ${back(1L)}")
+    assert(back(2L) == literal,
+      s"literal escape-looking text must survive, got ${back(2L)}")
+  }
+
+  test("escape helpers are inverse on arbitrary strings") {
+    val cases = Seq("", "plain", "_x0000_", "_x005F_", "a_xBEEF_b",
+      "\u0000\u0001\u001f", "tab\tnl\ncr\r ok", "_x", "_x12", "_x12G4_")
+    for (s <- cases)
+      assert(Xlsx.ooxmlUnescape(Xlsx.ooxmlEscape(s)) == s,
+        s"round-trip failed for '${s.getBytes("UTF-8").mkString(",")}'")
+  }
 }
