@@ -29,15 +29,30 @@ object Masking {
   final val TargetPlaceholder = "Target Company"
   final val OtherPrefix = "Other Company_"
 
+  /** Keep-first overlap resolution: spans are scanned in (start, end) order
+    * and one overlapping an already-kept span is DROPPED — the right-to-left
+    * splice below is only offset-safe over disjoint spans (a nested/
+    * overlapping NER mention would otherwise be spliced through the middle
+    * of a just-inserted placeholder, garbling the text; the reference has
+    * the same latent hazard, which its corpus never exercises). */
+  private def disjointKeepFirst(spans: Seq[Span]): Seq[Span] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Span]
+    spans.foreach { sp =>
+      if (!kept.exists(k => sp.start < k.end && k.start < sp.end)) kept += sp
+    }
+    kept.toSeq
+  }
+
   /** @return (maskedText, placeholderMap as (idx, name) pairs) */
   def mask(text: String, spans: Seq[Span], targetKey: String): (String, Seq[(Int, String)]) = {
     val valid = spans
       .filter(sp => sp.start >= 0 && sp.end > sp.start && sp.end <= text.length)
       .sortBy(sp => (sp.start, sp.end))
-    val targetSpans = valid.filter(_.key == targetKey)
+    val targetSpans = disjointKeepFirst(valid.filter(_.key == targetKey))
     def overlapsTarget(sp: Span): Boolean =
       targetSpans.exists(t => sp.start < t.end && t.start < sp.end)
-    val others = valid.filter(sp => sp.key != targetKey && !overlapsTarget(sp))
+    val others = disjointKeepFirst(
+      valid.filter(sp => sp.key != targetKey && !overlapsTarget(sp)))
 
     // stable numbering by first appearance of each distinct key
     val numbering = scala.collection.mutable.LinkedHashMap.empty[String, Int]

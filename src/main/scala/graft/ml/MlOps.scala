@@ -41,6 +41,11 @@ object MlOps {
   private val qMlMinhash = Q(
     "q_ml_minhash_neardup",
     (s, d) => {
+      // cache: MinHashLSH.fit + approxSimilarityJoin reference the frame
+      // several times. Dataset.cache registers in the session CacheManager
+      // and is NOT GC-reclaimed, so the builder materializes its (1-row)
+      // result below and unpersists before returning — without that, every
+      // bench/gate sweep would permanently pin the term-vector frame
       val vecs = termVectors(s, d).cache()
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(8).setSeed(42L)
@@ -57,7 +62,7 @@ object MlOps {
         val union = ia.length + ib.length - inter
         if (union == 0) 0.0 else 1.0 - inter.toDouble / union
       })
-      model
+      val out = model
         .approxSimilarityJoin(vecs, vecs, 0.6, "jaccard_dist")
         .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
         .select(col("jaccard_dist"),
@@ -67,6 +72,11 @@ object MlOps {
           (count(lit(1)) > 0).as("has_pairs"),
           sum(when(abs(col("jaccard_dist") - col("exact_dist")) > 1e-9, 1L)
             .otherwise(0L)).as("n_dist_mismatch"))
+      // materialize the 1-row verdict, then release the cache (identity in
+      // plan-only mode, where nothing executed and nothing was cached)
+      val cut = graft.PlanProbe.cut(out)
+      if (!graft.PlanProbe.planOnly.value) vecs.unpersist(false)
+      cut
     },
     Some("SELECT TRUE AS has_pairs, CAST(0 AS BIGINT) AS n_dist_mismatch"))
 

@@ -202,9 +202,20 @@ object AsOfJoinOps {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
-    val plan = AsOfJoin(lPlan, rPlan,
-      res(lPlan, leftKey), res(rPlan, rightKey),
-      res(lPlan, leftTime), res(rPlan, rightTime),
+    val (lk, rk) = (res(lPlan, leftKey), res(rPlan, rightKey))
+    val (lt, rt) = (res(lPlan, leftTime), res(rPlan, rightTime))
+    // PLAN-time type agreement: the exec builds its key/time orderings from
+    // the LEFT types and applies them to right-side values — a hand-built
+    // node skips the analyzer's implicit-cast coercion, so a mismatch would
+    // surface as a mid-job ClassCastException (or, worse, a runtime-
+    // compatible type comparing the wrong semantics). Fail here, by name.
+    require(lk.dataType == rk.dataType,
+      s"as-of key type mismatch: $leftKey is ${lk.dataType.simpleString}, " +
+        s"$rightKey is ${rk.dataType.simpleString} — cast one side first")
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: $leftTime is ${lt.dataType.simpleString}, " +
+        s"$rightTime is ${rt.dataType.simpleString} — cast one side first")
+    val plan = AsOfJoin(lPlan, rPlan, lk, rk, lt, rt,
       rightTiebreak.map(res(rPlan, _)))
     GraftShims.ofRows(spark, plan)
   }

@@ -167,6 +167,12 @@ object SimilarityOps {
     * MinHash-LSH makes with its band count. */
   private[graft] val IvfTables = 8
 
+  /** Default fine-level probe width — shared with [[tableCtes]]'s oracle
+    * rendering, which is generated for THIS value only: a caller passing a
+    * different `nprobe` gets correct Spark results but must not expect the
+    * default-parameter DuckDB twin to agree. */
+  private[graft] val IvfNprobe = 2
+
   /** Composite bucket key base for cross-table pair reporting:
     * `tbl · 2³² + c_id` (vec_ids are far below 2³²). */
   private[graft] val BucketKeyBase = 1L << 32
@@ -276,16 +282,25 @@ object SimilarityOps {
       .groupBy(col("vec_id"))
       .agg(max_by(col("seed_id"), struct(col("score"), -col("seed_id")))
         .as("c0"))
-    assign1.join(vs, Seq("vec_id"))
-      .select(col("c0"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("c0"), col("pos"))
-      .agg((sum(floor(col("x") * 1e6)).cast("long") / 1e6 /
-        count(lit(1))).as("cx"))
-      .groupBy(col("c0"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        e => e.getField("cx")).as("cv"))
+    quantizedCentroids(
+      assign1.join(vs, Seq("vec_id")).select(col("c0"), col("v")), "c0")
       .select(col("c0").as("c_id"), col("cv"))
   }
+
+  /** Quantized-mean centroid re-estimation — the ONE definition of the
+    * floor-1e6 exact-integer convention (long BEFORE the sum, so the
+    * aggregation is order-independent at ANY scale, not just while double
+    * partial sums stay under 2^53; DuckDB twins sum BIGINT the same way):
+    * per-(key, dim) quantized mean, reassembled in dimension order.
+    * Input must carry (`keyCol`, v); returns (`keyCol`, cv). */
+  private def quantizedCentroids(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col(keyCol), col("pos"))
+      .agg((sum(floor(col("x") * 1e6).cast("long")) / 1e6 /
+        count(lit(1))).as("cx"))
+      .groupBy(col(keyCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        e => e.getField("cx")).as("cv"))
 
   /** One table's per-vector bucket assignment against its
     * [[adaptiveCentroids]] with nprobe-way MULTI-assignment: each vector
@@ -350,7 +365,7 @@ object SimilarityOps {
     * each vector lands in its `nprobe` closest cells of EVERY table
     * (`pr` = 1 is the table's primary/reporting cell). */
   private[graft] def ivfAssignments(s: SparkSession, d: String,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = IvfNprobe): DataFrame = {
     // one materialization of the (tiny) normalized vector frame shared by
     // all 8 tables' pipelines — each table references it ~6 times
     val vs = graft.PlanProbe.cut(vectors(s, d))
@@ -473,7 +488,7 @@ object SimilarityOps {
        |),
        |cdim_$t AS (
        |  SELECT a1_$t.c0, i AS pos,
-       |         CAST(sum(floor(n.v[i] * 1e6)) AS BIGINT) / 1e6 / count(*) AS cx
+       |         sum(CAST(floor(n.v[i] * 1e6) AS BIGINT)) / 1e6 / count(*) AS cx
        |  FROM a1_$t JOIN n USING (vec_id),
        |       unnest(generate_series(1, len(n.v))) AS t(i)
        |  GROUP BY a1_$t.c0, i
@@ -503,7 +518,8 @@ object SimilarityOps {
        |    JOIN cents2_$t c2 ON c2.c_id = cd.c_id
        |  )
        |  QUALIFY row_number() OVER (PARTITION BY vec_id
-       |                             ORDER BY score DESC, c_id ASC) <= 2
+       |                             ORDER BY score DESC, c_id ASC)
+       |          <= $IvfNprobe
        |)""".stripMargin
   }
 
@@ -644,7 +660,7 @@ object SimilarityOps {
     (s, d) => vectors(s, d)
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
-      .agg(sum(floor(col("x") * 1e6)).cast("long").as("sum_micro"),
+      .agg(sum(floor(col("x") * 1e6).cast("long")).as("sum_micro"),
         count(lit(1)).as("n"))
       // no rounding: sum_micro is an exact integer, and the two IEEE
       // divisions are bit-deterministic in any engine — rounding would
@@ -658,9 +674,9 @@ object SimilarityOps {
          |  FROM n, unnest(generate_series(1, len(v))) AS t(i)
          |)
          |SELECT label, dim,
-         |       CAST(sum(floor(x * 1e6)) AS BIGINT) AS sum_micro,
+         |       CAST(sum(CAST(floor(x * 1e6) AS BIGINT)) AS BIGINT) AS sum_micro,
          |       count(*) AS n,
-         |       CAST(sum(floor(x * 1e6)) AS BIGINT) / 1e6 / count(*) AS centroid
+         |       sum(CAST(floor(x * 1e6) AS BIGINT)) / 1e6 / count(*) AS centroid
          |FROM expanded
          |GROUP BY label, dim
          |ORDER BY label, dim""".stripMargin))
@@ -669,13 +685,8 @@ object SimilarityOps {
     * re-assembled in dimension order — the broadcast side of every IVF
     * stage. */
   private def centroidVectors(vs: DataFrame): DataFrame =
-    vs.select(col("label").as("c_label"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("c_label"), col("pos"))
-      .agg((sum(floor(col("x") * 1e6)).cast("long") / 1e6 /
-        count(lit(1))).as("cx"))
-      .groupBy(col("c_label"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
-        e => e.getField("cx")).as("cv"))
+    quantizedCentroids(
+      vs.select(col("label").as("c_label"), col("v")), "c_label")
 
   /** IVF coarse pass: assign every vector to its nearest (dot-product)
     * quantized label-centroid — broadcast 10 centroids × corpus, argmax with
@@ -704,7 +715,7 @@ object SimilarityOps {
          |),
          |cent_dims AS (
          |  SELECT c_label, pos,
-         |         CAST(sum(floor(x * 1e6)) AS BIGINT) / 1e6 / count(*) AS cx
+         |         sum(CAST(floor(x * 1e6) AS BIGINT)) / 1e6 / count(*) AS cx
          |  FROM expanded GROUP BY c_label, pos
          |),
          |cents AS (
@@ -735,14 +746,23 @@ object SimilarityOps {
     * instead of |corpus| — the sublinear ANN path — and the probe/bucket
     * match is a hash equi-join on the centroid id, never a nested loop over
     * the corpus. */
-  private[graft] def ivfTopk(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
-    val vs = vectors(s, d)
-    val cents = centroidVectors(vs)
-    val assigned = vs.crossJoin(broadcast(cents))
+  /** Nearest-quantized-centroid assignment — the ONE definition of the
+    * rounded-dot scoring + deterministic tiebreak shared by the in-memory
+    * search, the persisted index build, and the incremental append, which
+    * makes the pinned contract "an appended vector lands exactly where a
+    * rebuild would put it" structural rather than a convention kept in
+    * three copies. Returns (vec_id, bucket). */
+  private def assignToNearest(vs: DataFrame, cents: DataFrame): DataFrame =
+    vs.crossJoin(broadcast(cents))
       .withColumn("score", round(dot(col("v"), col("cv")), 6))
       .groupBy(col("vec_id"))
       .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
         .as("bucket"))
+
+  private[graft] def ivfTopk(s: SparkSession, d: String, nprobe: Int, k: Int): DataFrame = {
+    val vs = vectors(s, d)
+    val cents = centroidVectors(vs)
+    val assigned = assignToNearest(vs, cents)
     val corpus = vs.join(assigned, Seq("vec_id"))
     val q = vs.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
@@ -775,7 +795,7 @@ object SimilarityOps {
        |),
        |cent_dims AS (
        |  SELECT c_label, pos,
-       |         CAST(sum(floor(x * 1e6)) AS BIGINT) / 1e6 / count(*) AS cx
+       |         sum(CAST(floor(x * 1e6) AS BIGINT)) / 1e6 / count(*) AS cx
        |  FROM expanded GROUP BY c_label, pos
        |),
        |cents AS (
@@ -947,16 +967,20 @@ object SimilarityOps {
     * [[searchIvfIndex]] results are bit-identical to it — pinned by
     * IvfIndexSpec. */
   def buildIvfIndex(s: SparkSession, d: String, indexDir: String): Unit = {
-    val vs = vectors(s, d)
-    val cents = centroidVectors(vs)
-    cents.coalesce(1).write.mode("overwrite")
+    // cut the vector frame: it feeds the centroid aggregation, the
+    // assignment, and the list join — uncut, each reference re-scans and
+    // re-normalizes the corpus
+    val vs = graft.PlanProbe.cut(vectors(s, d))
+    centroidVectors(vs).coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/centroids")
-    val assigned = vs.crossJoin(broadcast(cents))
-      .withColumn("score", round(dot(col("v"), col("cv")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
-        .as("bucket"))
-    val lists = vs.join(assigned, Seq("vec_id"))
+    // assign against the JUST-WRITTEN codebook (parquet round-trips doubles
+    // exactly): reusing the lazy centroid frame would re-execute the whole
+    // corpus-wide aggregation a second time inside the broadcast build —
+    // and reading the artifact is precisely what appendToIvfIndex and
+    // searchIvfIndex do, so build/append/search all score against the same
+    // bytes by construction
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val lists = vs.join(assignToNearest(vs, cents), Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
     graft.sources.SourceOps.writePartitioned(lists, s"$indexDir/lists",
       Seq("bucket"))
@@ -987,7 +1011,11 @@ object SimilarityOps {
       .orderBy(col("qscore").desc, col("c_label"))
     // cut (localCheckpoint) the probe table: it feeds BOTH the eager
     // distinct-bucket collect below and the final join — without the cut
-    // the queries×centroids scoring pass would execute twice per search
+    // the queries×centroids scoring pass would execute twice per search.
+    // Lifetime: the checkpoint blocks are freed by the ContextCleaner once
+    // the returned frame becomes unreachable (localCheckpoint RDDs are
+    // GC-registered), so repeated searches in a long session stay bounded
+    // without an explicit free
     val probes = graft.PlanProbe.cut(q.crossJoin(broadcast(cents))
       .withColumn("qscore", round(dot(col("qv"), col("cv")), 6))
       .withColumn("pr", row_number().over(wp))
@@ -1036,11 +1064,7 @@ object SimilarityOps {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("nrm", norm(col("v")))
-    val buckets = vs.crossJoin(broadcast(cents))
-      .withColumn("score", round(dot(col("v"), col("cv")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("c_label"), struct(col("score"), -col("c_label")))
-        .as("bucket"))
+    val buckets = assignToNearest(vs, cents)
     vs.join(buckets, Seq("vec_id"))
       .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
       .repartition(col("bucket"))

@@ -117,4 +117,24 @@ class AsOfPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(physical.contains("AsOfJoin")) // nodeName of AsOfJoinExec
     assert("Exchange hashpartitioning".r.findAllIn(physical).size == 2)
   }
+
+  test("mismatched key/time types fail at PLAN time, by name") {
+    import spark.implicits._
+    // a hand-built node skips the analyzer's implicit casts: the exec
+    // compares right values with LEFT-typed orderings, so a type mismatch
+    // must be rejected before any task runs (not a mid-job ClassCast)
+    val probes = Seq(("a", java.sql.Date.valueOf("2024-01-01"))).toDF("k", "t")
+    val refs = Seq(("a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L))
+      .toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException](
+      AsOfJoinOps.asof(probes, refs, "k", "rk", "t", "rt"))
+    assert(e.getMessage.contains("time type mismatch") &&
+      e.getMessage.contains("t is date") &&
+      e.getMessage.contains("rt is timestamp"))
+    val probes2 = Seq((1, 1)).toDF("k", "t")
+    val refs2 = Seq(("a", 1, 1L)).toDF("rk", "rt", "v")
+    val e2 = intercept[IllegalArgumentException](
+      AsOfJoinOps.asof(probes2, refs2, "k", "rk", "t", "rt"))
+    assert(e2.getMessage.contains("key type mismatch"))
+  }
 }

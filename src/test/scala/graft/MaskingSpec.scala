@@ -56,6 +56,21 @@ class MaskingSpec extends AnyFunSuite {
     assert(um == "Acme sells to Bolt and Core")
   }
 
+  test("overlapping non-target spans resolve keep-first, never garble") {
+    // nested/overlapping NER mentions: e2 overlaps e1 — the right-to-left
+    // splice is only offset-safe over disjoint spans, so e2 must be DROPPED
+    // (keep-first in start order), not spliced through e1's placeholder
+    val text = "megacorp industries report"
+    val spans = Seq(
+      Span("e1", "Mega", 0, 8),    // "megacorp" — kept
+      Span("e2", "Corp", 4, 13),   // overlaps e1 → dropped
+      Span("e3", "Indy", 9, 19))   // "industries" — disjoint, numbered 2
+    val (masked, phMap) = Masking.mask(text, spans, "none")
+    assert(masked == "Other Company_1 Other Company_2 report",
+      s"got '$masked'")
+    assert(phMap == Seq((1, "Mega"), (2, "Indy")))
+  }
+
   test("out-of-bounds and empty spans are ignored") {
     val text = "short"
     val spans = Seq(Span("a", "A", -1, 3), Span("b", "B", 2, 99),

@@ -48,4 +48,22 @@ class VectorExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = df.select(VectorExprs.dot(col("a"), col("b"))).collect()
     assert(r.head.isNullAt(0))
   }
+
+  test("length mismatch yields null, not a truncated dot (oracle parity)") {
+    // DuckDB's list_zip pads the short side with NULL and the fold
+    // propagates it; a silently-truncated Spark dot would return a
+    // plausible-but-wrong value AND diverge from the oracle on the same row
+    VectorExprs.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0)),       // mismatched → null
+      (Array(1.0, 2.0), Array(3.0, 4.0)))            // matched → 11.0
+      .toDF("a", "b")
+    val r = df.select(VectorExprs.dot(col("a"), col("b")).as("d")).collect()
+    assert(r(0).isNullAt(0), "mismatched lengths must yield null")
+    assert(r(1).getDouble(0) == 11.0)
+    // same answer through both evaluation paths
+    val interp = df.selectExpr("graft_dot(a, b) AS d").collect()
+    assert(interp(0).isNullAt(0) && interp(1).getDouble(0) == 11.0)
+  }
 }
