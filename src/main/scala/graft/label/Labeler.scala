@@ -197,6 +197,10 @@ object Labeler {
     // legitimately contain backtick runs
     val scrubbed = raw.trim
       .replaceAll("(?s)^```\\s*(?i:json)?\\s*", "")
+      // a bare leading `json` tag with NO fence (some models emit the tag
+      // alone) — safe to strip unconditionally because a valid response
+      // body must start with `{`
+      .replaceAll("^(?i:json)\\s*", "")
       .replaceAll("(?s)\\s*```$", "")
       .trim
     scala.util.Try {

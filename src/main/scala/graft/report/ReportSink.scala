@@ -128,9 +128,11 @@ object ReportSink {
 
     val entitySections = rows.map { r =>
       val scoreBox = scoreRows.map { row =>
+        // the reference joins a row's label:value strings with " / "
+        // INSIDE one <p> (tool.py:186-200) — not as separate paragraphs
         val cells = row.map(sp =>
-          s"<p><strong>${esc(sp.label)}:</strong> ${esc(fmtValue(r, colIdx(sp.column)))}</p>")
-        s"""<div class="score-row">${cells.mkString(" / ")}</div>"""
+          s"<strong>${esc(sp.label)}:</strong> ${esc(fmtValue(r, colIdx(sp.column)))}")
+        s"""<div class="score-row"><p>${cells.mkString(" / ")}</p></div>"""
       }.mkString("\n")
       val summaryBoxes = summaries.map { sm =>
         val i = colIdx(sm.column)

@@ -389,7 +389,13 @@ object SimilarityOps {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.ExecutionContext.Implicits.global
         (0 until IvfTables)
-          .map(t => Future(tableAssignments(vs, t, nprobe)))
+          // re-pin the CALLING thread's mode (false — we are in the else
+          // branch) inside each future: a global-EC worker created inside
+          // some other withValue(true) scope would otherwise inherit
+          // planOnly=true and silently turn the lineage cuts into identity
+          .map(t => Future(graft.PlanProbe.planOnly.withValue(false) {
+            tableAssignments(vs, t, nprobe)
+          }))
           .map(Await.result(_, scala.concurrent.duration.Duration.Inf))
       }
     tables.reduce(_ union _)

@@ -75,20 +75,43 @@ object Xlsx {
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
 
-  /** OOXML `_xHHHH_` escaping for characters ILLEGAL in XML 1.0 (controls
-    * other than tab/newline/CR): scraped text carries them, a verbatim write
-    * would produce a workbook that throws a SAXParseException at read time —
-    * far from the producing query. A literal substring that LOOKS like an
-    * escape is itself escaped (`_x` → `_x005F_x`, the spec's convention) so
-    * the round-trip is unambiguous. */
+  /** OOXML `_xHHHH_` escaping for characters ILLEGAL in XML 1.0: C0
+    * controls other than tab/newline/CR, the non-characters U+FFFE/U+FFFF,
+    * and UNPAIRED surrogate code units (scraped text carries all three; a
+    * verbatim write would produce a workbook that throws a
+    * SAXParseException at read time — far from the producing query).
+    * Properly PAIRED surrogates encode legal supplementary-plane
+    * characters and pass through untouched. A literal substring that LOOKS
+    * like an escape is itself escaped (`_x` → `_x005F_x`, the spec's
+    * convention) so the round-trip is unambiguous. */
   private val EscapeLikeRe = "_x([0-9A-Fa-f]{4})_".r
+  /** Is the UTF-16 code unit at `i` legal in XML 1.0 in its context?
+    * (Char 9 | A | D | [0x20-0xD7FF] | [0xE000-0xFFFD]; a surrogate is
+    * legal only as half of a proper high+low pair.) */
+  private def xmlLegalAt(s: String, i: Int): Boolean = {
+    val ch = s.charAt(i)
+    if (ch >= 0x20 && ch < 0xD800) true
+    else if (ch == '\t' || ch == '\n' || ch == '\r') true
+    else if (ch >= 0xE000 && ch <= 0xFFFD) true
+    else if (Character.isHighSurrogate(ch))
+      i + 1 < s.length && Character.isLowSurrogate(s.charAt(i + 1))
+    else if (Character.isLowSurrogate(ch))
+      i > 0 && Character.isHighSurrogate(s.charAt(i - 1))
+    else false // C0 controls (non-tab/nl/cr), U+FFFE, U+FFFF
+  }
   private[graft] def ooxmlEscape(s: String): String = {
     val guarded = EscapeLikeRe.replaceAllIn(s, m => "_x005F_x" + m.group(1) + "_")
-    if (guarded.forall(ch => ch >= 0x20 || ch == '\t' || ch == '\n' || ch == '\r'))
-      guarded
-    else guarded.flatMap(ch =>
-      if (ch >= 0x20 || ch == '\t' || ch == '\n' || ch == '\r') ch.toString
-      else f"_x${ch.toInt}%04X_")
+    if ((0 until guarded.length).forall(xmlLegalAt(guarded, _))) guarded
+    else {
+      val sb = new java.lang.StringBuilder(guarded.length + 8)
+      var i = 0
+      while (i < guarded.length) {
+        if (xmlLegalAt(guarded, i)) sb.append(guarded.charAt(i))
+        else sb.append(f"_x${guarded.charAt(i).toInt}%04X_")
+        i += 1
+      }
+      sb.toString
+    }
   }
 
   private[graft] def ooxmlUnescape(s: String): String =

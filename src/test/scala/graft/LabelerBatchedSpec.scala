@@ -156,6 +156,17 @@ class LabelerBatchedSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains(Map("a" -> ("P", "unclear"))))
   }
 
+  test("parseBatchResponse strips a bare leading json tag without a fence") {
+    // some models emit the language tag alone — 'json\n{...}' with no ```
+    assert(Labeler.parseBatchResponse("json\n{\"a\": {\"label\": \"P\"}}")
+      .contains(Map("a" -> ("P", "unclear"))))
+    assert(Labeler.parseBatchResponse("JSON {\"a\": {\"label\": \"N\"}}")
+      .contains(Map("a" -> ("N", "unclear"))))
+    // but an interior 'json' key is untouched
+    assert(Labeler.parseBatchResponse("{\"json\": {\"label\": \"P\"}}")
+      .contains(Map("json" -> ("P", "unclear"))))
+  }
+
   test("default backoff schedule is capped and never overflows") {
     val clf = new Labeler.RetryingClassifier(Labeler.StubBatchedClassifier)
     // reach into the default via a fresh instance's behavior: construct the

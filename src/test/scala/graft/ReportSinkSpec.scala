@@ -81,6 +81,13 @@ class ReportSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // score box: one per entity, two score rows each (3 entities × 2)
     assert(count(html, """<div class="report-score-box">""") == 3)
     assert(count(html, """<div class="score-row">""") == 6)
+    // a multi-spec row joins its label:value cells with " / " INSIDE one
+    // <p> (reference tool.py:186-200) — never a textual slash between
+    // paragraphs
+    assert(count(html, """<div class="score-row"><p>""") == 6)
+    assert(!html.contains("</p> / <p>"))
+    assert(count(html,
+      """<strong>Risk Score:</strong> [^<]* / <strong>Nb Documents Risk:</strong>""") == 3)
     // criterion boxes: 2 per entity, with h4 titles
     assert(count(html, """<div class="report-criterion-box">""") == 6)
     assert(count(html, "<h4>Disruption Risk</h4>") == 3)
