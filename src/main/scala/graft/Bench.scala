@@ -89,7 +89,7 @@ object Bench {
           // read as a speedup): log it and surface it in the JSON line.
           System.err.println(s"[bench] FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
           return -1.0
-      }
+      } finally PlanProbe.releaseCuts() // no-op unless cutPolicy=disk
       (System.nanoTime() - t0) / 1e9
     }
     // Constant-work calibration: ~32M-row in-memory range aggregate, no I/O.
@@ -157,7 +157,74 @@ object Bench {
     val calibExtrasJson = fmtCalib(calibExtras)
     val calibExtras10Json = fmtCalib(calibExtras10)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"sf":"$sfDir"}""")
+
+    // ---- machine-readable drift verdicts --------------------------------
+    // Automates the adjudication BASELINE.md prescribes in prose: compare
+    // each query to the checked-in steady-state table
+    // (bench_steady_state.json), gate comparability on that pass's
+    // calibration sample, and flag ONLY structural violations (≥2× steady
+    // on ≥2 calibration-clean passes) — single-sample excursions are the
+    // documented VM noise and report as "noise", not regressions.
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_steady_state.json")
+    val steady: Map[String, Double] = try {
+      import org.json4s._
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8")
+      org.json4s.jackson.JsonMethods.parse(txt) match {
+        case JObject(sections) => sections.collect {
+          case (k, JObject(entries)) if k != "comment" => entries.collect {
+            case (q, JDouble(v)) => q -> v
+            case (q, JInt(v)) => q -> v.toDouble
+            case (q, JDecimal(v)) => q -> v.toDouble
+          }
+        }.flatten.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
+    // A pass is comparable iff its calibration sample is clean: within 2×
+    // of the block's best sample, floored at an absolute 1.5 s (steady
+    // calibration runs ~0.3-0.8 s; contended windows measure 3-4 s+).
+    def cleanIdx(cs: Seq[Double]): Seq[Int] = {
+      val bound = math.max(1.5, 2.0 * cs.min)
+      cs.indices.filter(i => cs(i) <= bound)
+    }
+    def driftOf(name: String, cs: Seq[Double]): String = {
+      val ts = times(name)
+      val clean = cleanIdx(cs).map(ts).filter(_ >= 0)
+      val (status, st) = steady.get(name) match {
+        case None => ("new", -1.0) // first samples become the baseline
+        case Some(s0) =>
+          if (ts.forall(_ < 0)) ("failed", s0)
+          else if (clean.isEmpty) ("no_clean_pass", s0)
+          else if (clean.count(_ >= 2.0 * s0) >= 2) ("structural", s0)
+          else if (clean.min > 1.3 * s0) ("noise", s0) // outside ±30% once
+          else ("ok", s0)
+      }
+      val samples = ts.map(t =>
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
+        .mkString("[", ",", "]")
+      val stStr =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(st))
+      "\"" + name + "\":{\"steady\":" + stStr + ",\"best\":" +
+        String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(minOf(name))) +
+        ",\"samples\":" + samples + ",\"status\":\"" + status + "\"}"
+    }
+    val driftJson =
+      (present.map(driftOf(_, calib)) ++
+        extras.map(driftOf(_, calibExtras)) ++
+        extras10.map(driftOf(_, calibExtras10))).mkString("{", ",", "}")
+    val structural = (present ++ extras ++ extras10).filter { n =>
+      val cs = if (present.contains(n)) calib
+        else if (extras.contains(n)) calibExtras else calibExtras10
+      val clean = cleanIdx(cs).map(times(n)).filter(_ >= 0)
+      steady.get(n).exists(s0 => clean.count(_ >= 2.0 * s0) >= 2)
+    }
+    val structuralJson = structural.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val baselineTag = if (steady.isEmpty) "missing" else baselinePath
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"drift":$driftJson,"drift_structural":$structuralJson,"drift_baseline":"$baselineTag","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

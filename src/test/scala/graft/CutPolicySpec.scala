@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.SimilarityOps
+
+/** The lineage-cut storage policy (`spark.graft.cutPolicy`): the IVF
+  * assignment pipeline's cuts must be a pure deployment knob — bit-identical
+  * results under `local` (executor-local checkpoint blocks), `reliable`
+  * (cluster-durable checkpoint dir; survives executor loss), and `disk`
+  * (DISK_ONLY persist; lineage preserved, lost partitions recompute). The
+  * full 8-table OR-amplified pair sweep is the heaviest cut consumer (13
+  * cuts per run: vectors + 3 per table via concurrent builders), so it is
+  * the equality vehicle. */
+class CutPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def sweep(indexDir: Option[String] = None): Seq[String] =
+    SimilarityOps.ivfCosinePairs(spark, dir, indexDir)
+      .orderBy("id_a", "id_b")
+      .collect()
+      .map(r => s"${r.get(0)}|${r.get(1)}|${r.get(2)}|${r.get(3)}")
+      .toSeq
+
+  private def withPolicy[A](policy: String)(body: => A): A =
+    try { spark.conf.set(PlanProbe.PolicyKey, policy); body }
+    finally spark.conf.unset(PlanProbe.PolicyKey)
+
+  test("unknown policy fails fast; reliable without a checkpoint dir " +
+      "names the missing setup") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("x")
+    val bad = intercept[IllegalArgumentException] {
+      withPolicy("bogus")(PlanProbe.cut(df))
+    }
+    assert(bad.getMessage.contains("local/reliable/disk"))
+    assert(spark.sparkContext.getCheckpointDir.isEmpty) // precondition
+    val noDir = intercept[IllegalArgumentException] {
+      withPolicy("reliable")(PlanProbe.cut(df))
+    }
+    assert(noDir.getMessage.contains("setCheckpointDir"))
+  }
+
+  test("IVF pair sweep is bit-identical under local, reliable, and disk " +
+      "cut policies") {
+    val base = sweep() // default = local
+    assert(base.nonEmpty, "sf0.001 must yield near-dup pairs")
+
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val reliable = withPolicy("reliable")(sweep())
+    assert(reliable == base, "reliable-checkpoint cuts changed the result")
+    // the reliable policy actually wrote into the durable dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable policy produced no checkpoint files")
+
+    val disk = withPolicy("disk")(sweep())
+    assert(disk == base, "DISK_ONLY-persist cuts changed the result")
+    PlanProbe.releaseCuts()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseCuts must drop every disk-policy cache entry")
+  }
+
+  test("a sweep through the persisted assignment index is bit-identical " +
+      "to the computed path") {
+    val base = sweep()
+    val ix = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    SimilarityOps.buildNearDupIndex(spark, dir, ix)
+    assert(sweep(Some(ix)) == base,
+      "persisted-assignment sweep diverged from the computed quantizers")
+  }
+}
