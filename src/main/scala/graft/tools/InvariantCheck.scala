@@ -158,68 +158,8 @@ object InvariantCheck {
     } catch {
       case e: Throwable => Some(s"q_seq_pack_ffd: failed to run: ${e.getMessage}")
     }
-    // IVF quantizer scale shape: k must GROW with the corpus
-    // (k ≈ n/targetBucket from the hash-seed pick) and cells must stay
-    // ~targetBucket-sized, so within-cell candidate work Σ bucket² stays
-    // LINEAR in n — a fixed-k regression (the round-6 weak finding) blows
-    // straight through these caps at 10× the oracle's SF.
-    val ivfShapeFailure: Option[String] = try {
-      val tb = graft.sim.SimilarityOps.IvfTargetBucket.toLong
-      // per-TABLE shape: every one of the IvfTables independent quantizers
-      // must have a scaling k and bounded cells — the worst table is
-      // asserted, so one degenerate table can't hide behind the union
-      val row = graft.sim.SimilarityOps.ivfAssignments(spark, sfDir)
-        .where("pr = 1").groupBy("tbl", "bucket").count()
-        .groupBy("tbl")
-        .agg(org.apache.spark.sql.functions.expr("count(*)").as("k"),
-          org.apache.spark.sql.functions.expr("CAST(max(count) AS LONG)")
-            .as("mx"),
-          org.apache.spark.sql.functions
-            .expr("CAST(sum(count * count) AS LONG)").as("ss"))
-        .selectExpr("CAST(min(k) AS LONG)", "CAST(max(mx) AS LONG)",
-          "CAST(max(ss) AS LONG)", "CAST(count(*) AS LONG)").head()
-      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-      val (k, mx, ss, nt) =
-        (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
-      val kOk = k >= n / (4L * tb)
-      val mxOk = mx <= 8L * tb
-      val ssOk = ss <= 8L * n * tb
-      val ntOk = nt == graft.sim.SimilarityOps.IvfTables.toLong
-      if (kOk && mxOk && ssOk && ntOk) {
-        println(s"[invariant] OK ivf_quantizer: $nt tables, worst-table " +
-          s"k=$k for n=$n (target ${n / tb}), max_bucket=$mx " +
-          s"(cap ${8L * tb}), sum_sq=$ss (cap ${8L * n * tb})")
-        None
-      } else Some(s"ivf_quantizer: n=$n tables=$nt worst k=$k " +
-        s"max_bucket=$mx sum_sq=$ss VIOLATES scale shape (need all " +
-        s"${graft.sim.SimilarityOps.IvfTables} tables, k ≥ n/${4L * tb}, " +
-        s"max ≤ ${8L * tb}, Σb² ≤ 8·n·$tb per table) — a quantizer table " +
-        "stopped scaling with the corpus")
-    } catch {
-      case e: Throwable => Some(s"ivf_quantizer: failed to run: ${e.getMessage}")
-    }
-    // Hierarchical-assignment broadcast bound: the two-level IVF assignment
-    // may broadcast ONLY the super set, whose size must stay O(√n)
-    // (expected √(n/16) = √n/4) — a regression back to broadcasting the
-    // k ≈ n/16 centroid set (the round-7 flat argmax, n²/16 dots and an
-    // O(n)-row broadcast) blows through this cap immediately.
-    val ivfSuperFailure: Option[String] = try {
-      val vs = graft.sim.SimilarityOps.vectorsFor(spark, sfDir)
-      val counts = (0 until graft.sim.SimilarityOps.IvfTables)
-        .map(t => graft.sim.SimilarityOps.supersOf(vs, t).count())
-      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-      val cap = math.max(8L, 2L * math.ceil(math.sqrt(n.toDouble)).toLong)
-      if (counts.forall(c => c >= 1L && c <= cap)) {
-        println(s"[invariant] OK ivf_supers: per-table super counts " +
-          s"${counts.mkString("/")} for n=$n (O(√n) cap $cap) — no " +
-          "assignment broadcast side ∝ n")
-        None
-      } else Some(s"ivf_supers: per-table super counts " +
-        s"${counts.mkString("/")} for n=$n VIOLATE the O(√n) broadcast " +
-        s"bound [1, $cap] — a level-1 quantizer stopped being sublinear")
-    } catch {
-      case e: Throwable => Some(s"ivf_supers: failed to run: ${e.getMessage}")
-    }
+    val ivfShapeFailure = ivfShapeCheck(spark, sfDir)
+    val ivfSuperFailure = ivfSupersCheck(spark, sfDir)
     // IVF pair recall vs ground truth: the nprobe=2 multi-assignment must
     // recover nearly all true near-dup pairs (cos ≥ 0.35) that the O(n²)
     // brute-force sweep finds — the quantitative form of "the unsampled
@@ -233,26 +173,7 @@ object InvariantCheck {
       if (sibling != sfDir && new java.io.File(sibling).isDirectory)
         Seq(sibling) else Seq.empty
     }
-    val ivfRecallFailures = recallDirs.flatMap { dir =>
-      try {
-        val bf = graft.sim.SimilarityOps.bruteForcePairs(spark, dir)
-        val ivf = graft.sim.SimilarityOps.ivfCosinePairs(spark, dir)
-          .select("id_a", "id_b")
-        val nBf = bf.count()
-        val nHit = bf.join(ivf, Seq("id_a", "id_b"), "left_semi").count()
-        val recall = if (nBf == 0) 1.0 else nHit.toDouble / nBf
-        if (nBf > 0 && recall >= 0.8) {
-          println(f"[invariant] OK ivf_recall[$dir]: $nHit/$nBf pairs = " +
-            f"$recall%.3f ≥ 0.8 floor")
-          None
-        } else Some(f"ivf_recall[$dir]: $nHit of $nBf brute-force pairs = " +
-          f"$recall%.3f VIOLATES the 0.8 floor (or no ground-truth pairs " +
-          "exist to measure)")
-      } catch {
-        case e: Throwable =>
-          Some(s"ivf_recall[$dir]: failed to run: ${e.getMessage}")
-      }
-    }
+    val ivfRecallFailures = recallDirs.flatMap(ivfRecallCheck(spark, _))
     // Persisted-IVF lifecycle at the release gate: the full
     // build → append (with a deliberate duplicate-retry replay) →
     // dedup-compact → search cycle on the REAL corpus at this SF.
@@ -345,5 +266,97 @@ object InvariantCheck {
     }
     println(s"[invariant] all ${invariants.size + 6 + recallDirs.size} " +
       s"invariants hold at $sfDir")
+  }
+
+  // ---- IVF scale pins, shared with graft.tools.ScaleStress (which runs
+  // them at a synthetic third operating point beyond sf0.01/sf0.1) ----
+
+  /** IVF quantizer scale shape: k must GROW with the corpus
+    * (k ≈ n/targetBucket from the hash-seed pick) and cells must stay
+    * ~targetBucket-sized, so within-cell candidate work Σ bucket² stays
+    * LINEAR in n — a fixed-k regression (the round-6 weak finding) blows
+    * straight through these caps at 10× the oracle's SF. */
+  private[tools] def ivfShapeCheck(spark: SparkSession,
+      sfDir: String): Option[String] = try {
+    val tb = graft.sim.SimilarityOps.IvfTargetBucket.toLong
+    // per-TABLE shape: every one of the IvfTables independent quantizers
+    // must have a scaling k and bounded cells — the worst table is
+    // asserted, so one degenerate table can't hide behind the union
+    val row = graft.sim.SimilarityOps.ivfAssignments(spark, sfDir)
+      .where("pr = 1").groupBy("tbl", "bucket").count()
+      .groupBy("tbl")
+      .agg(org.apache.spark.sql.functions.expr("count(*)").as("k"),
+        org.apache.spark.sql.functions.expr("CAST(max(count) AS LONG)")
+          .as("mx"),
+        org.apache.spark.sql.functions
+          .expr("CAST(sum(count * count) AS LONG)").as("ss"))
+      .selectExpr("CAST(min(k) AS LONG)", "CAST(max(mx) AS LONG)",
+        "CAST(max(ss) AS LONG)", "CAST(count(*) AS LONG)").head()
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val (k, mx, ss, nt) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val kOk = k >= n / (4L * tb)
+    val mxOk = mx <= 8L * tb
+    val ssOk = ss <= 8L * n * tb
+    val ntOk = nt == graft.sim.SimilarityOps.IvfTables.toLong
+    if (kOk && mxOk && ssOk && ntOk) {
+      println(s"[invariant] OK ivf_quantizer: $nt tables, worst-table " +
+        s"k=$k for n=$n (target ${n / tb}), max_bucket=$mx " +
+        s"(cap ${8L * tb}), sum_sq=$ss (cap ${8L * n * tb})")
+      None
+    } else Some(s"ivf_quantizer: n=$n tables=$nt worst k=$k " +
+      s"max_bucket=$mx sum_sq=$ss VIOLATES scale shape (need all " +
+      s"${graft.sim.SimilarityOps.IvfTables} tables, k ≥ n/${4L * tb}, " +
+      s"max ≤ ${8L * tb}, Σb² ≤ 8·n·$tb per table) — a quantizer table " +
+      "stopped scaling with the corpus")
+  } catch {
+    case e: Throwable => Some(s"ivf_quantizer: failed to run: ${e.getMessage}")
+  }
+
+  /** Hierarchical-assignment broadcast bound: the two-level IVF assignment
+    * may broadcast ONLY the super set, whose size must stay O(√n)
+    * (expected √(n/16) = √n/4) — a regression back to broadcasting the
+    * k ≈ n/16 centroid set (the round-7 flat argmax, n²/16 dots and an
+    * O(n)-row broadcast) blows through this cap immediately. */
+  private[tools] def ivfSupersCheck(spark: SparkSession,
+      sfDir: String): Option[String] = try {
+    val vs = graft.sim.SimilarityOps.vectorsFor(spark, sfDir)
+    val counts = (0 until graft.sim.SimilarityOps.IvfTables)
+      .map(t => graft.sim.SimilarityOps.supersOf(vs, t).count())
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val cap = math.max(8L, 2L * math.ceil(math.sqrt(n.toDouble)).toLong)
+    if (counts.forall(c => c >= 1L && c <= cap)) {
+      println(s"[invariant] OK ivf_supers: per-table super counts " +
+        s"${counts.mkString("/")} for n=$n (O(√n) cap $cap) — no " +
+        "assignment broadcast side ∝ n")
+      None
+    } else Some(s"ivf_supers: per-table super counts " +
+      s"${counts.mkString("/")} for n=$n VIOLATE the O(√n) broadcast " +
+      s"bound [1, $cap] — a level-1 quantizer stopped being sublinear")
+  } catch {
+    case e: Throwable => Some(s"ivf_supers: failed to run: ${e.getMessage}")
+  }
+
+  /** IVF pair recall vs ground truth at one dir: the nprobe=2
+    * multi-assignment must recover ≥ 0.8 of the true near-dup pairs
+    * (cos ≥ 0.35) the O(n²) brute-force sweep finds. */
+  private[tools] def ivfRecallCheck(spark: SparkSession,
+      dir: String): Option[String] = try {
+    val bf = graft.sim.SimilarityOps.bruteForcePairs(spark, dir)
+    val ivf = graft.sim.SimilarityOps.ivfCosinePairs(spark, dir)
+      .select("id_a", "id_b")
+    val nBf = bf.count()
+    val nHit = bf.join(ivf, Seq("id_a", "id_b"), "left_semi").count()
+    val recall = if (nBf == 0) 1.0 else nHit.toDouble / nBf
+    if (nBf > 0 && recall >= 0.8) {
+      println(f"[invariant] OK ivf_recall[$dir]: $nHit/$nBf pairs = " +
+        f"$recall%.3f ≥ 0.8 floor")
+      None
+    } else Some(f"ivf_recall[$dir]: $nHit of $nBf brute-force pairs = " +
+      f"$recall%.3f VIOLATES the 0.8 floor (or no ground-truth pairs " +
+      "exist to measure)")
+  } catch {
+    case e: Throwable =>
+      Some(s"ivf_recall[$dir]: failed to run: ${e.getMessage}")
   }
 }
