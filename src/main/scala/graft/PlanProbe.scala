@@ -91,6 +91,28 @@ object PlanProbe {
         s"$PolicyKey=$other — expected one of ${ValidPolicies.mkString("/")}")
     }
 
+  /** Iterative-loop cut (the CC loop's per-round truncation): lineage
+    * truncation is MANDATORY here — per-round plans grow 4^r leaf
+    * references without it — so the `disk` policy (which preserves
+    * lineage) does not apply and maps to `local`. Under `reliable` the
+    * rounds checkpoint into the durable dir, so a lost executor mid-loop
+    * re-reads round state from storage instead of failing the job; the
+    * loop's retirement discipline (`GraftShims.freeCheckpoint`) deletes a
+    * retired round's checkpoint files, keeping the same two-generation
+    * plateau the local policy proves. */
+  def cutIter(df: DataFrame): DataFrame =
+    if (planOnly.value) df
+    else df.sparkSession.conf.get(PolicyKey, "local") match {
+      case "local" | "disk" => df.localCheckpoint()
+      case "reliable" =>
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          s"$PolicyKey=reliable requires SparkContext.setCheckpointDir " +
+            "(point it at cluster-durable storage, e.g. an HDFS path)")
+        df.checkpoint()
+      case other => throw new IllegalArgumentException(
+        s"$PolicyKey=$other — expected one of ${ValidPolicies.mkString("/")}")
+    }
+
   /** Release every frame the `disk` policy persisted since the last call.
     * No-op under the other policies. Safe at any unit-of-work boundary:
     * by then the cut frames' consumers have executed, and a late straggler

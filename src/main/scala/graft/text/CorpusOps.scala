@@ -140,20 +140,24 @@ object CorpusOps {
     // edge list, and repeated invocations (Bench's 3 passes, Verify over
     // the full registry) don't accumulate storage for the session lifetime.
     //
-    // Durability note: localCheckpoint storage is executor-local and its
-    // lineage is truncated — on a real cluster, losing an executor fails
-    // the loop (or, after it returns, the consumer) with missing-block
-    // errors instead of recomputing; the loop state is rebuilt from scratch
-    // on job retry, which is the right trade for iterative state. Consumers
-    // of the RETURNED frame on a cluster should materialize it promptly or
-    // swap the last cut for a reliable `df.checkpoint()`/write-out;
-    // single-JVM local mode cannot lose blocks.
+    // Durability: the per-round cut routes through PlanProbe.cutIter — the
+    // default `local` policy localCheckpoints (executor-local,
+    // non-recomputable; on a real cluster an executor loss mid-loop fails
+    // the job, and the loop state rebuilds from scratch on job retry —
+    // single-JVM local mode cannot lose blocks), while the cluster profile
+    // `spark.graft.cutPolicy=reliable` checkpoints every round into the
+    // durable checkpoint dir, so round state survives executor loss and
+    // the retirement below deletes a retired round's files (same
+    // two-generation plateau, pinned by CutPolicySpec). The lineage-
+    // preserving `disk` policy cannot apply to an iterative cut (the 4^r
+    // plan growth above is exactly what truncation prevents) and maps to
+    // `local`.
     val free = org.apache.spark.sql.graft.GraftShims.freeCheckpoint _
     // the previous invocation's final cut is dead by now — retire it so
     // repeated invocations plateau instead of accumulating (see
     // lastFinalCut's doc for the single-pipeline assumption)
     retireLastCut(None)
-    val edges = symEdges.localCheckpoint()
+    val edges = graft.PlanProbe.cutIter(symEdges)
     // Iterate ONLY over edge-incident vertices: at realistic near-dup rates
     // the candidate graph touches a few percent of the corpus, so the
     // per-round joins must not drag every corpus vertex through every round
@@ -162,15 +166,15 @@ object CorpusOps {
     val core = edges.select(col("src").as("doc_id")).distinct()
     // `current` is the live checkpoint backing `labels`; exactly one
     // previous generation is freed per round
-    var current = core.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+    var current = graft.PlanProbe.cutIter(
+      core.select(col("doc_id"), col("doc_id").as("label")))
     var labels = current
     var converged = false
     var rounds = 0
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && rounds < maxRounds) {
       val tRound = System.nanoTime()
-      val next = round(labels, edges).localCheckpoint()
+      val next = graft.PlanProbe.cutIter(round(labels, edges))
       // convergence = exact count of changed labels (NOT a label-sum probe,
       // which can silently overflow Long on large id domains): one action
       // per round over the already-checkpointed frame

@@ -43,6 +43,17 @@ object GraftShims {
   def freeCheckpoint(df: DataFrame): Unit = analyzed(df) match {
     case l: org.apache.spark.sql.execution.LogicalRDD =>
       l.rdd.unpersist(blocking = false)
+      // a RELIABLY checkpointed frame (`checkpoint()`, the cluster-durable
+      // cut policy) holds FILES, not blocks — getCheckpointFile is None
+      // for local checkpoints, Some(rdd dir) for reliable ones. Delete the
+      // retired round's directory so the iterative loop keeps the same
+      // two-generation storage plateau under either policy.
+      l.rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val fs = p.getFileSystem(
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(p, true)
+      }
     case other => throw new IllegalArgumentException(
       "freeCheckpoint requires a direct localCheckpoint() frame (a single " +
         s"LogicalRDD leaf); got ${other.nodeName} — freeing through a " +

@@ -73,6 +73,38 @@ class CutPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
       "releaseCuts must drop every disk-policy cache entry")
   }
 
+  test("CC loop under the reliable policy: identical labels, checkpoint " +
+      "files fully retired") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val sym = edges.union(edges.select(col("dst").as("src"),
+      col("src").as("dst")))
+    val verts = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    def labels(): Seq[(Long, Long)] =
+      graft.text.CorpusOps.connectedComponents(verts, sym)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val base = labels()
+    assert(base == Seq(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // fresh checkpoint dir so file-retirement is observable in isolation
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_cc_ck")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    val reliable = withPolicy("reliable")(labels())
+    assert(reliable == base, "reliable per-round cuts changed the labels")
+    // the loop frees each retired round; releasing the registered final
+    // cut must leave the durable dir with ZERO checkpoint files — the
+    // two-generation plateau holds under the reliable policy too
+    graft.text.CorpusOps.releaseCcState()
+    val walk = java.nio.file.Files.walk(ckDir)
+    val left =
+      try walk.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      finally walk.close()
+    assert(left == 0, s"$left checkpoint files survived retirement")
+  }
+
   test("a sweep through the persisted assignment index is bit-identical " +
       "to the computed path") {
     val base = sweep()
