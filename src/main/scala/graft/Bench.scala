@@ -165,8 +165,17 @@ object Bench {
     // calibration sample, and flag ONLY structural violations (≥2× steady
     // on ≥2 calibration-clean passes) — single-sample excursions are the
     // documented VM noise and report as "noise", not regressions.
-    val baselinePath =
-      sys.env.getOrElse("SPARK_GRAFT_BASELINE", "bench_steady_state.json")
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BASELINE", {
+      val cwd = "bench_steady_state.json"
+      if (java.nio.file.Files.isReadable(java.nio.file.Paths.get(cwd))) cwd
+      else try {
+        // fall back to the repo root relative to the packaged jar
+        // (target/scala-2.13/<jar> → ../../../bench_steady_state.json)
+        java.nio.file.Paths.get(getClass.getProtectionDomain.getCodeSource
+            .getLocation.toURI)
+          .getParent.getParent.getParent.resolve(cwd).toString
+      } catch { case _: Throwable => cwd }
+    })
     val steady: Map[String, Double] = try {
       import org.json4s._
       val txt = new String(java.nio.file.Files.readAllBytes(

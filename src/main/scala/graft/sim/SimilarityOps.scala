@@ -416,6 +416,26 @@ object SimilarityOps {
     ivfAssignments(s, d)
       .write.mode("overwrite").parquet(s"$indexDir/assignments")
 
+  /** Bucketed-TABLE form of [[buildNearDupIndex]] — the cluster layout:
+    * the assignment zone lands bucketed on the FULL candidate-join key
+    * (tbl, bucket) via [[graft.sources.SourceOps.writeBucketed]], so the
+    * standing-corpus sweep's self-join reuses the layout's hash
+    * partitioning and plans with ZERO exchanges on either side
+    * (BucketedJoinSpec pins the executed plan); the only shuffle left in
+    * candidate generation is the cross-table pair dedup. Size `buckets`
+    * so one bucket's assignment rows fit executor memory at target SF
+    * (rows are 4 small integers — millions per bucket are fine). */
+  def buildNearDupIndexBucketed(s: SparkSession, d: String, table: String,
+      buckets: Int): Unit =
+    graft.sources.SourceOps.writeBucketed(ivfAssignments(s, d), table,
+      Seq("tbl", "bucket"), buckets)
+
+  /** Sweep from a bucketed assignment table
+    * (see [[buildNearDupIndexBucketed]]). */
+  def ivfCosinePairsFromTable(s: SparkSession, d: String,
+      table: String): DataFrame =
+    pairsFromAssignments(s, d, s.table(table))
+
   /** Per-JVM memo of built near-dup indexes, keyed by corpus dir: the gate
     * queries route through this so one Verify/Bench session pays the
     * 8-table quantizer cost once and every later sweep (including
@@ -453,11 +473,17 @@ object SimilarityOps {
     * the persisted assignments instead of rebuilding the quantizers
     * (amortized standing-corpus mode). `None` computes them fresh. */
   private[graft] def ivfCosinePairs(s: SparkSession, d: String,
-      indexDir: Option[String] = None): DataFrame = {
-    val vs = vectors(s, d)
-    val asg = indexDir
+      indexDir: Option[String] = None): DataFrame =
+    pairsFromAssignments(s, d, indexDir
       .map(ix => s.read.parquet(s"$ix/assignments"))
-      .getOrElse(ivfAssignments(s, d))
+      .getOrElse(ivfAssignments(s, d)))
+
+  /** Candidate pairs + exact verification from any assignment frame
+    * (computed, parquet-persisted, or bucketed-table). */
+  private def pairsFromAssignments(s: SparkSession, d: String,
+      assignments: DataFrame): DataFrame = {
+    val vs = vectors(s, d)
+    val asg = assignments
       .withColumn("bkey", col("tbl") * BucketKeyBase + col("bucket"))
     val cand = asg
       .select(col("tbl"), col("bucket"), col("bkey"), col("vec_id").as("id_a"))

@@ -66,6 +66,14 @@ object InvariantCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cluster-profile runs (`--conf spark.graft.cutPolicy=reliable`) need a
+    // checkpoint dir; on the local gate box default one into /tmp so the
+    // full 18-invariant sweep can be exercised under reliable cuts — on a
+    // real cluster, set an HDFS dir explicitly instead
+    if (spark.conf.get(graft.PlanProbe.PolicyKey, "local") == "reliable" &&
+        spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ck_gate").toString)
     val qs = graft.SparkEntry.queries
     val tableFailures = invariants.flatMap { case (name, column, ok, desc) =>
       try {

@@ -82,6 +82,31 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(joined.count() == plainCount)
   }
 
+  test("bucketed near-dup assignment zone: exchange-free candidate " +
+      "self-join, sweep bit-identical to the computed path") {
+    import graft.sim.SimilarityOps
+    SimilarityOps.buildNearDupIndexBucketed(spark, dir, "nd_asg", 8)
+    // the candidate-generation fragment: the (tbl, bucket) self-join must
+    // reuse the table's hash layout on BOTH sides — zero exchanges
+    val t = spark.table("nd_asg")
+    val selfJoin = t.select(col("tbl"), col("bucket"),
+      col("vec_id").as("id_a"))
+      .join(t.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("tbl", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+    val plan = selfJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"),
+      s"bucketed assignment self-join should not shuffle:\n$plan")
+    // and the full sweep through the table equals the computed path
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id_a", "id_b").collect()
+        .map(r => s"${r.get(0)}|${r.get(1)}|${r.get(2)}|${r.get(3)}").toSeq
+    assert(key(SimilarityOps.ivfCosinePairsFromTable(spark, dir, "nd_asg"))
+      == key(SimilarityOps.ivfCosinePairs(spark, dir)),
+      "bucketed-table sweep diverged from the computed quantizers")
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val agg = spark.table("li_b")
       .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
