@@ -69,26 +69,37 @@ object PlanProbe {
     * checkpoint files live in the user-owned checkpoint dir.) */
   private val diskCuts = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
+  /** The session's validated policy (fail-fast on an unknown value). */
+  private def policyOf(df: DataFrame): String =
+    df.sparkSession.conf.get(PolicyKey, "local") match {
+      case p if ValidPolicies(p) => p
+      case other => throw new IllegalArgumentException(
+        s"$PolicyKey=$other — expected one of ${ValidPolicies.mkString("/")}")
+    }
+
+  /** Durable `checkpoint()` with an instructive fail-fast when the
+    * checkpoint dir is missing. */
+  private def reliableCheckpoint(df: DataFrame): DataFrame = {
+    require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      s"$PolicyKey=reliable requires SparkContext.setCheckpointDir " +
+        "(point it at cluster-durable storage, e.g. an HDFS path)")
+    df.checkpoint()
+  }
+
   /** Materialize `df` per the session's cut policy; identity in plan-only
     * mode. A cut frame is REUSED by its pipeline several times — the whole
     * point is paying its upstream once — so every policy materializes
     * eagerly here rather than on first downstream action. */
   def cut(df: DataFrame): DataFrame =
     if (planOnly.value) df
-    else df.sparkSession.conf.get(PolicyKey, "local") match {
+    else policyOf(df) match {
       case "local" => df.localCheckpoint()
-      case "reliable" =>
-        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-          s"$PolicyKey=reliable requires SparkContext.setCheckpointDir " +
-            "(point it at cluster-durable storage, e.g. an HDFS path)")
-        df.checkpoint()
+      case "reliable" => reliableCheckpoint(df)
       case "disk" =>
         val p = df.persist(StorageLevel.DISK_ONLY)
         diskCuts.add(p)
         p.count() // eager: populate the cache in ONE pass before any reuse
         p
-      case other => throw new IllegalArgumentException(
-        s"$PolicyKey=$other — expected one of ${ValidPolicies.mkString("/")}")
     }
 
   /** Iterative-loop cut (the CC loop's per-round truncation): lineage
@@ -102,15 +113,9 @@ object PlanProbe {
     * plateau the local policy proves. */
   def cutIter(df: DataFrame): DataFrame =
     if (planOnly.value) df
-    else df.sparkSession.conf.get(PolicyKey, "local") match {
-      case "local" | "disk" => df.localCheckpoint()
-      case "reliable" =>
-        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-          s"$PolicyKey=reliable requires SparkContext.setCheckpointDir " +
-            "(point it at cluster-durable storage, e.g. an HDFS path)")
-        df.checkpoint()
-      case other => throw new IllegalArgumentException(
-        s"$PolicyKey=$other — expected one of ${ValidPolicies.mkString("/")}")
+    else policyOf(df) match {
+      case "reliable" => reliableCheckpoint(df)
+      case _ => df.localCheckpoint() // local; disk maps here too
     }
 
   /** Release every frame the `disk` policy persisted since the last call.

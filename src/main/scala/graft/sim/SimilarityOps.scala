@@ -436,19 +436,30 @@ object SimilarityOps {
       table: String): DataFrame =
     pairsFromAssignments(s, d, s.table(table))
 
-  /** Per-JVM memo of built near-dup indexes, keyed by corpus dir: the gate
-    * queries route through this so one Verify/Bench session pays the
-    * 8-table quantizer cost once and every later sweep (including
-    * `q_semantic_dedup`, which consumes the same pair set) reuses the
-    * persisted assignments. Temp-dir scoped — a new JVM rebuilds, so a
-    * regenerated corpus can never be served stale assignments. */
+  /** Per-JVM memo of built near-dup indexes, keyed by corpus dir PLUS a
+    * file-metadata fingerprint of its embeddings table (names, lengths,
+    * mtimes): the gate queries route through this so one Verify/Bench
+    * session pays the 8-table quantizer cost once and every later sweep
+    * (including `q_semantic_dedup`, which consumes the same pair set)
+    * reuses the persisted assignments. The fingerprint makes a
+    * REGENERATED corpus at the same path rebuild instead of being served
+    * stale assignments — within a JVM as well as across JVMs (temp dirs
+    * die with the machine either way). */
   private val nearDupIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def corpusFingerprint(d: String): String = {
+    val root = new java.io.File(s"$d/embeddings.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().sortBy(_.getName).toSeq
+      else Seq(root)
+    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString
+  }
   private[graft] def nearDupIndexFor(s: SparkSession, d: String): String =
-    nearDupIndexMemo.computeIfAbsent(d, dir => {
+    nearDupIndexMemo.computeIfAbsent(s"$d@${corpusFingerprint(d)}", _ => {
       val out =
         java.nio.file.Files.createTempDirectory("graft_ndidx_").toString
-      buildNearDupIndex(s, dir, out)
+      buildNearDupIndex(s, d, out)
       out
     })
 
@@ -639,12 +650,20 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Execution route for the two gate queries: persisted-assignment reuse
+    * (first invocation in a JVM builds the index, later sweeps amortize
+    * it — the oracle compares the SAME pair algebra either way). In
+    * PLAN-ONLY mode the computed path is kept instead: building the index
+    * is an eager job (which the plan sweep must not pay), and a parquet
+    * scan of assignments would hide the whole quantizer pipeline from the
+    * registry-wide plan guard. */
+  private def gatePairs(s: SparkSession, d: String): DataFrame =
+    if (graft.PlanProbe.planOnly.value) ivfCosinePairs(s, d)
+    else ivfCosinePairs(s, d, Some(nearDupIndexFor(s, d)))
+
   private val qNearDupIvf = Q(
     "q_embed_neardup_ivf",
-    // persisted-assignment route: first invocation in a JVM builds the
-    // index (same quantizer arithmetic), later sweeps amortize it — the
-    // oracle compares the SAME pair algebra either way
-    (s, d) => ivfCosinePairs(s, d, Some(nearDupIndexFor(s, d)))
+    (s, d) => gatePairs(s, d)
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(100),
     Some(
@@ -667,7 +686,7 @@ object SimilarityOps {
   private val qSemanticDedup = Q(
     "q_semantic_dedup",
     (s, d) => {
-      val pairs = ivfCosinePairs(s, d, Some(nearDupIndexFor(s, d)))
+      val pairs = gatePairs(s, d)
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       val verts = vectors(s, d).select(col("vec_id").as("doc_id"))

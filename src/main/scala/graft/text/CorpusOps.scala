@@ -68,11 +68,17 @@ object CorpusOps {
       // a cut from an already-STOPPED SparkContext (session cycled in this
       // JVM — one notebook kernel, many sessions; also any test suite that
       // runs a CC query then stops its session) has no block manager left
-      // to free against: its blocks died with the context, so just drop
-      // the reference instead of NPE-ing on the dead driver endpoint
-      lastFinalCut
-        .filterNot(_.sparkSession.sparkContext.isStopped)
-        .foreach(org.apache.spark.sql.graft.GraftShims.freeCheckpoint)
+      // to free against — its BLOCKS died with the context — but a cut
+      // made under the reliable policy holds durable checkpoint FILES that
+      // survive the context and would leak one dir per cycled session:
+      // delete those straight through the filesystem (best-effort; needs
+      // no running context), and skip only the block-manager unpersist
+      lastFinalCut.foreach { df =>
+        if (!df.sparkSession.sparkContext.isStopped)
+          org.apache.spark.sql.graft.GraftShims.freeCheckpoint(df)
+        else scala.util.Try(
+          org.apache.spark.sql.graft.GraftShims.deleteReliableFiles(df))
+      }
       lastFinalCut = next
     }
 

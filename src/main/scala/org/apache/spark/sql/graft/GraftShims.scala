@@ -44,19 +44,32 @@ object GraftShims {
     case l: org.apache.spark.sql.execution.LogicalRDD =>
       l.rdd.unpersist(blocking = false)
       // a RELIABLY checkpointed frame (`checkpoint()`, the cluster-durable
-      // cut policy) holds FILES, not blocks — getCheckpointFile is None
-      // for local checkpoints, Some(rdd dir) for reliable ones. Delete the
-      // retired round's directory so the iterative loop keeps the same
-      // two-generation storage plateau under either policy.
-      l.rdd.getCheckpointFile.foreach { f =>
-        val p = new org.apache.hadoop.fs.Path(f)
-        val fs = p.getFileSystem(
-          df.sparkSession.sparkContext.hadoopConfiguration)
-        fs.delete(p, true)
-      }
+      // cut policy) holds FILES, not blocks — delete the retired round's
+      // directory so the iterative loop keeps the same two-generation
+      // storage plateau under either policy.
+      deleteReliableFiles(df)
     case other => throw new IllegalArgumentException(
       "freeCheckpoint requires a direct localCheckpoint() frame (a single " +
         s"LogicalRDD leaf); got ${other.nodeName} — freeing through a " +
         "composite plan could unpersist unrelated shared checkpoints")
+  }
+
+  /** Delete a reliably-checkpointed frame's durable files, if any
+    * (`getCheckpointFile` is None for local checkpoints and for
+    * non-checkpoint frames — a no-op then). Needs NO live SparkContext:
+    * the path is RDD metadata and the delete goes straight through the
+    * Hadoop filesystem, which is what lets a retirement pass reclaim
+    * durable storage even after its owning session was stopped. */
+  def deleteReliableFiles(df: DataFrame): Unit = analyzed(df) match {
+    case l: org.apache.spark.sql.execution.LogicalRDD =>
+      l.rdd.getCheckpointFile.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        val sc = df.sparkSession.sparkContext
+        val conf =
+          if (!sc.isStopped) sc.hadoopConfiguration
+          else new org.apache.hadoop.conf.Configuration()
+        p.getFileSystem(conf).delete(p, true)
+      }
+    case _ => ()
   }
 }

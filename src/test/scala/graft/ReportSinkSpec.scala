@@ -228,7 +228,9 @@ class ReportSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
       "reference golden file not present")
     val full = new String(java.nio.file.Files.readAllBytes(goldenPath),
       "UTF-8")
-    val golden = full.substring(full.lastIndexOf("<html"))
+    val docStart = full.lastIndexOf("<html")
+    assert(docStart >= 0, "golden export carries no <html document")
+    val golden = full.substring(docStart)
     val want = inventory(golden)
     // sanity: the golden really is the per-entity report document
     assert(want("entity") > 0 && want("score-box") == want("entity"))
