@@ -16,6 +16,13 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // cluster-profile runs (`--conf spark.graft.cutPolicy=reliable`) need a
+    // checkpoint dir; default one into /tmp on the local gate box so the
+    // whole oracle sweep can run under durable cuts
+    if (spark.conf.get(PlanProbe.PolicyKey, "local") == "reliable" &&
+        spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        Files.createTempDirectory("graft_ck_verify").toString)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
