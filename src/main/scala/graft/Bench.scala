@@ -177,48 +177,16 @@ object Bench {
       } catch { case _: Throwable => cwd }
     })
     val steady: Map[String, Double] = try {
-      import org.json4s._
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(baselinePath)), "UTF-8")
-      org.json4s.jackson.JsonMethods.parse(txt) match {
-        case JObject(sections) => sections.collect {
-          case (k, JObject(entries)) if k != "comment" => entries.collect {
-            case (q, JDouble(v)) => q -> v
-            case (q, JInt(v)) => q -> v.toDouble
-            case (q, JDecimal(v)) => q -> v.toDouble
-          }
-        }.flatten.toMap
-        case _ => Map.empty[String, Double]
-      }
+      BenchDrift.parseSteady(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(baselinePath)), "UTF-8"))
     } catch { case _: Throwable => Map.empty[String, Double] }
-    // A pass is comparable iff its calibration sample is clean: ≤ 1.5 s
-    // ABSOLUTE (steady calibration runs ~0.3-0.8 s; contended windows
-    // measure 3-4 s+). Absolute, not relative-to-min: in a fully contended
-    // run a relative bound would bless every pass and convert shared
-    // contention into false "structural" verdicts — with no clean pass the
-    // honest answer is "cannot adjudicate".
-    val CalibClean = 1.5
-    def cleanIdx(cs: Seq[Double]): Seq[Int] =
-      cs.indices.filter(i => cs(i) <= CalibClean)
-    // status + JSON computed ONCE per query — drift_structural derives
-    // from the same statuses, so the summary can never disagree with the
-    // per-query rows. Structural = ≥2 clean passes and even the BEST of
-    // them ≥2× steady: min-based, so a single slow sample (a VM excursion,
-    // or q_embed_neardup_ivf's expected pass-1 index build) can never flag
-    // while a genuine regression (every clean pass ≥2×) always does.
+    // Adjudication rules live in BenchDrift (unit-tested by
+    // BenchDriftSpec); status + JSON computed ONCE per query so
+    // drift_structural can never disagree with the per-query rows.
     def driftOf(name: String, cs: Seq[Double]): (String, String) = {
       val ts = times(name)
-      val clean = cleanIdx(cs).map(ts).filter(_ >= 0)
-      val (status, st) = steady.get(name) match {
-        case None => ("new", -1.0) // first samples become the baseline
-        case Some(s0) =>
-          if (ts.forall(_ < 0)) ("failed", s0)
-          else if (clean.isEmpty) ("no_clean_pass", s0)
-          else if (clean.size >= 2 && clean.min >= 2.0 * s0)
-            ("structural", s0)
-          else if (clean.min > 1.3 * s0) ("noise", s0) // outside ±30% once
-          else ("ok", s0)
-      }
+      val status = BenchDrift.status(steady.get(name), ts, cs)
+      val st = steady.getOrElse(name, -1.0)
       val samples = ts.map(t =>
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
         .mkString("[", ",", "]")

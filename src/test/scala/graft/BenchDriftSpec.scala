@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The drift-adjudication protocol as unit-checked truth table — BASELINE
+  * .md's prose rules (±30% noise envelope, calibration gating, structural
+  * = ≥2× steady across ≥2 clean passes) must be decided by code the same
+  * way a human judge has been deciding them. */
+class BenchDriftSpec extends AnyFunSuite {
+
+  private val clean3 = Seq(0.4, 0.5, 0.3) // all passes calibration-clean
+
+  test("calibration gate is absolute: contended passes are excluded even " +
+      "when ALL passes are contended") {
+    assert(BenchDrift.cleanIdx(Seq(0.3, 3.5, 0.4)) == Seq(0, 2))
+    // fully contended run: a relative-to-min bound would bless all three;
+    // the absolute bound must reject them all → verdicts become
+    // no_clean_pass, never structural
+    assert(BenchDrift.cleanIdx(Seq(3.5, 4.0, 4.2)).isEmpty)
+    assert(BenchDrift.status(Some(1.0), Seq(2.5, 2.6, 2.4),
+      Seq(3.5, 4.0, 4.2)) == "no_clean_pass")
+  }
+
+  test("steady-state verdicts: ok / noise / structural / failed / new") {
+    // inside the ±30% envelope
+    assert(BenchDrift.status(Some(1.0), Seq(1.1, 0.9, 1.2), clean3) == "ok")
+    // best clean sample outside 1.3× but below 2× → noise, not structural
+    assert(BenchDrift.status(Some(1.0), Seq(1.6, 1.7, 1.5), clean3)
+      == "noise")
+    // every clean pass ≥ 2× steady → structural
+    assert(BenchDrift.status(Some(1.0), Seq(2.1, 2.4, 2.0), clean3)
+      == "structural")
+    // all reps failed
+    assert(BenchDrift.status(Some(1.0), Seq(-1.0, -1.0, -1.0), clean3)
+      == "failed")
+    // no baseline entry yet
+    assert(BenchDrift.status(None, Seq(9.9, 9.9, 9.9), clean3) == "new")
+  }
+
+  test("a single slow sample cannot flag structural (min-based rule)") {
+    // the amortized-index shape: pass 1 pays the build (8× steady), later
+    // passes reuse — expected, must stay ok
+    assert(BenchDrift.status(Some(0.8), Seq(6.4, 0.9, 0.7), clean3) == "ok")
+    // one VM excursion among clean passes — noise territory at worst
+    assert(BenchDrift.status(Some(1.0), Seq(2.5, 1.0, 1.1), clean3) == "ok")
+    // two slow + one fast clean sample: still not structural (min rules)
+    assert(BenchDrift.status(Some(1.0), Seq(2.5, 2.6, 1.1), clean3) == "ok")
+  }
+
+  test("structural needs ≥2 clean passes") {
+    // only pass 3 is clean and it is 3× steady: suspicious but a single
+    // comparable sample is not proof
+    assert(BenchDrift.status(Some(1.0), Seq(3.1, 3.2, 3.0),
+      Seq(4.0, 4.1, 0.4)) == "noise")
+  }
+
+  test("failed reps are excluded from clean samples, not counted as fast") {
+    assert(BenchDrift.status(Some(1.0), Seq(-1.0, 2.2, 2.4), clean3)
+      == "structural")
+    assert(BenchDrift.status(Some(1.0), Seq(-1.0, -1.0, 2.4), clean3)
+      == "noise") // one clean sample left → can't be structural
+  }
+
+  test("parseSteady flattens sections, skips the comment, tolerates junk") {
+    val m = BenchDrift.parseSteady(
+      """{"comment": "x",
+        |"headline": {"q1": 0.5, "q2": 2},
+        |"extras": {"q3": 1.25}}""".stripMargin)
+    assert(m == Map("q1" -> 0.5, "q2" -> 2.0, "q3" -> 1.25))
+    assert(BenchDrift.parseSteady("not json").isEmpty)
+    assert(BenchDrift.parseSteady("[1,2]").isEmpty)
+  }
+}
