@@ -41,12 +41,24 @@ object MlOps {
   private val qMlMinhash = Q(
     "q_ml_minhash_neardup",
     (s, d) => {
+      val planOnly = graft.PlanProbe.planOnly.value
+      // MinHashLSH requires ≥1 non-zero feature entry per row — a
+      // whitespace-only document tokenizes to an all-zero vector and
+      // approxSimilarityJoin would throw mid-join. The hand-rolled LSH
+      // family drops sub-3-word docs by construction (no shingles); this
+      // is its MLlib-side equivalent, and a dropped empty doc can never
+      // appear in a candidate pair anyway.
+      val base = termVectors(s, d).filter(size(col("tokens")) > 0)
       // cache: MinHashLSH.fit + approxSimilarityJoin reference the frame
       // several times. Dataset.cache registers in the session CacheManager
-      // and is NOT GC-reclaimed, so the builder materializes its (1-row)
-      // result below and unpersists before returning — without that, every
-      // bench/gate sweep would permanently pin the term-vector frame
-      val vecs = termVectors(s, d).cache()
+      // EAGERLY (even before any job) and is NOT GC-reclaimed, so (a) the
+      // builder materializes its (1-row) result below and unpersists
+      // before returning — without that, every bench/gate sweep would
+      // permanently pin the term-vector frame — and (b) plan-only mode
+      // skips the registration entirely, both to keep the sweep
+      // side-effect-free and so the guard sees the tokenizer pipeline
+      // instead of an InMemoryRelation leaf
+      val vecs = if (planOnly) base else base.cache()
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(8).setSeed(42L)
       val model = lsh.fit(vecs)
@@ -75,7 +87,7 @@ object MlOps {
       // materialize the 1-row verdict, then release the cache (identity in
       // plan-only mode, where nothing executed and nothing was cached)
       val cut = graft.PlanProbe.cut(out)
-      if (!graft.PlanProbe.planOnly.value) vecs.unpersist(false)
+      if (!planOnly) vecs.unpersist(false)
       cut
     },
     Some("SELECT TRUE AS has_pairs, CAST(0 AS BIGINT) AS n_dist_mismatch"))
@@ -92,14 +104,29 @@ object MlOps {
     (s, d) => {
       val toVec = udf((a: Seq[Float]) =>
         Vectors.dense(a.map(_.toDouble).toArray): Vector)
-      val vecs = Tables.embeddings(s, d)
+      val vecs0 = Tables.embeddings(s, d)
         .repartition(col("vec_id"))
         .withColumn("features", toVec(col("embedding")))
+      if (graft.PlanProbe.planOnly.value)
+        // STRUCTURAL plan only (results invalid by contract): same
+        // scan → udf → repartition → aggregate shape with no driver
+        // actions and no estimator fit — the registry plan sweep must not
+        // pay the Lloyd iterations, and an estimator can only run eagerly
+        vecs0.withColumn("ok", lit(true))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(!col("ok"), 1L).otherwise(0L)).as("n_mismatch"))
+      else {
+      // cache: count(), fit() (maxIter passes), and transform() all
+      // reference the frame — uncached, each re-runs the scan + udf +
+      // shuffle; released after the 1-row verdict materializes (the same
+      // lifecycle discipline as qMlMinhash above)
+      val vecs = vecs0.cache()
       // k scales with the corpus (k ≈ n/targetBucket, matching the
       // hand-rolled adaptive quantizer in graft.sim) so expected cell
       // population stays constant as the table grows — a fixed k would make
-      // the within-cell candidate work quadratic at scale. The count() is
-      // one driver action before fit(), which itself runs maxIter passes.
+      // the within-cell candidate work quadratic at scale; clamped into
+      // [min(10, n), n] with n applied LAST so a tiny corpus can never be
+      // asked for more clusters than vectors.
       // SCALE NOTE: KMeans.fit with k ∝ n is O(iters·n·k) = O(n²) flat
       // Lloyd — acceptable here because this query is the TEST-GATE twin
       // (it exists to cross-check assignments, not to be the scale path);
@@ -108,9 +135,9 @@ object MlOps {
       // 100-TB analogue would fit on a hash sample and assign
       // hierarchically the same way.
       val n = vecs.count()
-      val k = math.max(10, math.min(n,
+      val k = math.max(1L, math.min(n, math.max(10L,
         math.ceil(n.toDouble / graft.sim.SimilarityOps.IvfTargetBucket)
-          .toLong)).toInt
+          .toLong))).toInt
       val km = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cluster")
       val model = km.fit(vecs)
@@ -126,10 +153,14 @@ object MlOps {
         val ds = bc.value.map(d2)
         ds(assigned) <= ds.min + 1e-9
       })
-      model.transform(vecs)
+      val out = model.transform(vecs)
         .withColumn("ok", nearestOk(col("embedding"), col("cluster")))
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(!col("ok"), 1L).otherwise(0L)).as("n_mismatch"))
+      val cut = graft.PlanProbe.cut(out)
+      vecs.unpersist(false)
+      cut
+      }
     },
     Some(
       """SELECT CAST(count(*) AS BIGINT) AS n_vecs,

@@ -128,15 +128,11 @@ object CorpusStream {
     * way to flag contamination on a stream — no explode, no join, no
     * aggregation state. */
   def benchGrams(spark: SparkSession,
-      evalPath: String = CorpusOps.EvalSetPath): Array[String] = {
-    val n = CorpusOps.DecontamGramExt
-    spark.read.parquet(evalPath)
-      .select(split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= n)
-      .select(explode(CorpusOps.gramCol(col("w"), n)).as("gram"))
-      .distinct()
+      evalPath: String = CorpusOps.EvalSetPath): Array[String] =
+    // CorpusOps.evalGrams IS the batch gate's reference-set derivation —
+    // one definition, so this rung and q_decontaminate_ext cannot drift
+    CorpusOps.evalGrams(spark, evalPath)
       .collect().map(_.getString(0)).sorted
-  }
 
   /** Streaming contamination gate — the third rung of the ingest story
     * (stateless gate → watermarked dedup → this): every arriving document

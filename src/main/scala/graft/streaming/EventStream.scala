@@ -59,13 +59,17 @@ object EventStream {
   private val mondayWeeks: Column =
     window(col("ts"), "7 days", "7 days", "4 days")
 
-  def weeklyCounts(stream: DataFrame): DataFrame =
-    stream
-      .withWatermark("ts", "7 days")
-      .groupBy(mondayWeeks, col("event_type"))
+  /** The one weekly-count shape BOTH twins build on — the stream ≡ batch
+    * assertion depends on these staying bit-identical, so there is exactly
+    * one definition to edit. */
+  private def weeklyShape(df: DataFrame): DataFrame =
+    df.groupBy(mondayWeeks, col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("week_start"),
         col("event_type"), col("cnt"))
+
+  def weeklyCounts(stream: DataFrame): DataFrame =
+    weeklyShape(stream.withWatermark("ts", "7 days"))
 
   /** Streaming ingestion dedup — the training-data pipeline's exactly-once
     * guard at the stream boundary (re-delivered files, at-least-once
@@ -120,11 +124,6 @@ object EventStream {
       .start()
 
   /** Batch twin over the same (Monday-aligned) window expression. */
-  def weeklyCountsBatch(spark: SparkSession, dir: String): DataFrame = {
-    graft.model.Tables.events(spark, dir)
-      .groupBy(mondayWeeks, col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .select(date_format(col("window.start"), "yyyy-MM-dd").as("week_start"),
-        col("event_type"), col("cnt"))
-  }
+  def weeklyCountsBatch(spark: SparkSession, dir: String): DataFrame =
+    weeklyShape(graft.model.Tables.events(spark, dir))
 }

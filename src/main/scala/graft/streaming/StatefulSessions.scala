@@ -85,8 +85,13 @@ object StatefulSessions {
         // query — if any interleaving ever lets one through, and an
         // indefinitely-running sessionizer must degrade (time out next
         // batch) rather than crash on a straggler
+        // CEILING ms conversion: the boundary is in µs but timeouts fire
+        // on ms — flooring would let the session time out up to ~1 ms
+        // BEFORE its true close boundary, so a sub-ms-late event (above
+        // the watermark, inside the gap) could find its session already
+        // closed and open a second one the batch twin merges
         state.setTimeoutTimestamp(
-          math.max((s.lastUs + gapUs) / 1000L,
+          math.max((s.lastUs + gapUs + 999L) / 1000L,
             state.getCurrentWatermarkMs() + 1L))
       }
       closed.result().iterator

@@ -802,6 +802,19 @@ object CorpusOps {
   /** [[EvalSetPath]] as a safe SQL string literal body. */
   private val evalSetPathSql: String = EvalSetPath.replace("'", "''")
 
+  /** Distinct [[DecontamGramExt]]-grams of the external eval suite — the
+    * decontamination REFERENCE SET, shared by the batch gate
+    * ([[qDecontaminateExt]]'s broadcast side) and the streaming gate's
+    * collected literal (`CorpusStream.benchGrams`) so the two rungs can
+    * never drift in how they derive it. */
+  private[graft] def evalGrams(s: SparkSession,
+      evalPath: String = EvalSetPath): DataFrame =
+    s.read.parquet(evalPath)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= DecontamGramExt)
+      .select(explode(gramCol(col("w"), DecontamGramExt)).as("gram"))
+      .distinct()
+
   /** Decontamination at PRODUCTION shape: 13-gram overlap (GPT-3/The Pile
     * convention) against a genuinely external eval-set table — the separate
     * broadcast side a real decontamination run has, where [[qDecontaminate]]
@@ -820,11 +833,7 @@ object CorpusOps {
         .filter(size(col("w")) >= DecontamGramExt)
         .select(col("doc_id"),
           explode(gramCol(col("w"), DecontamGramExt)).as("gram"))
-      val bench = s.read.parquet(EvalSetPath)
-        .select(split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= DecontamGramExt)
-        .select(explode(gramCol(col("w"), DecontamGramExt)).as("gram"))
-        .distinct()
+      val bench = evalGrams(s)
       grams.join(broadcast(bench), Seq("gram"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_hits"))
