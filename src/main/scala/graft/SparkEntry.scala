@@ -16,7 +16,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = flagship(spark, "/root/testdata/sf0.001")
 
   def flagship(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = Labeler.withStubLabels(Tables.chunkRows(spark, dir))
+    val monthly = Labeler.labeledChunks(spark, dir)
       .filter(col("label").isin("P", "A"))
       .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
         col("entity_name"))

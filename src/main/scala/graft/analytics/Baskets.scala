@@ -19,7 +19,7 @@ import graft.model.Tables
 object Baskets {
 
   private def labeled(s: SparkSession, d: String): DataFrame =
-    Labeler.withStubLabels(Tables.chunkRows(s, d))
+    Labeler.labeledChunks(s, d)
 
   /** J1+J2+J3+A7+A8+T3: the basket table
     * (`AI_Cost_Cutting_Market_Analysis/src/tool.py:296-363`): positive ⟕

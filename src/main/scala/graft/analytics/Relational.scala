@@ -20,13 +20,17 @@ import graft.model.Tables
 object Relational {
 
   private def labeled(s: SparkSession, d: String): DataFrame =
-    Labeler.withStubLabels(Tables.chunkRows(s, d))
+    Labeler.labeledChunks(s, d)
 
   /** A1-family baseline: TPC-H Q1-shaped grouped aggregate on the fact table.
     * Revenue is pre-quantized (per-row floor(x*1e6), exact integer sum,
     * divided back out) — a raw double sum is shuffle-order-dependent and a
     * round() on top of it can flip at .005 boundaries between engines; the
-    * quantized sum is bit-identical under any shuffle schedule. */
+    * quantized sum is bit-identical under any shuffle schedule. The oracle
+    * casts PER ROW (DuckDB's floor returns DOUBLE; summing doubles and
+    * casting after would lose exactness past 2⁵³ — per-group sums are
+    * already ~5e15 at sf0.1, so the after-the-sum cast had maybe one order
+    * of magnitude of headroom). */
   private val q1Agg = Q(
     "q1_agg",
     (s, d) => Tables.lineitem(s, d)
@@ -40,7 +44,7 @@ object Relational {
     Some(
       """SELECT l_returnflag, l_linestatus,
         |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(floor(l_extendedprice * (1.0 - l_discount) * 1e6)) AS BIGINT) / 1e6 AS revenue,
+        |       sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 1e6) AS BIGINT)) / 1e6 AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus

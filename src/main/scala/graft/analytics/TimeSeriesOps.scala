@@ -68,17 +68,23 @@ object TimeSeriesOps {
          |       count(DISTINCT document_id) AS n_docs
          |FROM chunk GROUP BY 1 ORDER BY quarter""".stripMargin))
 
-  /** W2: weekly resample of the events stream — count + sum per type. */
+  /** W2: weekly resample of the events stream — count + sum per type.
+    * `value` is cent-valued, so the sum is QUANTIZED (per-row round to
+    * integer cents, exact long sum, divide back) exactly like q1_agg's
+    * revenue: round(sum(double)) is shuffle-order-dependent and can flip
+    * at a cent boundary between engines once groups get large. */
   private val qResample = Q(
     "q_resample_weekly",
     (s, d) => Tables.events(s, d)
       .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
         col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .agg(count(lit(1)).as("cnt"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("sum_value"))
       .orderBy(col("week"), col("event_type")),
     Some(
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week, event_type,
-        |       count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |       count(*) AS cnt,
+        |       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY week, event_type""".stripMargin))
 
   /** W3: z-score per series (`Narrative_Miners/src/tool.py:38-45`) — weekly

@@ -21,7 +21,7 @@ import graft.model.Tables
 object GraphOps {
 
   private def labeled(s: SparkSession, d: String): DataFrame =
-    Labeler.withStubLabels(Tables.chunkRows(s, d))
+    Labeler.labeledChunks(s, d)
 
   /** G1+G2+J8+G3 edge construction, shared by the edge gate and the layout
     * gate so the co-mention semantics (role labels, self-pair filter,

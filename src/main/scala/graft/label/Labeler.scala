@@ -54,6 +54,13 @@ object Labeler {
   def withStubLabels(df: DataFrame): DataFrame =
     df.withColumn("label", labelCol).withColumn("motivation", motivationCol)
 
+  /** The labeled-chunk derivation every A-family analytics query builds on
+    * (Relational + Baskets) — ONE definition, so a change to the labeling
+    * entry point cannot desynchronize the two families. */
+  def labeledChunks(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    withStubLabels(graft.model.Tables.chunkRows(s, d))
+
   /** Content digest used as the merge-back join key in every labeling path:
     * the label side carries (entity_id, md5(text)) instead of the raw text,
     * so the join shuffles and compares a 32-char key where it would

@@ -22,8 +22,17 @@ object SourceOps {
     // driver's local disk like a java.io.File probe would.
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hPath)) spark.read.parquet(path)
+    // a bare directory is NOT a valid checkpoint: a rebuild killed mid-write
+    // (preemption, OOM) leaves part-files but no _SUCCESS commit marker, and
+    // trusting it would silently serve truncated data to every downstream
+    // stage. Only a committed write counts; anything else is torn down and
+    // rebuilt (mode=overwrite would clear it anyway — the delete just makes
+    // the stale state impossible to observe between the branches).
+    val committed =
+      fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))
+    if (committed) spark.read.parquet(path)
     else {
+      if (fs.exists(hPath)) fs.delete(hPath, true)
       val df = rebuild
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
@@ -164,20 +173,33 @@ object SourceOps {
         .exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata")),
       s"$dir is a streaming file-sink zone (_spark_metadata present): " +
         "batch compaction would go stale against the manifest — retire it first")
-    val slice0 = spark.read.parquet(dir).filter(predicate)
-    val slice = (if (dedupKeys.nonEmpty) {
-      val conflicted = slice0
-        .groupBy(dedupKeys.map(slice0.col): _*)
-        .agg(countDistinct(struct(slice0.columns.map(slice0.col): _*))
-          .as("__variants"))
-        .filter(col("__variants") > 1).limit(1).count()
-      require(conflicted == 0L,
-        s"dedupKeys ${dedupKeys.mkString(",")} collide across non-identical " +
-          "rows — an arbitrary keeper would be nondeterministic; resolve the " +
-          "conflict upstream (dedup here only reclaims exact append retries)")
-      slice0.dropDuplicates(dedupKeys)
-    } else slice0).localCheckpoint()
-    overwritePartitions(slice, dir, partitionCols)
+    // Pin partition-type inference OFF for the maintenance read: inference
+    // NORMALIZES directory values (string "00123" → int 123, ISO strings →
+    // dates), and re-landing a normalized value writes a DIFFERENTLY-NAMED
+    // directory while dynamic overwrite clears only the partitions being
+    // written — the original dir would survive and every row in it would be
+    // served twice. With inference off the partition column round-trips as
+    // the exact directory text; downstream readers re-infer as before
+    // (parquet partition columns live in directory names, not files).
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      val slice0 = spark.read.parquet(dir).filter(predicate)
+      val slice = (if (dedupKeys.nonEmpty) {
+        val conflicted = slice0
+          .groupBy(dedupKeys.map(slice0.col): _*)
+          .agg(countDistinct(struct(slice0.columns.map(slice0.col): _*))
+            .as("__variants"))
+          .filter(col("__variants") > 1).limit(1).count()
+        require(conflicted == 0L,
+          s"dedupKeys ${dedupKeys.mkString(",")} collide across non-identical " +
+            "rows — an arbitrary keeper would be nondeterministic; resolve the " +
+            "conflict upstream (dedup here only reclaims exact append retries)")
+        slice0.dropDuplicates(dedupKeys)
+      } else slice0).localCheckpoint()
+      overwritePartitions(slice, dir, partitionCols)
+    } finally spark.conf.set(inferKey, inferPrev)
   }
 
   /** Sort-clustered layout writer — the THIRD 100 TB layout lever, next to
@@ -241,7 +263,12 @@ object SourceOps {
     val body = spark.createDataset(indexed.filter(_._2 >= 2L).map(_._1))(
       org.apache.spark.sql.Encoders.STRING)
     val parsed = spark.read.option("inferSchema", "true").csv(body)
-    val names = header.split(",", -1).map(_.trim)
+    // the header goes through the SAME CSV parser as the body — a naive
+    // split(",") would shear a quoted header containing a comma
+    // (`"Revenue, Net"`) into two names and misalign every column after it
+    val names = spark.read.csv(spark.createDataset(Seq(header))(
+        org.apache.spark.sql.Encoders.STRING))
+      .head().toSeq.map(v => if (v == null) "" else v.toString.trim)
     val kept = names.zipWithIndex.filter { case (n, _) =>
       n.nonEmpty && !n.contains("Unnamed") }
     val named = parsed.select(kept.toSeq.map { case (n, i) => col(s"_c$i").as(n) }: _*)
@@ -294,7 +321,7 @@ object SourceOps {
       val leaves = flat.filter(col("is_leaf"))
         .select(col("label"), col("parent_id"))
       val parents = flat.select(col("node_id"), col("label").as("theme"))
-      Labeler.withStubLabels(Tables.chunkRows(s, d))
+      Labeler.labeledChunks(s, d)
         .join(broadcast(leaves), Seq("label"))
         .join(broadcast(parents), col("parent_id") === col("node_id"))
         .groupBy(col("theme"))

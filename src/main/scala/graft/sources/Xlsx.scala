@@ -85,6 +85,13 @@ object Xlsx {
     * like an escape is itself escaped (`_x` → `_x005F_x`, the spec's
     * convention) so the round-trip is unambiguous. */
   private val EscapeLikeRe = "_x([0-9A-Fa-f]{4})_".r
+  /** Escape-like-literal GUARD pattern: a LOOKAHEAD (no trailing `_`
+    * consumed) rather than [[EscapeLikeRe]], because adjacent look-alikes
+    * SHARE their boundary underscore — in `_x0041_x0042_` a consuming
+    * match eats the `_` the second run needs, leaving it unguarded and
+    * corrupting the round-trip (`_x0042_` would decode as a real escape
+    * at read time). */
+  private val EscapeGuardRe = "_x(?=[0-9A-Fa-f]{4}_)".r
   /** Is the UTF-16 code unit at `i` legal in XML 1.0 in its context?
     * (Char 9 | A | D | [0x20-0xD7FF] | [0xE000-0xFFFD]; a surrogate is
     * legal only as half of a proper high+low pair.) */
@@ -100,7 +107,7 @@ object Xlsx {
     else false // C0 controls (non-tab/nl/cr), U+FFFE, U+FFFF
   }
   private[graft] def ooxmlEscape(s: String): String = {
-    val guarded = EscapeLikeRe.replaceAllIn(s, m => "_x005F_x" + m.group(1) + "_")
+    val guarded = EscapeGuardRe.replaceAllIn(s, _ => "_x005F_x")
     if ((0 until guarded.length).forall(xmlLegalAt(guarded, _))) guarded
     else {
       val sb = new java.lang.StringBuilder(guarded.length + 8)
@@ -402,6 +409,17 @@ object Xlsx {
     else if (vals.forall(v => DateRe.pattern.matcher(v).matches())) DateType
     else StringType
 
+  /** A `Date` cell is either an ISO string (this sink's own output) or an
+    * Excel NUMERIC DAY SERIAL (openpyxl/pandas write datetimes as serials
+    * unless a string format is forced): days since 1899-12-30 — the offset
+    * that bakes in Excel's historical leap-year-1900 quirk. Accept both;
+    * a fractional serial's time-of-day part is dropped. */
+  private def parseDateCell(v: String): java.sql.Date =
+    if (DateRe.pattern.matcher(v.take(10)).matches())
+      java.sql.Date.valueOf(v.take(10))
+    else java.sql.Date.valueOf(
+      java.time.LocalDate.of(1899, 12, 30).plusDays(v.toDouble.toLong))
+
   /** Read one sheet with the reference's `load_results` contract
     * (`tool.py:10-26`): row `header` is the header (default 1 — one banner
     * row above it), columns with blank or `Unnamed`-prefixed headers are
@@ -437,7 +455,7 @@ object Xlsx {
             case LongType => v.toLong
             case DoubleType => v.toDouble
             case BooleanType => v.toBoolean
-            case DateType => java.sql.Date.valueOf(v.take(10))
+            case DateType => parseDateCell(v)
             case _ => v
           }
         }.orNull

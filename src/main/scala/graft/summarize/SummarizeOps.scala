@@ -88,7 +88,7 @@ object SummarizeOps {
   private val qHierarchicalSummary = Q(
     "q_hierarchical_summary",
     (s, d) => {
-      val lc = Labeler.withStubLabels(Tables.chunkRows(s, d))
+      val lc = Labeler.labeledChunks(s, d)
       val partials = lc.filter(col("label") =!= "U")
         .groupBy(col("entity_sector"), col("document_type"))
         .agg(
@@ -132,7 +132,7 @@ object SummarizeOps {
   private val qCondenseScore = Q(
     "q_condense_score",
     (s, d) => {
-      val lc = Labeler.withStubLabels(Tables.chunkRows(s, d))
+      val lc = Labeler.labeledChunks(s, d)
       lc.filter(col("label") =!= "U")
         .groupBy(col("entity_name"), col("label"))
         .agg(

@@ -399,6 +399,14 @@ object CorpusOps {
     s"""ws AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
        |$repetitionCteBody""".stripMargin
 
+  /** Gopher repetition-gate caps (Rae et al. 2021 §A1.1): ONE definition
+    * interpolated into every Scala predicate AND SQL oracle twin that
+    * applies the gate — the batch filter, the stateless/streaming gate,
+    * the composed pipeline, and the health panel's keep_rate — so a
+    * threshold change cannot silently desynchronize the rungs. */
+  private[graft] val DupWordCap = 0.6
+  private[graft] val TopBigramCap = 0.1
+
   /** Gopher-style repetition filters (Rae et al. 2021 §A1.1 shape): per-doc
     * duplicate-word fraction and top-bigram fraction, with pass/fail flags at
     * fixed thresholds. */
@@ -406,14 +414,15 @@ object CorpusOps {
     "q_repetition_filter",
     (s, d) => repetitionStats(Tables.documents(s, d))
       .withColumn("keep",
-        col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
+        col("dup_word_frac") <= DupWordCap &&
+          col("top_bigram_frac") <= TopBigramCap)
       .orderBy(col("doc_id")),
     Some(
       s"""WITH $repetitionCte
          |SELECT doc_id, n_words, dup_word_frac,
          |       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
-         |       dup_word_frac <= 0.6
-         |         AND coalesce(top_bigram_frac, 0.0) <= 0.1 AS keep
+         |       dup_word_frac <= $DupWordCap
+         |         AND coalesce(top_bigram_frac, 0.0) <= $TopBigramCap AS keep
          |FROM m LEFT JOIN bt USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
@@ -1246,7 +1255,7 @@ object CorpusOps {
     round(avg(col("n_words")), 6).as("avg_words"),
     round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
       .as("pct_en"),
-    round(avg(when(col("dup_frac") <= 0.6, 1.0).otherwise(0.0)), 6)
+    round(avg(when(col("dup_frac") <= DupWordCap, 1.0).otherwise(0.0)), 6)
       .as("keep_rate"))
 
   private val qCorpusStats = Q(
@@ -1259,19 +1268,19 @@ object CorpusOps {
         .orderBy(col("source"))
     },
     Some(
-      """WITH m AS (
-        |  SELECT source, n_chars, lang,
-        |         len(string_split(text, ' ')) AS n_words,
-        |         round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |                 / len(string_split(text, ' ')), 6) AS dup_frac
-        |  FROM documents
-        |)
-        |SELECT source, count(*) AS n_docs,
-        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |       round(avg(n_words), 6) AS avg_words,
-        |       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en,
-        |       round(avg(CASE WHEN dup_frac <= 0.6 THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
-        |FROM m GROUP BY source ORDER BY source""".stripMargin))
+      s"""WITH m AS (
+         |  SELECT source, n_chars, lang,
+         |         len(string_split(text, ' ')) AS n_words,
+         |         round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |                 / len(string_split(text, ' ')), 6) AS dup_frac
+         |  FROM documents
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |       round(avg(n_words), 6) AS avg_words,
+         |       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en,
+         |       round(avg(CASE WHEN dup_frac <= $DupWordCap THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+         |FROM m GROUP BY source ORDER BY source""".stripMargin))
 
   // --------------------------------------------------------- stateless gate
 
@@ -1310,7 +1319,8 @@ object CorpusOps {
       .withColumn("top_bigram_frac", topBigramFrac)
       .drop("__bg")
       .withColumn("keep",
-        col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
+        col("dup_word_frac") <= DupWordCap &&
+          col("top_bigram_frac") <= TopBigramCap)
   }
 
   // --------------------------------------------------------------- pipeline
@@ -1344,7 +1354,8 @@ object CorpusOps {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val surv = repetitionStats(docs)
-        .filter(col("dup_word_frac") <= 0.6 && col("top_bigram_frac") <= 0.1)
+        .filter(col("dup_word_frac") <= DupWordCap &&
+          col("top_bigram_frac") <= TopBigramCap)
         .select(col("doc_id"))
         .join(contaminatedIds(s, d), Seq("doc_id"), "left_anti")
       val cc = docClusters(s, d)
@@ -1368,7 +1379,7 @@ object CorpusOps {
          |$contamCte,
          |surv AS (
          |  SELECT doc_id FROM m LEFT JOIN bt USING (doc_id)
-         |  WHERE dup_word_frac <= 0.6 AND coalesce(top_bigram_frac, 0.0) <= 0.1
+         |  WHERE dup_word_frac <= $DupWordCap AND coalesce(top_bigram_frac, 0.0) <= $TopBigramCap
          |    AND doc_id NOT IN (SELECT doc_id FROM contam)
          |),
          |keep AS (

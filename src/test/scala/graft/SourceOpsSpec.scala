@@ -62,4 +62,62 @@ class SourceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds == 1)
     assert(first.exceptAll(second).isEmpty && second.exceptAll(first).isEmpty)
   }
+
+  test("stage checkpoint distrusts an uncommitted (torn) write") {
+    // simulate a rebuild killed mid-write: part-files on disk, no _SUCCESS
+    val tmp = java.nio.file.Files.createTempDirectory("ckpt_torn")
+    val stage = tmp.resolve("labels")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.writeString(
+      stage.resolve("part-00000.snappy.parquet"), "torn garbage")
+    var builds = 0
+    def build = {
+      builds += 1
+      SparkEntry.queries("q_label_distribution")(spark, dir)
+    }
+    val df = SourceOps.cached(spark, tmp.toString, "labels")(build)
+    assert(builds == 1, "a torn checkpoint must be rebuilt, not trusted")
+    assert(df.count() > 0)
+    // and the rebuilt (committed) checkpoint is then served without rebuild
+    SourceOps.cached(spark, tmp.toString, "labels")(build)
+    assert(builds == 1)
+  }
+
+  test("workbook sheet reader parses quoted headers with commas") {
+    val tmp = java.nio.file.Files.createTempDirectory("wb_q")
+    val f = tmp.resolve("results.csv")
+    java.nio.file.Files.writeString(f,
+      """Banner,,,
+        |id,"Revenue, Net",Date
+        |1,100,2024-01-05
+        |2,250,2024-02-10
+        |""".stripMargin)
+    val df = SourceOps.readWorkbookSheet(spark, f.toString, "News")
+    assert(df.columns.toSeq
+      == Seq("id", "Revenue, Net", "Date", "Source_Type"))
+    assert(df.filter(col("id") === 1).select(col("Revenue, Net"))
+      .head().get(0).toString == "100")
+  }
+
+  test("compactPartitions preserves zero-padded string partition values") {
+    import spark.implicits._
+    val zone = java.nio.file.Files.createTempDirectory("zone_pad").toString
+    val df = Seq(("00123", 1L), ("00123", 2L), ("7", 3L))
+      .toDF("source", "n")
+    SourceOps.writePartitioned(df, zone, Seq("source"))
+    // appends fragment the partition (the compaction motivation)
+    Seq(("00123", 4L)).toDF("source", "n")
+      .write.mode("append").partitionBy("source").parquet(zone)
+    SourceOps.compactPartitions(spark, zone, Seq("source"),
+      col("source") === "00123")
+    // the padded directory was REWRITTEN in place — not duplicated into a
+    // normalized source=123 sibling (type inference would read 00123 as
+    // the int 123 and dynamic overwrite would then miss the original dir)
+    val dirs = new java.io.File(zone).listFiles().map(_.getName)
+      .filter(_.startsWith("source=")).sorted.toSeq
+    assert(dirs == Seq("source=00123", "source=7"), dirs.toString)
+    val back = spark.read.parquet(zone)
+    assert(back.count() == 4)
+    assert(back.filter(col("source") === "00123").count() == 3)
+  }
 }

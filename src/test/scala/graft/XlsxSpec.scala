@@ -174,6 +174,32 @@ class XlsxSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"literal escape-looking text must survive, got ${back(2L)}")
   }
 
+  test("adjacent escape-like literals round-trip (shared-underscore case)") {
+    // "_x0041_x0042_": the two look-alike runs SHARE the middle underscore
+    // — a consuming guard regex eats it with the first match and leaves
+    // the second unguarded, which then DECODES at read time ("_x0041B")
+    for (s <- Seq("_x0041_x0042_", "_x0041_x0042_x0043_", "__x0041_x0042_",
+      "_x005F_x0041_", "a_x0000_x0001_b"))
+      assert(Xlsx.ooxmlUnescape(Xlsx.ooxmlEscape(s)) == s,
+        s"round-trip failed for '$s'")
+  }
+
+  test("Date cells accept Excel numeric day serials (openpyxl shape)") {
+    // serial 45292 = 2024-01-01 (days since 1899-12-30)
+    val tmp = java.nio.file.Files.createTempDirectory("xl_serial")
+    val p = tmp.resolve("wb.xlsx").toString
+    import spark.implicits._
+    // write a workbook, then doctor its sheet XML would be heavy — instead
+    // drive parseDateCell's contract through readWorkbook by writing the
+    // serial as a raw long under a 'Date' header
+    val df = Seq((45292L, "a"), (45658L, "b")).toDF("Date", "K")
+    Xlsx.saveWorkbook(Seq((df, "S", (0, 0))), p)
+    val back = Xlsx.readWorkbook(spark, p)
+    assert(back.schema("Date").dataType.typeName == "date")
+    val dates = back.orderBy("Date").collect().map(_.getDate(0).toString)
+    assert(dates.toSeq == Seq("2024-01-01", "2025-01-01"))
+  }
+
   test("escape helpers are inverse on arbitrary strings") {
     val cases = Seq("", "plain", "_x0000_", "_x005F_", "a_xBEEF_b",
       "\u0000\u0001\u001f", "tab\tnl\ncr\r ok", "_x", "_x12", "_x12G4_")
