@@ -95,20 +95,30 @@ object Labeler {
     mergeBack(df, labeled)
   }
 
-  /** The stub as an [[ExternalClassifier]] — used to exercise the
-    * mapPartitions path with results identical to [[withStubLabels]]. */
+  /** First 40 Unicode CODE POINTS — matching SQL `substring(text, 1, 40)`
+    * semantics exactly ([[motivationCol]] is this rule's Column twin, and
+    * the gate proves they agree): `String.take(40)` counts UTF-16 code
+    * units, which on supplementary-plane text truncates shorter AND can
+    * split a surrogate pair into a malformed lone surrogate. */
+  private def take40Cp(text: String): String =
+    text.substring(0,
+      text.offsetByCodePoints(0,
+        math.min(40, text.codePointCount(0, text.length))))
+
   /** The stub's rule set as one plain function — the SINGLE Scala-side
     * definition behind both classifier stubs below (the Column twins
     * [[labelCol]]/[[motivationCol]] deliberately remain a separate,
     * gate-pinned rendering: q_label_batched exists to prove the two
     * mechanisms agree). */
-  private[label] def stubRule(text: String): (String, String) =
+  private[graft] def stubRule(text: String): (String, String) =
     if (text.contains("slow") && text.contains("merge"))
-      ("N", "negative: " + text.take(40))
-    else if (text.contains("fast")) ("P", "positive: " + text.take(40))
-    else if (text.contains("stream")) ("A", "adopter: " + text.take(40))
+      ("N", "negative: " + take40Cp(text))
+    else if (text.contains("fast")) ("P", "positive: " + take40Cp(text))
+    else if (text.contains("stream")) ("A", "adopter: " + take40Cp(text))
     else ("U", "unclear")
 
+  /** The stub as an [[ExternalClassifier]] — used to exercise the
+    * mapPartitions path with results identical to [[withStubLabels]]. */
   object StubClassifier extends ExternalClassifier {
     def classify(rows: Iterator[(String, String)]): Iterator[(String, String, String, String)] =
       rows.map { case (entityId, text) =>

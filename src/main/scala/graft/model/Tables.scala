@@ -166,8 +166,8 @@ object Tables {
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("news"))
           .when(col("o_orderpriority") === "3-MEDIUM", lit("transcripts"))
           .otherwise(lit("filings")).as("document_type"),
-        (!when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit(true))
-          .otherwise(lit(false))).as("is_reporting_entity"),
+        (!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+          .as("is_reporting_entity"),
         col("s_name").as("entity_name"),
         col("sup_nation").as("entity_sector"),
         col("sup_region").as("entity_industry"),

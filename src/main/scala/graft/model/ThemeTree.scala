@@ -69,7 +69,13 @@ object ThemeTree {
     * leading language tag is behavior-identical on well-formed responses
     * without that corruption.) */
   def scrubResponse(raw: String): String =
-    raw.replace("```", "").replace("⟩", "")
+    // strip only the WRAPPING fences (anchored), not every ``` in the
+    // text: a Summary value legitimately containing a backtick run must
+    // survive — the same rule (and reason) as Labeler.parseBatchResponse
+    raw.trim
+      .replaceAll("(?s)^```\\s*(?i:json)?\\s*", "")
+      .replaceAll("(?s)\\s*```$", "")
+      .replace("⟩", "")
       .replaceAll("^\\s*(?i:json)", "").trim
 
   /** Parse a `{Node, Label, Summary, Children[, Keywords]}` tree from a raw
@@ -84,6 +90,10 @@ object ThemeTree {
     def intOf(v: JValue): Option[Int] = v match {
       case JInt(x) => Some(x.toInt)
       case JLong(x) => Some(x.toInt)
+      // LLMs routinely emit integral doubles ("Node": 2.0) — accept them;
+      // a genuinely fractional Node id still fails the parse
+      case JDouble(x) if x.isWhole => Some(x.toInt)
+      case JDecimal(x) if x.isWhole => Some(x.toInt)
       case _ => None
     }
     def toNode(v: JValue): Either[String, ThemeNode] = v match {

@@ -345,16 +345,24 @@ object InvariantCheck {
     case e: Throwable => Some(s"ivf_supers: failed to run: ${e.getMessage}")
   }
 
+  /** The ONE definition of IVF pair recall — (hit pairs, true pairs)
+    * against the brute-force ground truth — shared by the release gate
+    * below and the tuning probe (RecallProbe), so the probe can never
+    * silently measure a different quantity than the gate asserts. */
+  private[tools] def ivfRecallCounts(spark: SparkSession,
+      dir: String): (Long, Long) = {
+    val bf = graft.sim.SimilarityOps.bruteForcePairs(spark, dir)
+    val ivf = graft.sim.SimilarityOps.ivfCosinePairs(spark, dir)
+      .select("id_a", "id_b")
+    (bf.join(ivf, Seq("id_a", "id_b"), "left_semi").count(), bf.count())
+  }
+
   /** IVF pair recall vs ground truth at one dir: the nprobe=2
     * multi-assignment must recover ≥ 0.8 of the true near-dup pairs
     * (cos ≥ 0.35) the O(n²) brute-force sweep finds. */
   private[tools] def ivfRecallCheck(spark: SparkSession,
       dir: String): Option[String] = try {
-    val bf = graft.sim.SimilarityOps.bruteForcePairs(spark, dir)
-    val ivf = graft.sim.SimilarityOps.ivfCosinePairs(spark, dir)
-      .select("id_a", "id_b")
-    val nBf = bf.count()
-    val nHit = bf.join(ivf, Seq("id_a", "id_b"), "left_semi").count()
+    val (nHit, nBf) = ivfRecallCounts(spark, dir)
     val recall = if (nBf == 0) 1.0 else nHit.toDouble / nBf
     if (nBf > 0 && recall >= 0.8) {
       println(f"[invariant] OK ivf_recall[$dir]: $nHit/$nBf pairs = " +

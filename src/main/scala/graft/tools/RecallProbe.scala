@@ -24,11 +24,8 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     dirs.foreach { d =>
-      val bf = graft.sim.SimilarityOps.bruteForcePairs(spark, d)
-      val ivf = graft.sim.SimilarityOps.ivfCosinePairs(spark, d)
-        .select("id_a", "id_b")
-      val nBf = bf.count()
-      val nHit = bf.join(ivf, Seq("id_a", "id_b"), "left_semi").count()
+      // same computation as the release gate, by construction
+      val (nHit, nBf) = InvariantCheck.ivfRecallCounts(spark, d)
       val r = if (nBf == 0) 1.0 else nHit.toDouble / nBf
       println(f"[recall] $d: $nHit/$nBf = $r%.3f")
     }

@@ -156,6 +156,19 @@ class LabelerBatchedSpec extends AnyFunSuite with BeforeAndAfterAll {
       .contains(Map("a" -> ("P", "unclear"))))
   }
 
+  test("stubRule truncates motivation by code points, matching its " +
+      "Column twin's substring semantics") {
+    // 45 astral-plane chars then the trigger word: substring(text,1,40)
+    // takes 40 CODE POINTS; String.take(40) would take 40 UTF-16 units
+    // (20 chars) and split a surrogate pair at the boundary
+    val text = "😀" * 45 + " fast"
+    val (label, motivation) = Labeler.stubRule(text)
+    assert(label == "P")
+    val body = motivation.stripPrefix("positive: ")
+    assert(body.codePointCount(0, body.length) == 40)
+    assert(body == "😀" * 40)
+  }
+
   test("parseBatchResponse strips a bare leading json tag without a fence") {
     // some models emit the language tag alone — 'json\n{...}' with no ```
     assert(Labeler.parseBatchResponse("json\n{\"a\": {\"label\": \"P\"}}")

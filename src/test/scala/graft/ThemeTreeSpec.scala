@@ -57,6 +57,26 @@ class ThemeTreeSpec extends AnyFunSuite {
     assert(ThemeTree.parseThemeTree(noisy).map(_._1) == Right(ThemeTree.fixture))
   }
 
+  test("interior backtick runs in a Summary survive the fence scrub") {
+    // only WRAPPING fences are stripped — a global replace("```", "")
+    // would silently corrupt this Summary's content
+    val tricky =
+      """```json
+        |{"Node": 1, "Label": "root", "Summary": "wrap code in ``` fences",
+        | "Children": []}
+        |```""".stripMargin
+    val Right((tree, _)) = ThemeTree.parseThemeTree(tricky)
+    assert(tree.summary == "wrap code in ``` fences")
+  }
+
+  test("integral JSON doubles are accepted as node ids; fractional rejected") {
+    assert(ThemeTree.parseThemeTree(
+      """{"Node": 1.0, "Label": "root", "Children": []}""")
+      .map(_._1.node) == Right(1))
+    assert(ThemeTree.parseThemeTree(
+      """{"Node": 1.5, "Label": "root", "Children": []}""").isLeft)
+  }
+
   test("parse falls back to the braces substring when prose surrounds the JSON") {
     val wrapped = "Here is the taxonomy you asked for:\n" +
       ThemeTree.toJson(ThemeTree.fixture) + "\nLet me know if you need more."
