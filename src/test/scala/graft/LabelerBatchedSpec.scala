@@ -169,6 +169,27 @@ class LabelerBatchedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(body == "😀" * 40)
   }
 
+  test("stub Column twin ≡ classifier path on astral-plane text") {
+    // the q_label_batched gate proves the two stub renderings agree on the
+    // (ASCII) corpus; this pins the same equivalence where the semantics
+    // could diverge — Spark's substring counts code points, and stubRule
+    // must match it exactly
+    import spark.implicits._
+    val df = Seq(
+      ("e1", "😀" * 45 + " fast"),
+      ("e2", "𐍈𐍈 slow " + "😺" * 50 + " merge"),
+      ("e3", "🚀 stream " + "x" * 60),
+      ("e4", "plain ascii fast text that is comfortably past forty chars"))
+      .toDF("entity_id", "text")
+    val viaColumns = Labeler.withStubLabels(df)
+      .select("entity_id", "label", "motivation")
+    val viaClassifier = Labeler.labelDeduped(df, Labeler.StubClassifier)
+      .select("entity_id", "label", "motivation")
+    assert(viaColumns.exceptAll(viaClassifier).isEmpty
+      && viaClassifier.exceptAll(viaColumns).isEmpty,
+      "stub renderings diverged on supplementary-plane text")
+  }
+
   test("parseBatchResponse strips a bare leading json tag without a fence") {
     // some models emit the language tag alone — 'json\n{...}' with no ```
     assert(Labeler.parseBatchResponse("json\n{\"a\": {\"label\": \"P\"}}")
