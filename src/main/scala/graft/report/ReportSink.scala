@@ -224,4 +224,89 @@ object ReportSink {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
       entityReport(df, title, definitions, sectionTitle, scoreRows,
         summaries, entityCol))
+
+  /** Python `str.title()` for the theme-report group header: a letter
+    * following a non-letter is uppercased, every other letter lowered
+    * (digits and hyphens break "words", matching CPython's definition —
+    * "cost-push" → "Cost-Push"). */
+  private[graft] def pyTitle(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevLetter = false
+    for (c <- s) {
+      if (c.isLetter) {
+        sb.append(if (prevLetter) c.toLower else c.toUpper)
+        prevLetter = true
+      } else { sb.append(c); prevLetter = false }
+    }
+    sb.toString
+  }
+
+  /** The reference's theme-report CSS
+    * (`Tracking_Inflation_Drivers/src/summarize.py:235-266`), minified. */
+  private val themeCss: String = Seq(
+    "body{font-family:Arial,sans-serif;margin:20px;line-height:1.6;background-color:white;color:#333}",
+    "h1{color:#333}",
+    "h2{color:#555}",
+    "p{margin:10px 0}",
+    ".label{font-weight:bold;color:white;background-color:blue;padding:5px;border-radius:3px;display:inline-block}",
+    ".theme{margin-top:30px;border-top:2px solid #ccc;padding-top:20px;padding-bottom:20px}").mkString("\n")
+
+  /** Macro theme report — the reference's SECOND report template
+    * (`Tracking_Inflation_Drivers/src/summarize.py:222-285`
+    * `create_html_report`): `<h1>{theme} Report</h1>`, a
+    * `Report from {start} to {end}` line, the LLM intro paragraph, then
+    * one `<h2>{Label} Factors</h2>` group per label (groups in label
+    * order — the reference's pandas `groupby` sorts keys; rows keep their
+    * input order within a group) of
+    * `<p class="topic-summary"><strong>{theme}: {topic}.</strong>
+    * {summary} </p>` paragraphs. The label header reproduces the
+    * template's `label.replace("factors", "").title()` quirk via
+    * [[pyTitle]]. An empty input returns the reference's literal
+    * no-data paragraph. Same deliberate deviation as [[entityReport]]:
+    * interpolated values are HTML-escaped (the reference f-strings them
+    * raw); same bounded-driver-render discipline: wider than `maxTopics`
+    * THROWS instead of truncating. */
+  def themeReport(df: DataFrame, mainTheme: String, startDate: String,
+      endDate: String, introSection: String,
+      maxTopics: Int = 1000): String = {
+    val rows = df.select(col("label"), col("theme"), col("topic"),
+      col("topic_summary")).limit(maxTopics + 1).collect()
+    require(rows.length <= maxTopics,
+      s"report has > $maxTopics topics — aggregate or filter upstream " +
+        "(this sink never truncates silently)")
+    if (rows.isEmpty) return "<p>No data available to display.</p>"
+    val groups = rows.toSeq.groupBy(r =>
+      if (r.isNullAt(0)) "" else r.getString(0)).toSeq.sortBy(_._1)
+    val sections = groups.map { case (label, rs) =>
+      val header =
+        s"<h2>${esc(pyTitle(label.replace("factors", "")))} Factors</h2>"
+      val ps = rs.map { r =>
+        def v(i: Int) = if (r.isNullAt(i)) "" else r.get(i).toString
+        s"""<p class="topic-summary"><strong>${esc(v(1))}: ${esc(v(2))}.</strong> ${esc(v(3))} </p>"""
+      }.mkString("\n")
+      header + "\n" + ps
+    }.mkString("\n")
+    s"""<!DOCTYPE html>
+       |<html lang="en">
+       |<head>
+       |<meta charset="UTF-8">
+       |<meta name="viewport" content="width=device-width, initial-scale=1.0">
+       |<title>${esc(mainTheme)}</title>
+       |<style>
+       |$themeCss
+       |</style>
+       |</head>
+       |<body>
+       |<h1>${esc(mainTheme)} Report</h1>
+       |<p>Report from ${esc(startDate)} to ${esc(endDate)}</p>
+       |<p>${esc(introSection)}</p>
+       |$sections
+       |</body>
+       |</html>""".stripMargin
+  }
+
+  def writeThemeReport(df: DataFrame, mainTheme: String, startDate: String,
+      endDate: String, introSection: String, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      themeReport(df, mainTheme, startDate, endDate, introSection))
 }

@@ -447,20 +447,72 @@ object SimilarityOps {
     * die with the machine either way). */
   private val nearDupIndexMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]
-  private def corpusFingerprint(d: String): String = {
-    val root = new java.io.File(s"$d/embeddings.parquet")
-    val files =
-      if (root.isDirectory) root.listFiles().sortBy(_.getName).toSeq
-      else Seq(root)
-    files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      .mkString("|").hashCode.toHexString
+
+  /** Test hook: forget per-JVM memoized index locations (the durable-zone
+    * path below must then rediscover — not rebuild — a committed index). */
+  private[graft] def resetNearDupIndexMemo(): Unit = nearDupIndexMemo.clear()
+
+  /** File-metadata fingerprint of the corpus' embeddings table, resolved
+    * through the Hadoop FileSystem API so it is meaningful on WHATEVER
+    * filesystem the path's scheme names (HDFS/S3A/local) — a `java.io.File`
+    * probe on an object-store corpus would return a degenerate constant and
+    * the memo could serve a stale index after corpus regeneration. The
+    * listing is null-guarded (`listStatus` contracts allow null / throw on
+    * IO errors depending on the FS); an unreadable corpus fingerprints as
+    * `absent`, so the subsequent build fails loudly at the scan instead of
+    * NPE-ing here. */
+  private[graft] def corpusFingerprint(s: SparkSession, d: String): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    try {
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(root)
+      val files =
+        if (st.isDirectory) {
+          val ls = fs.listStatus(root)
+          if (ls == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+          else ls.sortBy(_.getPath.getName)
+        } else Array(st)
+      files.map(f =>
+          s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .mkString("|").hashCode.toHexString
+    } catch { case _: java.io.IOException => "absent" }
   }
+
+  /** Resolve (building if needed) the standing assignment index for corpus
+    * `d`. Two modes:
+    *
+    *  - `spark.graft.nearDupIndexDir` SET (the cluster mode): the index
+    *    lives at `<dir>/nd_<fingerprint>` on whatever FS the conf names —
+    *    one durable zone shared across JVMs/sessions. A committed zone
+    *    ([[graft.sources.SourceOps.committedDir]] on its `assignments`
+    *    subdir) is REUSED without rebuilding, so a new driver pays zero
+    *    quantizer cost against an already-indexed corpus; a regenerated
+    *    corpus changes the fingerprint and lands in a fresh subdir
+    *    (NearDupIndexSpec pins both behaviors).
+    *  - conf unset (sandbox/ad-hoc): a per-JVM temp dir, built on first
+    *    use, memoized for the session.
+    *
+    * The memo key carries the fingerprint in BOTH modes, so within a JVM a
+    * regenerated corpus also triggers rebuild rather than stale reuse. */
   private[graft] def nearDupIndexFor(s: SparkSession, d: String): String =
-    nearDupIndexMemo.computeIfAbsent(s"$d@${corpusFingerprint(d)}", _ => {
-      val out =
-        java.nio.file.Files.createTempDirectory("graft_ndidx_").toString
-      buildNearDupIndex(s, d, out)
-      out
+    nearDupIndexMemo.computeIfAbsent(s"$d@${corpusFingerprint(s, d)}", key => {
+      val fp = key.substring(key.lastIndexOf('@') + 1)
+      s.conf.getOption("spark.graft.nearDupIndexDir") match {
+        case Some(base) =>
+          val out = s"$base/nd_$fp"
+          val asg = new org.apache.hadoop.fs.Path(s"$out/assignments")
+          val fs =
+            asg.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!graft.sources.SourceOps.committedDir(fs, asg,
+              s.sparkContext.hadoopConfiguration))
+            buildNearDupIndex(s, d, out)
+          out
+        case None =>
+          val out =
+            java.nio.file.Files.createTempDirectory("graft_ndidx_").toString
+          buildNearDupIndex(s, d, out)
+          out
+      }
     })
 
   /** Full-corpus embedding near-dup — the UNSAMPLED scale path
@@ -661,17 +713,63 @@ object SimilarityOps {
     if (graft.PlanProbe.planOnly.value) ivfCosinePairs(s, d)
     else ivfCosinePairs(s, d, Some(nearDupIndexFor(s, d)))
 
+  /** Shared oracle for every near-dup sweep route (computed, persisted,
+    * bucketed table): the pair ALGEBRA is identical, only the physical
+    * assignment source differs, so one DuckDB twin gates all of them. */
+  private lazy val nearDupOracle: String =
+    s"""WITH $vectorsCte,
+       |$ivfPairCtes
+       |SELECT bucket, id_a, id_b, cos FROM ivf_pairs
+       |ORDER BY cos DESC, id_a, id_b
+       |LIMIT 100""".stripMargin
+
   private val qNearDupIvf = Q(
     "q_embed_neardup_ivf",
     (s, d) => gatePairs(s, d)
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(100),
-    Some(
-      s"""WITH $vectorsCte,
-         |$ivfPairCtes
-         |SELECT bucket, id_a, id_b, cos FROM ivf_pairs
-         |ORDER BY cos DESC, id_a, id_b
-         |LIMIT 100""".stripMargin))
+    Some(nearDupOracle))
+
+  /** Per-JVM memo of the gate's BUCKETED assignment zone — the cluster
+    * layout twin of [[nearDupIndexFor]]. The table NAME carries the corpus
+    * fingerprint, so a regenerated corpus can never read a stale saved
+    * table (it simply misses the catalog probe and rebuilds under a new
+    * name); within a JVM the catalog probe makes the build once-only. */
+  private def bucketedZoneFor(s: SparkSession, d: String): String = {
+    val table = s"graft_nd_asg_${corpusFingerprint(s, d)}"
+    if (!s.catalog.tableExists(table)) {
+      // With the default IN-MEMORY catalog a fresh JVM starts with an
+      // empty catalog even when a previous session left the managed
+      // table's files in the warehouse — and CTAS refuses a non-empty
+      // location. Clear orphaned files before rebuilding (bucketing
+      // metadata lives in the catalog, so orphaned files can't simply be
+      // re-registered). A Hive-metastore deployment never hits this
+      // branch twice: the table survives the JVM and tableExists is true.
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh,
+        table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      buildNearDupIndexBucketed(s, d, table, 8)
+    }
+    table
+  }
+
+  /** The bucketed-table sweep under the full driver oracle gate: same pair
+    * algebra as `q_embed_neardup_ivf`, but candidates come from the
+    * bucketed assignment TABLE, whose (tbl, bucket) hash layout the
+    * candidate self-join reuses with zero exchanges (BucketedJoinSpec pins
+    * the executed plan). Plan-only mode keeps the computed path for the
+    * same reason [[gatePairs]] does: materializing a table is an eager job
+    * the registry-wide plan sweep must not pay. */
+  private val qNearDupIvfBucketed = Q(
+    "q_embed_neardup_ivf_bucketed",
+    (s, d) =>
+      (if (graft.PlanProbe.planOnly.value) ivfCosinePairs(s, d)
+       else ivfCosinePairsFromTable(s, d, bucketedZoneFor(s, d)))
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(100),
+    Some(nearDupOracle))
 
   /** SemDeDup-style semantic dedup END-TO-END: the IVF within-bucket cosine
     * pairs become edges of a similarity graph, duplicate CLUSTERS are
@@ -1165,6 +1263,6 @@ object SimilarityOps {
   }
 
   def queries: Seq[Q] = Seq(qCosineTopk, qNearDup, qNearDupIvf,
-    qSemanticDedup, qLshBuckets, qCentroids, qIvfAssign, qIvfSearch,
-    qIvfRecall, qEmbedQuantize)
+    qNearDupIvfBucketed, qSemanticDedup, qLshBuckets, qCentroids,
+    qIvfAssign, qIvfSearch, qIvfRecall, qEmbedQuantize)
 }

@@ -29,7 +29,7 @@ object SourceOps {
     // rebuilt (mode=overwrite would clear it anyway — the delete just makes
     // the stale state impossible to observe between the branches).
     val committed =
-      fs.exists(new org.apache.hadoop.fs.Path(hPath, "_SUCCESS"))
+      committedDir(fs, hPath, spark.sparkContext.hadoopConfiguration)
     if (committed) spark.read.parquet(path)
     else {
       if (fs.exists(hPath)) fs.delete(hPath, true)
@@ -37,6 +37,28 @@ object SourceOps {
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
+  }
+
+  /** True iff `dir` holds a COMMITTED parquet write. With success markers
+    * enabled (the Hadoop default) only `_SUCCESS` counts — part-files
+    * without the marker are a job killed mid-write. Deployments that
+    * disable markers (`mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    * false`) have no marker to find, so the presence of at least one
+    * part-file is the remaining commit signal there (committers publish
+    * part-files atomically at commit, so a visible part-file implies a
+    * committed task); without that fallback every [[cached]] call on such
+    * a cluster would silently delete and rebuild the checkpoint, defeating
+    * the cache entirely. */
+  private[graft] def committedDir(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    val markersOn = conf.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    if (markersOn) fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
+    else try {
+      val ls = fs.listStatus(dir)
+      ls != null && ls.exists(_.getPath.getName.startsWith("part-"))
+    } catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** Bucketed table writer — the co-located-join path for the fact-fact

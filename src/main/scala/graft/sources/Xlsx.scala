@@ -85,13 +85,37 @@ object Xlsx {
     * like an escape is itself escaped (`_x` → `_x005F_x`, the spec's
     * convention) so the round-trip is unambiguous. */
   private val EscapeLikeRe = "_x([0-9A-Fa-f]{4})_".r
-  /** Escape-like-literal GUARD pattern: a LOOKAHEAD (no trailing `_`
-    * consumed) rather than [[EscapeLikeRe]], because adjacent look-alikes
-    * SHARE their boundary underscore — in `_x0041_x0042_` a consuming
-    * match eats the `_` the second run needs, leaving it unguarded and
-    * corrupting the round-trip (`_x0042_` would decode as a real escape
-    * at read time). */
-  private val EscapeGuardRe = "_x(?=[0-9A-Fa-f]{4}_)".r
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+  /** Guard literal substrings that could be MISTAKEN for escapes at read
+    * time: `_x` + 4 hex is rewritten `_x005F_x` (the spec's convention)
+    * when followed by `_` (the classic look-alike), by a character the
+    * illegal-char pass is ABOUT to replace (escaping that follower emits
+    * `_xHHHH_`, whose leading underscore would complete the unguarded
+    * literal into a decodable escape — "_x0041"+U+0001 must not become
+    * `_x0041_x0001_`, which unescapes to "Ax0001_"), or by end-of-string
+    * (harmless today, but guarding it keeps the invariant local: no
+    * unguarded `_x`+hex4 ever reaches the escaper's output where a later
+    * writer change could complete it). Only the two chars `_x` are
+    * consumed per guard — adjacent look-alikes share their boundary
+    * underscore (`_x0041_x0042_`), and consuming it would leave the
+    * second run unguarded. */
+  private def guardEscapeLiterals(s: String): String = {
+    if (!s.contains("_x")) return s
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '_' && i + 5 < s.length && s.charAt(i + 1) == 'x' &&
+          isHexDigit(s.charAt(i + 2)) && isHexDigit(s.charAt(i + 3)) &&
+          isHexDigit(s.charAt(i + 4)) && isHexDigit(s.charAt(i + 5)) &&
+          (i + 6 == s.length || s.charAt(i + 6) == '_' ||
+            !xmlLegalAt(s, i + 6))) {
+        sb.append("_x005F_x")
+        i += 2
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
   /** Is the UTF-16 code unit at `i` legal in XML 1.0 in its context?
     * (Char 9 | A | D | [0x20-0xD7FF] | [0xE000-0xFFFD]; a surrogate is
     * legal only as half of a proper high+low pair.) */
@@ -107,7 +131,7 @@ object Xlsx {
     else false // C0 controls (non-tab/nl/cr), U+FFFE, U+FFFF
   }
   private[graft] def ooxmlEscape(s: String): String = {
-    val guarded = EscapeGuardRe.replaceAllIn(s, _ => "_x005F_x")
+    val guarded = guardEscapeLiterals(s)
     if ((0 until guarded.length).forall(xmlLegalAt(guarded, _))) guarded
     else {
       val sb = new java.lang.StringBuilder(guarded.length + 8)

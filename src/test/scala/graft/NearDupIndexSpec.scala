@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.SimilarityOps
+
+/** Pins the CLUSTER-portable standing near-dup index contract
+  * (`spark.graft.nearDupIndexDir` + the Hadoop-FS corpus fingerprint):
+  *
+  *  - conf set → the index lands under the conf dir at a
+  *    fingerprint-derived subpath, and a committed zone is REUSED without
+  *    rebuilding even after the per-JVM memo is lost (a fresh driver
+  *    against a standing corpus pays zero quantizer cost);
+  *  - corpus regenerated → the fingerprint changes, so the memo/zone can
+  *    never serve stale assignments;
+  *  - a TORN zone (part-files, no commit marker) is distrusted and
+  *    rebuilt, same as SourceOps.cached's checkpoint rule.
+  */
+class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def withIndexDir[T](base: String)(f: => T): T =
+    try {
+      spark.conf.set("spark.graft.nearDupIndexDir", base)
+      f
+    } finally {
+      spark.conf.unset("spark.graft.nearDupIndexDir")
+      SimilarityOps.resetNearDupIndexMemo()
+    }
+
+  /** Sorted (name, length, mtime) listing of the zone's assignment files —
+    * unchanged listing ⇔ no rebuild touched the zone. */
+  private def listing(zone: String): Seq[(String, Long, Long)] = {
+    val d = new java.io.File(s"$zone/assignments")
+    d.listFiles().toSeq.map(f => (f.getName, f.length, f.lastModified))
+      .sortBy(_._1)
+  }
+
+  test("conf-directed zone: durable location, reused across memo loss") {
+    val base = java.nio.file.Files.createTempDirectory("ndix").toString
+    withIndexDir(base) {
+      SimilarityOps.resetNearDupIndexMemo()
+      val zone = SimilarityOps.nearDupIndexFor(spark, dir)
+      assert(zone.startsWith(base),
+        s"conf must direct the zone under $base, got $zone")
+      val built = listing(zone)
+      assert(built.nonEmpty)
+      // simulate a NEW driver JVM: the memo is gone, only the durable zone
+      // (and its commit marker) survives — the resolve must rediscover it,
+      // not rebuild (file listing, lengths, and mtimes all unchanged)
+      SimilarityOps.resetNearDupIndexMemo()
+      val again = SimilarityOps.nearDupIndexFor(spark, dir)
+      assert(again == zone)
+      assert(listing(zone) == built,
+        "a committed zone must be reused, not rebuilt")
+    }
+  }
+
+  test("regenerated corpus changes the fingerprint and the zone") {
+    val corpus = java.nio.file.Files.createTempDirectory("ndcorp").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    emb.write.parquet(s"$corpus/embeddings.parquet")
+    val fp1 = SimilarityOps.corpusFingerprint(spark, corpus)
+    val base = java.nio.file.Files.createTempDirectory("ndix2").toString
+    withIndexDir(base) {
+      SimilarityOps.resetNearDupIndexMemo()
+      val zone1 = SimilarityOps.nearDupIndexFor(spark, corpus)
+      // regenerate: same rows, but new part-file names/mtimes — exactly the
+      // scenario where a stale index must NOT be served
+      emb.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+      val fp2 = SimilarityOps.corpusFingerprint(spark, corpus)
+      assert(fp2 != fp1, "fingerprint must track the file metadata")
+      SimilarityOps.resetNearDupIndexMemo()
+      val zone2 = SimilarityOps.nearDupIndexFor(spark, corpus)
+      assert(zone2 != zone1,
+        "a regenerated corpus must land in a fresh zone")
+    }
+  }
+
+  test("a torn (uncommitted) zone is rebuilt, not trusted") {
+    val base = java.nio.file.Files.createTempDirectory("ndix3").toString
+    val fp = SimilarityOps.corpusFingerprint(spark, dir)
+    val asg = java.nio.file.Paths.get(s"$base/nd_$fp/assignments")
+    java.nio.file.Files.createDirectories(asg)
+    java.nio.file.Files.writeString(
+      asg.resolve("part-00000.snappy.parquet"), "torn garbage")
+    withIndexDir(base) {
+      SimilarityOps.resetNearDupIndexMemo()
+      val zone = SimilarityOps.nearDupIndexFor(spark, dir)
+      // the rebuild must have replaced the garbage with a committed write
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$zone/assignments/_SUCCESS")))
+      val n = spark.read.parquet(s"$zone/assignments").count()
+      assert(n > 0)
+    }
+  }
+
+  test("fingerprint resolves through the Hadoop FS API and is null-safe") {
+    assert(SimilarityOps.corpusFingerprint(spark, "/nonexistent/corpus")
+      == "absent")
+    // local path still fingerprints (scheme-less → local FS)
+    assert(SimilarityOps.corpusFingerprint(spark, dir) != "absent")
+  }
+}

@@ -264,4 +264,91 @@ class ReportSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(onePPerRow(golden) == want("score-row"))
     assert(onePPerRow(html) == want("score-row"))
   }
+
+  // ---- theme report template (Tracking_Inflation_Drivers summarize.py) ----
+
+  /** Structural inventory of the THEME template: tag counts plus the
+    * per-`<h2>`-group topic-summary distribution (order-sensitive). */
+  private def themeInventory(html: String): (Map[String, Int], Seq[Int]) = {
+    def c(re: String) = re.r.findAllMatchIn(html).length
+    val counts = Map(
+      "h1" -> c("<h1>"), "h2" -> c("<h2>"),
+      "topic" -> c("""<p class=["']topic-summary["']>"""),
+      "strong" -> c("<strong>"),
+      "plain-p" -> c("<p>"), // exact-match: date line + intro only
+      "from" -> c("Report from "))
+    val body = html.substring(html.indexOf("<body"))
+    val groups = body.split("<h2>").drop(1).toSeq
+      .map(g => "topic-summary".r.findAllMatchIn(g).length)
+    (counts, groups)
+  }
+
+  test("theme report: element inventory matches the reference's second " +
+      "golden rendered run (Tracking_Inflation_Drivers)") {
+    // the reference checks in a SECOND rendered report with a different
+    // template (summarize.py:222-285). Parse ITS inventory — including how
+    // many topic paragraphs each h2 group holds — build an equivalent
+    // fixture through themeReport, and require both the tag counts and the
+    // per-group distribution to be IDENTICAL.
+    val goldenPath = java.nio.file.Paths.get(
+      "/root/reference/Tracking_Inflation_Drivers",
+      "Tracking_Inflation_Drivers.html")
+    assume(java.nio.file.Files.isReadable(goldenPath),
+      "reference golden file not present")
+    val full = new String(java.nio.file.Files.readAllBytes(goldenPath),
+      "UTF-8")
+    val docStart = full.lastIndexOf("<html")
+    assert(docStart >= 0, "golden export carries no <html document")
+    val golden = full.substring(docStart)
+    val (want, groupSizes) = themeInventory(golden)
+    // sanity: the golden really is the grouped theme report
+    assert(want("h1") == 1 && want("h2") == groupSizes.length)
+    assert(want("topic") == groupSizes.sum && groupSizes.forall(_ > 0))
+    assert(want("strong") == want("topic"),
+      "one <strong> header per topic paragraph")
+
+    import spark.implicits._
+    // label-%02d keeps lexicographic group order == construction order, so
+    // the golden's per-group sizes land on the same h2 positions
+    val rows = groupSizes.zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(k =>
+        (f"label-$i%02d", s"Theme $i", s"Topic $k", s"summary $i.$k"))
+    }
+    val html = ReportSink.themeReport(
+      rows.toDF("label", "theme", "topic", "topic_summary"),
+      "United States Inflation in 2025", "2025-01-01", "2025-02-28",
+      "intro paragraph")
+    val (got, gotSizes) = themeInventory(html)
+    assert(got == want, s"inventory diverged from golden:\n ours=$got\n golden=$want")
+    assert(gotSizes == groupSizes,
+      s"per-group distribution diverged: ours=$gotSizes golden=$groupSizes")
+  }
+
+  test("theme report quirks: pyTitle, empty input, group ordering") {
+    // CPython str.title() semantics on the label header
+    assert(ReportSink.pyTitle("cost-push") == "Cost-Push")
+    assert(ReportSink.pyTitle("a1a") == "A1A")
+    assert(ReportSink.pyTitle("WAGE increases") == "Wage Increases")
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, String, String)]
+      .toDF("label", "theme", "topic", "topic_summary")
+    assert(ReportSink.themeReport(empty, "T", "a", "b", "i")
+      == "<p>No data available to display.</p>")
+    // groups sort by label (pandas groupby key order), rows keep input
+    // order within a group; values are escaped
+    val df = Seq(
+      ("zeta", "T1", "late topic", "s1"),
+      ("alpha", "T2", "first <topic>", "s2"),
+      ("zeta", "T3", "later topic", "s3"))
+      .toDF("label", "theme", "topic", "topic_summary")
+    val html = ReportSink.themeReport(df, "M", "2025-01-01", "2025-02-28", "i")
+    val za = html.indexOf("<h2>Alpha Factors</h2>")
+    val zz = html.indexOf("<h2>Zeta Factors</h2>")
+    assert(za >= 0 && zz > za)
+    assert(html.indexOf("late topic") < html.indexOf("later topic"))
+    assert(html.contains("first &lt;topic&gt;"))
+    intercept[IllegalArgumentException] {
+      ReportSink.themeReport(df, "M", "a", "b", "i", maxTopics = 2)
+    }
+  }
 }

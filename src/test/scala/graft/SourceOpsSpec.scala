@@ -83,6 +83,31 @@ class SourceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds == 1)
   }
 
+  test("commit probe falls back to part-files when success markers are off") {
+    // deployments with mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    // false never write _SUCCESS; requiring it there would make cached()
+    // silently rebuild on every call, defeating the checkpoint entirely
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val tmp = java.nio.file.Files.createTempDirectory("nomark")
+    val stage = tmp.resolve("labels")
+    java.nio.file.Files.createDirectories(stage)
+    def p(s: java.nio.file.Path) = new org.apache.hadoop.fs.Path(s.toString)
+    assert(!SourceOps.committedDir(fs, p(stage), conf),
+      "an empty dir is not a commit under either policy")
+    java.nio.file.Files.writeString(
+      stage.resolve("part-00000.snappy.parquet"), "x")
+    assert(SourceOps.committedDir(fs, p(stage), conf),
+      "with markers off, a published part-file is the commit signal")
+    assert(!SourceOps.committedDir(fs, p(tmp.resolve("absent")), conf),
+      "a missing dir must probe false, not throw")
+    // with markers ON (the default) the same marker-less dir stays torn
+    assert(!SourceOps.committedDir(fs, p(stage),
+      spark.sparkContext.hadoopConfiguration))
+  }
+
   test("workbook sheet reader parses quoted headers with commas") {
     val tmp = java.nio.file.Files.createTempDirectory("wb_q")
     val f = tmp.resolve("results.csv")

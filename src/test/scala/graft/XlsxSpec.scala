@@ -184,6 +184,21 @@ class XlsxSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"round-trip failed for '$s'")
   }
 
+  test("escape-like literal completed by an escaped illegal char round-trips") {
+    // "_x0041" (no trailing underscore) + an illegal char: escaping the
+    // illegal char emits `_xHHHH_`, whose LEADING underscore would complete
+    // the unguarded literal into `_x0041_x0001_` -- decoding to "Ax0001_"
+    def cp(x: String) = x.map(c => f"u${c.toInt}%04X").mkString(" ")
+    for (s <- Seq("_x0041\u0001", "_x0041\u0001tail", "head_xBEEF\u0000",
+      "_x005F\u0007", // the guard char itself, completed
+      "_x0041\uD800", "_x0041\uFFFF", // lone-surrogate / nonchar followers
+      "_x0041_x0042\u0001", // shared-underscore adjacency THEN completion
+      "_x0041", "_x0041_", "tail_xAB12", // end-of-string shapes
+      "_x0041Z\u0001")) // legal follower breaks the run -- harmless shape
+      assert(Xlsx.ooxmlUnescape(Xlsx.ooxmlEscape(s)) == s,
+        s"round-trip failed for ${cp(s)}")
+  }
+
   test("Date cells accept Excel numeric day serials (openpyxl shape)") {
     // serial 45292 = 2024-01-01 (days since 1899-12-30)
     val tmp = java.nio.file.Files.createTempDirectory("xl_serial")
