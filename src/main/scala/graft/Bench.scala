@@ -180,12 +180,24 @@ object Bench {
       BenchDrift.parseSteady(new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(baselinePath)), "UTF-8"))
     } catch { case _: Throwable => Map.empty[String, Double] }
+    // Run-level contention factor: median clean-best/steady ratio across
+    // every baselined query in the run. The structural bound scales by it,
+    // so an IO-contended window that slows EVERY query uniformly (while
+    // the small CPU-bound calibration probe stays clean) can't mass-flag
+    // false regressions — a real regression is localized and stands out
+    // against the median. Computed before adjudication; emitted as
+    // "run_ratio" so readers see the contention the verdicts discounted.
+    val blocks: Seq[(Seq[String], Seq[Double])] =
+      Seq(present -> calib, extras -> calibExtras, extras10 -> calibExtras10)
+    val runRatio = BenchDrift.runRatio(blocks.flatMap { case (names, cs) =>
+      names.flatMap(n => BenchDrift.cleanBestRatio(steady.get(n), times(n), cs))
+    })
     // Adjudication rules live in BenchDrift (unit-tested by
     // BenchDriftSpec); status + JSON computed ONCE per query so
     // drift_structural can never disagree with the per-query rows.
     def driftOf(name: String, cs: Seq[Double]): (String, String) = {
       val ts = times(name)
-      val status = BenchDrift.status(steady.get(name), ts, cs)
+      val status = BenchDrift.status(steady.get(name), ts, cs, runRatio)
       val st = steady.getOrElse(name, -1.0)
       val samples = ts.map(t =>
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(t)))
@@ -206,8 +218,10 @@ object Bench {
     val structural = drift.collect { case (n, ("structural", _)) => n }
     val structuralJson = structural.map("\"" + _ + "\"").mkString("[", ",", "]")
     val baselineTag = if (steady.isEmpty) "missing" else baselinePath
+    val runRatioStr =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(runRatio))
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"drift":$driftJson,"drift_structural":$structuralJson,"drift_baseline":"$baselineTag","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"drift":$driftJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"drift_baseline":"$baselineTag","sf":"$sfDir"}""")
     // The harness that records this run keeps only the LAST ~2000 chars of
     // stdout; the full record above can exceed that (the r11 drift payload
     // did, leaving the round's total unrecoverable from the capture). A
@@ -215,7 +229,7 @@ object Bench {
     // parseable record carrying the headline total.
     val totalCompact = String.format(
       java.util.Locale.ROOT, "%.3f", Double.box(total))
-    println(s"""{"metric":"total_compact","value":$totalCompact,"unit":"sec","failures":$failedJson,"drift_structural":$structuralJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_compact","value":$totalCompact,"unit":"sec","failures":$failedJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

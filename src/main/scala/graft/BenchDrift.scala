@@ -13,7 +13,22 @@ package graft
   * regression = ≥2 clean passes with even the BEST of them ≥2× steady:
   * min-based, so a single slow sample (a VM excursion, or
   * `q_embed_neardup_ivf`'s expected pass-1 index build) can never flag
-  * while a genuine regression (every clean pass ≥2×) always does. */
+  * while a genuine regression (every clean pass ≥2×) always does.
+  *
+  * The structural bound is additionally normalized by the RUN's median
+  * clean-best/steady ratio ([[runRatio]]): the calibration probe is small
+  * and CPU-bound, so a contention mode that throttles long shuffling
+  * queries but not the probe (IO contention, CPU steal on long tasks) can
+  * leave every pass "clean" while every query runs uniformly 2-4× slow —
+  * observed live: one run adjudicated 8 of ~40 queries structural with all
+  * of them, and the run median, uniformly elevated. A REAL regression is
+  * localized: one query 2× while the median holds ~1. Under uniform
+  * slowdown m a query that truly regressed by r measures r·m against a
+  * bound of 2·m — the normalization cancels exactly and the r ≥ 2 rule
+  * survives contention. The trade-off (a change that slows EVERY query 2×
+  * normalizes away) is caught by the headline-total gate instead, and the
+  * run ratio is emitted in the bench record so a reader sees the
+  * contention directly. */
 object BenchDrift {
 
   /** Absolute calibration-cleanliness bound, seconds. */
@@ -23,19 +38,46 @@ object BenchDrift {
   def cleanIdx(cs: Seq[Double]): Seq[Int] =
     cs.indices.filter(i => cs(i) <= CalibClean)
 
+  /** This query's best calibration-clean sample over its steady entry —
+    * the run-health datum [[runRatio]] pools. None when the query has no
+    * steady entry, no clean pass, or no successful rep. */
+  def cleanBestRatio(steady: Option[Double], samples: Seq[Double],
+      calib: Seq[Double]): Option[Double] = {
+    val clean = cleanIdx(calib).map(samples).filter(_ >= 0)
+    steady.filter(_ > 0).flatMap(s0 =>
+      if (clean.isEmpty) None else Some(clean.min / s0))
+  }
+
+  /** Run-level contention factor: the MEDIAN of the run's per-query
+    * [[cleanBestRatio]]s, floored at 1.0 (a faster-than-steady run must
+    * not shrink the structural bound). Median, not mean: a genuine single
+    * regression (one huge ratio among ~40) must not lift the bound for
+    * everyone else. Empty pool (first run, no baseline) → 1.0. */
+  def runRatio(ratios: Seq[Double]): Double =
+    if (ratios.isEmpty) 1.0
+    else {
+      val s = ratios.sorted
+      val n = s.length
+      val med = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      math.max(1.0, med)
+    }
+
   /** Verdict for one query: `samples` are its per-pass seconds (-1 marks a
     * failed rep), `calib` the block's per-pass calibration samples,
     * `steady` its checked-in steady-state entry (None → first samples
-    * become the baseline). */
+    * become the baseline), `run` the run-level contention factor from
+    * [[runRatio]] (1.0 = uncontended). Only the STRUCTURAL bound is
+    * normalized by `run`; the ±30% noise envelope stays raw so the record
+    * still reports honestly that the sample sat outside it. */
   def status(steady: Option[Double], samples: Seq[Double],
-      calib: Seq[Double]): String = {
+      calib: Seq[Double], run: Double = 1.0): String = {
     val clean = cleanIdx(calib).map(samples).filter(_ >= 0)
     steady match {
       case None => "new"
       case Some(s0) =>
         if (samples.forall(_ < 0)) "failed"
         else if (clean.isEmpty) "no_clean_pass"
-        else if (clean.size >= 2 && clean.min >= 2.0 * s0) "structural"
+        else if (clean.size >= 2 && clean.min >= 2.0 * s0 * run) "structural"
         else if (clean.min > 1.3 * s0) "noise" // outside ±30%, not proven
         else "ok"
     }

@@ -61,6 +61,47 @@ class BenchDriftSpec extends AnyFunSuite {
       == "noise") // one clean sample left → can't be structural
   }
 
+  test("uniform run contention cannot mass-flag structural; a localized " +
+      "regression still does") {
+    // the observed failure mode: IO contention slows every long query
+    // ~2.8x while the small CPU-bound calibration probe stays clean. The
+    // run median carries that factor; normalized, the verdict is
+    // noise/ok — never structural.
+    val contended = BenchDrift.runRatio(Seq(2.7, 2.8, 2.9, 2.8, 2.75))
+    assert(contended == 2.8)
+    assert(BenchDrift.status(Some(1.0), Seq(2.8, 2.9, 2.7), clean3,
+      contended) == "noise")
+    // a REAL regression inside that contended run measures r*m = 2x on
+    // top of the 2.8x contention — still >= 2 x steady x runRatio
+    assert(BenchDrift.status(Some(1.0), Seq(5.7, 5.9, 5.8), clean3,
+      contended) == "structural")
+    // uncontended run (median < 1): floored at 1.0 — a faster-than-steady
+    // run must not SHRINK the structural bound
+    val quiet = BenchDrift.runRatio(Seq(0.85, 0.9, 1.1, 0.8))
+    assert(quiet == 1.0)
+    assert(BenchDrift.status(Some(1.0), Seq(2.1, 2.4, 2.0), clean3, quiet)
+      == "structural")
+    // a single huge ratio among many steady ones cannot lift the median
+    assert(BenchDrift.runRatio(Seq(1.0, 1.05, 0.98, 1.1, 9.0)) == 1.05)
+    // empty pool (no baseline yet) -> neutral factor
+    assert(BenchDrift.runRatio(Nil) == 1.0)
+  }
+
+  test("cleanBestRatio pools only comparable samples") {
+    // best CLEAN sample over steady
+    assert(BenchDrift.cleanBestRatio(Some(2.0), Seq(9.0, 5.0, 4.0), clean3)
+      .contains(2.0))
+    // contended passes excluded from the pool datum too
+    assert(BenchDrift.cleanBestRatio(Some(1.0), Seq(1.0, 9.0, 9.5),
+      Seq(0.4, 3.0, 3.1)).contains(1.0))
+    // no steady entry / no clean pass / all reps failed -> no datum
+    assert(BenchDrift.cleanBestRatio(None, Seq(1.0), Seq(0.4)).isEmpty)
+    assert(BenchDrift.cleanBestRatio(Some(1.0), Seq(1.0, 1.0, 1.0),
+      Seq(3.0, 3.0, 3.0)).isEmpty)
+    assert(BenchDrift.cleanBestRatio(Some(1.0), Seq(-1.0, -1.0, -1.0),
+      clean3).isEmpty)
+  }
+
   test("parseSteady flattens sections, skips the comment, tolerates junk") {
     val m = BenchDrift.parseSteady(
       """{"comment": "x",
