@@ -225,18 +225,23 @@ object ReportSink {
       entityReport(df, title, definitions, sectionTitle, scoreRows,
         summaries, entityCol))
 
-  /** Python `str.title()` for the theme-report group header: a letter
-    * following a non-letter is uppercased, every other letter lowered
-    * (digits and hyphens break "words", matching CPython's definition —
-    * "cost-push" → "Cost-Push"). */
+  /** Python `str.title()` for the theme-report group header: a CASED
+    * letter following an uncased character is titlecased, one following a
+    * cased character is lowered; uncased characters (digits, hyphens, but
+    * also uncased LETTERS — CJK, most modifier letters) pass through and
+    * break "words". Word state tracks CASED-ness, not letter-ness, to
+    * match CPython: `"中a".title()` is `"中A"` (中 is an uncased letter, so
+    * `a` starts a new word). "cost-push" → "Cost-Push". */
   private[graft] def pyTitle(s: String): String = {
+    def isCased(c: Char) = c.isUpper || c.isLower ||
+      Character.getType(c) == Character.TITLECASE_LETTER
     val sb = new java.lang.StringBuilder(s.length)
-    var prevLetter = false
+    var prevCased = false
     for (c <- s) {
-      if (c.isLetter) {
-        sb.append(if (prevLetter) c.toLower else c.toUpper)
-        prevLetter = true
-      } else { sb.append(c); prevLetter = false }
+      if (isCased(c)) {
+        sb.append(if (prevCased) c.toLower else Character.toTitleCase(c))
+        prevCased = true
+      } else { sb.append(c); prevCased = false }
     }
     sb.toString
   }
@@ -269,14 +274,20 @@ object ReportSink {
   def themeReport(df: DataFrame, mainTheme: String, startDate: String,
       endDate: String, introSection: String,
       maxTopics: Int = 1000): String = {
-    val rows = df.select(col("label"), col("theme"), col("topic"),
+    val all = df.select(col("label"), col("theme"), col("topic"),
       col("topic_summary")).limit(maxTopics + 1).collect()
-    require(rows.length <= maxTopics,
+    require(all.length <= maxTopics,
       s"report has > $maxTopics topics — aggregate or filter upstream " +
         "(this sink never truncates silently)")
-    if (rows.isEmpty) return "<p>No data available to display.</p>"
-    val groups = rows.toSeq.groupBy(r =>
-      if (r.isNullAt(0)) "" else r.getString(0)).toSeq.sortBy(_._1)
+    if (all.isEmpty) return "<p>No data available to display.</p>"
+    // null-label rows are DROPPED (after the emptiness check, matching the
+    // reference's order of operations): pandas `df.groupby('label')`
+    // silently omits NaN-keyed groups, so a failed labeling stage's topics
+    // disappear from the reference report too — while a non-empty all-null
+    // frame still renders the header-and-intro shell there, not the
+    // no-data paragraph
+    val rows = all.filter(!_.isNullAt(0))
+    val groups = rows.toSeq.groupBy(_.getString(0)).toSeq.sortBy(_._1)
     val sections = groups.map { case (label, rs) =>
       val header =
         s"<h2>${esc(pyTitle(label.replace("factors", "")))} Factors</h2>"

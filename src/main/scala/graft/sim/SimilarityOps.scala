@@ -412,9 +412,13 @@ object SimilarityOps {
     * for search. All integer columns, so the parquet round-trip is exact
     * and a persisted-path sweep is bit-identical to the computed path
     * (CutPolicySpec + the oracle gate pin equality). */
-  def buildNearDupIndex(s: SparkSession, d: String, indexDir: String): Unit =
-    ivfAssignments(s, d)
-      .write.mode("overwrite").parquet(s"$indexDir/assignments")
+  def buildNearDupIndex(s: SparkSession, d: String, indexDir: String): Unit = {
+    val asg = new org.apache.hadoop.fs.Path(s"$indexDir/assignments")
+    ivfAssignments(s, d).write.mode("overwrite").parquet(asg.toString)
+    // job-level commit sidecar for deployments with _SUCCESS markers off
+    graft.sources.SourceOps.markCommitted(
+      asg.getFileSystem(s.sparkContext.hadoopConfiguration), asg)
+  }
 
   /** Bucketed-TABLE form of [[buildNearDupIndex]] — the cluster layout:
     * the assignment zone lands bucketed on the FULL candidate-join key
@@ -460,7 +464,12 @@ object SimilarityOps {
     * listing is null-guarded (`listStatus` contracts allow null / throw on
     * IO errors depending on the FS); an unreadable corpus fingerprints as
     * `absent`, so the subsequent build fails loudly at the scan instead of
-    * NPE-ing here. */
+    * NPE-ing here — and the durable-zone resolver treats `absent` as
+    * NON-memoizable (below), so an IO hiccup can never key a shared zone
+    * that a different corpus' hiccup would then collide with. The digest
+    * is MD5 over the corpus PATH plus the listing (not a 32-bit hashCode):
+    * two corpora sharing one index dir can't collide on coincidental file
+    * metadata, and the collision space is cryptographic, not 2^32. */
   private[graft] def corpusFingerprint(s: SparkSession, d: String): String = {
     val root = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
     try {
@@ -472,9 +481,12 @@ object SimilarityOps {
           if (ls == null) Array.empty[org.apache.hadoop.fs.FileStatus]
           else ls.sortBy(_.getPath.getName)
         } else Array(st)
-      files.map(f =>
+      val listing = files.map(f =>
           s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-        .mkString("|").hashCode.toHexString
+        .mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d\n$listing".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(16)
     } catch { case _: java.io.IOException => "absent" }
   }
 
@@ -493,27 +505,54 @@ object SimilarityOps {
     *    use, memoized for the session.
     *
     * The memo key carries the fingerprint in BOTH modes, so within a JVM a
-    * regenerated corpus also triggers rebuild rather than stale reuse. */
-  private[graft] def nearDupIndexFor(s: SparkSession, d: String): String =
-    nearDupIndexMemo.computeIfAbsent(s"$d@${corpusFingerprint(s, d)}", key => {
-      val fp = key.substring(key.lastIndexOf('@') + 1)
-      s.conf.getOption("spark.graft.nearDupIndexDir") match {
-        case Some(base) =>
-          val out = s"$base/nd_$fp"
-          val asg = new org.apache.hadoop.fs.Path(s"$out/assignments")
-          val fs =
-            asg.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (!graft.sources.SourceOps.committedDir(fs, asg,
-              s.sparkContext.hadoopConfiguration))
-            buildNearDupIndex(s, d, out)
-          out
-        case None =>
-          val out =
-            java.nio.file.Files.createTempDirectory("graft_ndidx_").toString
-          buildNearDupIndex(s, d, out)
-          out
-      }
+    * regenerated corpus also triggers rebuild rather than stale reuse.
+    *
+    * Concurrency: within a JVM `computeIfAbsent` serializes builders.
+    * ACROSS drivers the durable zone is published by building into a
+    * throwaway sibling (`.build_nd_<fp>_<uuid>`) and RENAMING it onto the
+    * final path — atomic on HDFS and local FS, so racing drivers can never
+    * interleave writes inside one zone: the loser's rename fails, it
+    * deletes its own build and adopts the winner's committed zone. (On
+    * object stores whose rename is copy-based the publish is not atomic —
+    * pair the conf with an HDFS-compatible index location there.) An
+    * `absent` fingerprint (unreadable corpus) never touches the durable
+    * dir: it builds into a temp dir uncached, where the scan fails loudly —
+    * a shared `nd_absent` zone would otherwise be served across DIFFERENT
+    * corpora whose listings ever hiccup. */
+  private[graft] def nearDupIndexFor(s: SparkSession, d: String): String = {
+    val fp = corpusFingerprint(s, d)
+    val durableBase = s.conf.getOption("spark.graft.nearDupIndexDir")
+      .filter(_ => fp != "absent")
+    nearDupIndexMemo.computeIfAbsent(s"$d@$fp", _ => durableBase match {
+      case Some(base) =>
+        val conf = s.sparkContext.hadoopConfiguration
+        val finalPath = new org.apache.hadoop.fs.Path(s"$base/nd_$fp")
+        val fs = finalPath.getFileSystem(conf)
+        def committed = graft.sources.SourceOps.committedDir(fs,
+          new org.apache.hadoop.fs.Path(finalPath, "assignments"))
+        if (!committed) {
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$base/.build_nd_${fp}_${java.util.UUID.randomUUID}")
+          buildNearDupIndex(s, d, tmp.toString)
+          // clear a torn zone (a crashed previous builder), then publish
+          if (fs.exists(finalPath) && !committed) fs.delete(finalPath, true)
+          fs.mkdirs(finalPath.getParent)
+          if (!fs.rename(tmp, finalPath)) {
+            // lost the publish race: adopt the winner's zone
+            fs.delete(tmp, true)
+            if (!committed) throw new IllegalStateException(
+              s"could not publish near-dup index to $finalPath and no " +
+                "committed zone exists there")
+          }
+        }
+        finalPath.toString
+      case None =>
+        val out =
+          java.nio.file.Files.createTempDirectory("graft_ndidx_").toString
+        buildNearDupIndex(s, d, out)
+        out
     })
+  }
 
   /** Full-corpus embedding near-dup — the UNSAMPLED scale path
     * (`q_embed_neardup` bounds its work with a sampled broadcast probe
@@ -735,25 +774,34 @@ object SimilarityOps {
     * fingerprint, so a regenerated corpus can never read a stale saved
     * table (it simply misses the catalog probe and rebuilds under a new
     * name); within a JVM the catalog probe makes the build once-only. */
-  private def bucketedZoneFor(s: SparkSession, d: String): String = {
-    val table = s"graft_nd_asg_${corpusFingerprint(s, d)}"
-    if (!s.catalog.tableExists(table)) {
-      // With the default IN-MEMORY catalog a fresh JVM starts with an
-      // empty catalog even when a previous session left the managed
-      // table's files in the warehouse — and CTAS refuses a non-empty
-      // location. Clear orphaned files before rebuilding (bucketing
-      // metadata lives in the catalog, so orphaned files can't simply be
-      // re-registered). A Hive-metastore deployment never hits this
-      // branch twice: the table survives the JVM and tableExists is true.
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-      val loc = new org.apache.hadoop.fs.Path(wh,
-        table.toLowerCase(java.util.Locale.ROOT))
-      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      buildNearDupIndexBucketed(s, d, table, 8)
+  private val bucketedZoneLock = new Object
+  private def bucketedZoneFor(s: SparkSession, d: String): String =
+    bucketedZoneLock.synchronized {
+      // serialized: concurrent gate invocations in one JVM must not race
+      // the tableExists probe into a double delete+CTAS on one location
+      val table = s"graft_nd_asg_${corpusFingerprint(s, d)}"
+      if (!s.catalog.tableExists(table)) {
+        // With the default IN-MEMORY catalog a fresh JVM starts with an
+        // empty catalog even when a previous session left the managed
+        // table's files in the warehouse — and CTAS refuses a non-empty
+        // location. Clear orphaned files before rebuilding (bucketing
+        // metadata lives in the catalog, so orphaned files can't simply be
+        // re-registered). A Hive-metastore deployment never hits this
+        // branch twice: the table survives the JVM and tableExists is true.
+        // The orphan path is derived from the CURRENT database's location
+        // (not <warehouse>/<table> by convention), so a session that
+        // switched databases cleans the right dir — and saveAsTable below
+        // creates the table in that same current database.
+        val db = s.catalog.currentDatabase
+        val loc = new org.apache.hadoop.fs.Path(
+          s.catalog.getDatabase(db).locationUri,
+          table.toLowerCase(java.util.Locale.ROOT))
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        buildNearDupIndexBucketed(s, d, table, 8)
+      }
+      table
     }
-    table
-  }
 
   /** The bucketed-table sweep under the full driver oracle gate: same pair
     * algebra as `q_embed_neardup_ivf`, but candidates come from the

@@ -28,38 +28,42 @@ object SourceOps {
     // stage. Only a committed write counts; anything else is torn down and
     // rebuilt (mode=overwrite would clear it anyway — the delete just makes
     // the stale state impossible to observe between the branches).
-    val committed =
-      committedDir(fs, hPath, spark.sparkContext.hadoopConfiguration)
+    val committed = committedDir(fs, hPath)
     if (committed) spark.read.parquet(path)
     else {
       if (fs.exists(hPath)) fs.delete(hPath, true)
       val df = rebuild
       df.write.mode("overwrite").parquet(path)
+      markCommitted(fs, hPath)
       spark.read.parquet(path)
     }
   }
 
-  /** True iff `dir` holds a COMMITTED parquet write. With success markers
-    * enabled (the Hadoop default) only `_SUCCESS` counts — part-files
-    * without the marker are a job killed mid-write. Deployments that
-    * disable markers (`mapreduce.fileoutputcommitter.marksuccessfuljobs=
-    * false`) have no marker to find, so the presence of at least one
-    * part-file is the remaining commit signal there (committers publish
-    * part-files atomically at commit, so a visible part-file implies a
-    * committed task); without that fallback every [[cached]] call on such
-    * a cluster would silently delete and rebuild the checkpoint, defeating
-    * the cache entirely. */
+  /** Publish graft's own job-level commit marker after a successful write.
+    * Exists for deployments that disable Hadoop's `_SUCCESS` markers: there
+    * a task-committed part-file is visible BEFORE the job commits (v2
+    * committers publish per task), so part-file presence cannot stand in
+    * for a committed JOB — this sidecar, written after `df.write` returns,
+    * can. */
+  private[graft] def markCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMITTED"), true)
+      .close()
+
+  /** True iff `dir` holds a COMMITTED parquet write: Hadoop's `_SUCCESS`
+    * job marker, or graft's own `_GRAFT_COMMITTED` sidecar (written by
+    * [[markCommitted]] for deployments that disable success markers via
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=false`). Part-file
+    * presence deliberately does NOT count: v2 committers publish
+    * part-files at TASK commit, so a job killed after some tasks committed
+    * leaves visible part-files of a torn write — trusting them would
+    * silently serve truncated data to every downstream stage. A marker-off
+    * checkpoint written before the sidecar existed rebuilds once and is
+    * marked from then on. */
   private[graft] def committedDir(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path,
-      conf: org.apache.hadoop.conf.Configuration): Boolean = {
-    val markersOn = conf.getBoolean(
-      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
-    if (markersOn) fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"))
-    else try {
-      val ls = fs.listStatus(dir)
-      ls != null && ls.exists(_.getPath.getName.startsWith("part-"))
-    } catch { case _: java.io.FileNotFoundException => false }
-  }
+      dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, "_SUCCESS")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(dir, "_GRAFT_COMMITTED"))
 
   /** Bucketed table writer — the co-located-join path for the fact-fact
     * edges that stay shuffle joins at 100 TB (README "Shuffle inventory":

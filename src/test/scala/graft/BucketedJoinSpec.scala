@@ -107,6 +107,32 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucketed-table sweep diverged from the computed quantizers")
   }
 
+  test("registered bucketed-route gate survives an orphaned warehouse " +
+      "location and matches the parquet route") {
+    import graft.sim.SimilarityOps
+    // simulate a FRESH JVM against a warehouse a previous session wrote:
+    // the in-memory catalog is empty but the managed table's files are on
+    // disk — CTAS refuses a non-empty location, so the resolver must clear
+    // the orphan before rebuilding (the in-code comment's exact scenario)
+    val fp = SimilarityOps.corpusFingerprint(spark, dir)
+    val table = s"graft_nd_asg_$fp"
+    val loc = java.nio.file.Paths.get(warehouse,
+      table.toLowerCase(java.util.Locale.ROOT))
+    java.nio.file.Files.createDirectories(loc)
+    java.nio.file.Files.writeString(loc.resolve("part-orphan"), "junk")
+    assert(!spark.catalog.tableExists(table))
+    def rows(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, dir).collect()
+        .map(_.toString).toSeq
+    val got = rows("q_embed_neardup_ivf_bucketed")
+    assert(got.nonEmpty)
+    assert(spark.catalog.tableExists(table),
+      "the gate must have registered the bucketed assignment zone")
+    // both physical routes produce identical gate output (shared oracle)
+    assert(got == rows("q_embed_neardup_ivf"),
+      "bucketed-route gate diverged from the parquet route")
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val agg = spark.table("li_b")
       .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))

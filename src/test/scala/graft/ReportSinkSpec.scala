@@ -329,19 +329,33 @@ class ReportSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ReportSink.pyTitle("cost-push") == "Cost-Push")
     assert(ReportSink.pyTitle("a1a") == "A1A")
     assert(ReportSink.pyTitle("WAGE increases") == "Wage Increases")
+    // word state tracks CASED-ness, not letter-ness: CJK letters are
+    // uncased, so a cased letter after one starts a new word ('中a'.title()
+    // == '中A' in CPython), and apostrophes break words ("don't" → "Don'T")
+    assert(ReportSink.pyTitle("中a") == "中A")
+    assert(ReportSink.pyTitle("don't stop") == "Don'T Stop")
     import spark.implicits._
     val empty = Seq.empty[(String, String, String, String)]
       .toDF("label", "theme", "topic", "topic_summary")
     assert(ReportSink.themeReport(empty, "T", "a", "b", "i")
       == "<p>No data available to display.</p>")
+    // null labels are dropped like pandas' NaN-keyed groups, but a
+    // non-empty all-null frame still renders the header shell (the
+    // reference's df.empty check precedes the groupby)
+    val allNull = Seq((null: String, "T", "t", "s"))
+      .toDF("label", "theme", "topic", "topic_summary")
+    val shell = ReportSink.themeReport(allNull, "M", "a", "b", "i")
+    assert(shell.contains("<h1>M Report</h1>") && !shell.contains("<h2>"))
     // groups sort by label (pandas groupby key order), rows keep input
-    // order within a group; values are escaped
+    // order within a group; values are escaped; null-label rows vanish
     val df = Seq(
       ("zeta", "T1", "late topic", "s1"),
       ("alpha", "T2", "first <topic>", "s2"),
+      (null: String, "T9", "dropped topic", "s9"),
       ("zeta", "T3", "later topic", "s3"))
       .toDF("label", "theme", "topic", "topic_summary")
     val html = ReportSink.themeReport(df, "M", "2025-01-01", "2025-02-28", "i")
+    assert(!html.contains("dropped topic"))
     val za = html.indexOf("<h2>Alpha Factors</h2>")
     val zz = html.indexOf("<h2>Zeta Factors</h2>")
     assert(za >= 0 && zz > za)

@@ -83,29 +83,35 @@ class SourceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds == 1)
   }
 
-  test("commit probe falls back to part-files when success markers are off") {
+  test("commit probe trusts only job-level markers, never bare part-files") {
     // deployments with mapreduce.fileoutputcommitter.marksuccessfuljobs=
-    // false never write _SUCCESS; requiring it there would make cached()
-    // silently rebuild on every call, defeating the checkpoint entirely
-    val conf = new org.apache.hadoop.conf.Configuration(
+    // false never write _SUCCESS — but a part-file is NOT a substitute
+    // signal (v2 committers publish part-files at TASK commit, so a job
+    // killed mid-way leaves visible part-files of a torn write). graft's
+    // own sidecar, written by markCommitted after df.write returns, is the
+    // job-level signal there.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
-    conf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
     val tmp = java.nio.file.Files.createTempDirectory("nomark")
     val stage = tmp.resolve("labels")
     java.nio.file.Files.createDirectories(stage)
     def p(s: java.nio.file.Path) = new org.apache.hadoop.fs.Path(s.toString)
-    assert(!SourceOps.committedDir(fs, p(stage), conf),
-      "an empty dir is not a commit under either policy")
+    assert(!SourceOps.committedDir(fs, p(stage)),
+      "an empty dir is not a commit")
     java.nio.file.Files.writeString(
       stage.resolve("part-00000.snappy.parquet"), "x")
-    assert(SourceOps.committedDir(fs, p(stage), conf),
-      "with markers off, a published part-file is the commit signal")
-    assert(!SourceOps.committedDir(fs, p(tmp.resolve("absent")), conf),
+    assert(!SourceOps.committedDir(fs, p(stage)),
+      "task-committed part-files without a job marker are a torn write")
+    SourceOps.markCommitted(fs, p(stage))
+    assert(SourceOps.committedDir(fs, p(stage)),
+      "the sidecar is the job-level commit signal")
+    // Hadoop's own marker also counts (the markers-on default path)
+    val stage2 = tmp.resolve("labels2")
+    java.nio.file.Files.createDirectories(stage2)
+    java.nio.file.Files.writeString(stage2.resolve("_SUCCESS"), "")
+    assert(SourceOps.committedDir(fs, p(stage2)))
+    assert(!SourceOps.committedDir(fs, p(tmp.resolve("absent"))),
       "a missing dir must probe false, not throw")
-    // with markers ON (the default) the same marker-less dir stays torn
-    assert(!SourceOps.committedDir(fs, p(stage),
-      spark.sparkContext.hadoopConfiguration))
   }
 
   test("workbook sheet reader parses quoted headers with commas") {
