@@ -83,6 +83,30 @@ class SourceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds == 1)
   }
 
+  test("stage checkpoint survives a marksuccessfuljobs=false deployment") {
+    // with Hadoop _SUCCESS markers disabled, graft's own sidecar (written
+    // by cached() after the parquet write) must carry the commit signal —
+    // otherwise every call would silently rebuild, defeating the cache
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs",
+      false)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("ckpt_nomark")
+      var builds = 0
+      def build = {
+        builds += 1
+        SparkEntry.queries("q_label_distribution")(spark, dir)
+      }
+      SourceOps.cached(spark, tmp.toString, "labels")(build)
+      assert(!java.nio.file.Files.exists(tmp.resolve("labels/_SUCCESS")),
+        "precondition: this deployment writes no Hadoop marker")
+      SourceOps.cached(spark, tmp.toString, "labels")(build)
+      assert(builds == 1,
+        "the sidecar must make the marker-less checkpoint reusable")
+    } finally hconf.setBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
   test("commit probe trusts only job-level markers, never bare part-files") {
     // deployments with mapreduce.fileoutputcommitter.marksuccessfuljobs=
     // false never write _SUCCESS — but a part-file is NOT a substitute
