@@ -534,6 +534,7 @@ object SimilarityOps {
           val tmp = new org.apache.hadoop.fs.Path(
             s"$base/.build_nd_${fp}_${java.util.UUID.randomUUID}")
           buildNearDupIndex(s, d, tmp.toString)
+          writeZoneManifest(fs, tmp, d, fp)
           // clear a torn zone (a crashed previous builder), then publish
           if (fs.exists(finalPath) && !committed) fs.delete(finalPath, true)
           fs.mkdirs(finalPath.getParent)
@@ -552,6 +553,100 @@ object SimilarityOps {
         buildNearDupIndex(s, d, out)
         out
     })
+  }
+
+  /** Tiny driver-side provenance record inside each durable zone: which
+    * corpus (path) at which fingerprint built it, and when. Read back by
+    * [[pruneNearDupZones]] to PROVE a zone stale before deleting it. */
+  private def writeZoneManifest(fs: org.apache.hadoop.fs.FileSystem,
+      zone: org.apache.hadoop.fs.Path, corpus: String, fp: String): Unit = {
+    def j(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(zone, "corpus.json"), true)
+    out.write((s"""{"corpus":"${j(corpus)}","fingerprint":"$fp"""" +
+      s""","built_at_ms":${System.currentTimeMillis}}""").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readZoneManifest(fs: org.apache.hadoop.fs.FileSystem,
+      zone: org.apache.hadoop.fs.Path): Option[(String, String)] = try {
+    val in = fs.open(new org.apache.hadoop.fs.Path(zone, "corpus.json"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](4096)
+    var n = in.read(chunk)
+    while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    in.close()
+    val raw = buf.toString("UTF-8")
+    val field = "\"(corpus|fingerprint)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    val m = field.findAllMatchIn(raw).map(x => x.group(1) ->
+      x.group(2).replace("\\\"", "\"").replace("\\\\", "\\")).toMap
+    for (c <- m.get("corpus"); f <- m.get("fingerprint")) yield (c, f)
+  } catch { case _: java.io.IOException => None }
+
+  /** Garbage-collect the shared near-dup index dir: every corpus
+    * regeneration strands its previous `nd_<fp>` zone (assignments are a
+    * few ints per corpus row — tens of GB at production scale), and a
+    * crashed builder strands a `.build_nd_*` sibling. Deletion is
+    * staleness-PROVEN, never heuristic:
+    *
+    *  - a committed zone is deleted only when its manifest's corpus
+    *    re-fingerprints to a DIFFERENT real digest (regenerated) or the
+    *    corpus path no longer exists (`FileNotFoundException`, distinct
+    *    from transient IO errors — those keep the zone);
+    *  - an uncommitted `nd_*` zone is torn debris (publishes are atomic
+    *    renames of committed builds) and is deleted;
+    *  - a committed zone with no readable manifest can't be proven stale
+    *    and is KEPT;
+    *  - `.build_nd_*` dirs older than `staleBuildMs` (default 24 h) are
+    *    crashed builders and are deleted; younger ones may be in flight.
+    *
+    * Returns (zoneName → action) for ops logging; actions are `kept`,
+    * `deleted_regenerated`, `deleted_corpus_gone`, `deleted_torn`,
+    * `deleted_stale_build`. */
+  def pruneNearDupZones(s: SparkSession, base: String,
+      staleBuildMs: Long = 24L * 3600 * 1000): Seq[(String, String)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(conf)
+    val entries =
+      try fs.listStatus(basePath)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    val now = System.currentTimeMillis
+    (if (entries == null) Nil else entries.toSeq).flatMap { st =>
+      val name = st.getPath.getName
+      def drop(action: String): (String, String) = {
+        fs.delete(st.getPath, true); name -> action
+      }
+      if (name.startsWith(".build_nd_")) {
+        if (now - st.getModificationTime > staleBuildMs)
+          Some(drop("deleted_stale_build"))
+        else Some(name -> "kept")
+      } else if (name.startsWith("nd_")) {
+        val committed = graft.sources.SourceOps.committedDir(fs,
+          new org.apache.hadoop.fs.Path(st.getPath, "assignments"))
+        if (!committed) Some(drop("deleted_torn"))
+        else readZoneManifest(fs, st.getPath) match {
+          case None => Some(name -> "kept") // unprovable — conservative
+          case Some((corpus, fp)) =>
+            corpusFingerprint(s, corpus) match {
+              case f if f == fp => Some(name -> "kept")
+              case f if f != "absent" => Some(drop("deleted_regenerated"))
+              case _ =>
+                // "absent" folds ALL IOExceptions together; re-probe
+                // existence to tell corpus-gone (prunable) from a
+                // transient listing error (keep — never delete on doubt)
+                val gone = try {
+                  val cp = new org.apache.hadoop.fs.Path(
+                    s"$corpus/embeddings.parquet")
+                  !cp.getFileSystem(conf).exists(cp)
+                } catch { case _: java.io.IOException => false }
+                if (gone) Some(drop("deleted_corpus_gone"))
+                else Some(name -> "kept")
+            }
+        }
+      } else None // foreign files in the index dir are not ours to touch
+    }
   }
 
   /** Full-corpus embedding near-dup — the UNSAMPLED scale path

@@ -106,6 +106,60 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("pruner deletes only PROVABLY stale zones and crashed builds") {
+    val corpus = java.nio.file.Files.createTempDirectory("ndcorp2").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    emb.write.parquet(s"$corpus/embeddings.parquet")
+    val base = java.nio.file.Files.createTempDirectory("ndix4").toString
+    withIndexDir(base) {
+      SimilarityOps.resetNearDupIndexMemo()
+      // zone 1: current corpus → must be KEPT
+      val keepZone = SimilarityOps.nearDupIndexFor(spark, dir)
+      // zone 2: then regenerate its corpus → must be deleted_regenerated
+      SimilarityOps.nearDupIndexFor(spark, corpus)
+      emb.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+      // zone 3: corpus deleted outright → deleted_corpus_gone
+      val corpus3 =
+        java.nio.file.Files.createTempDirectory("ndcorp3").toString
+      emb.write.parquet(s"$corpus3/embeddings.parquet")
+      SimilarityOps.resetNearDupIndexMemo()
+      SimilarityOps.nearDupIndexFor(spark, corpus3)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(corpus3), true)
+      // torn zone (uncommitted nd_*) and a stale .build_ sibling
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$base/nd_torn/assignments"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$base/.build_nd_x_y"))
+      // a manifest-less committed zone must be KEPT (unprovable)
+      val blind = java.nio.file.Paths.get(s"$base/nd_blind/assignments")
+      java.nio.file.Files.createDirectories(blind)
+      java.nio.file.Files.writeString(blind.resolve("_SUCCESS"), "")
+      // a foreign file in the dir is not ours to touch
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$base/README"), "not a zone")
+
+      val report =
+        SimilarityOps.pruneNearDupZones(spark, base, staleBuildMs = 0)
+          .toMap
+      assert(report(keepZone.split('/').last) == "kept")
+      assert(report.values.count(_ == "deleted_regenerated") == 1)
+      assert(report.values.count(_ == "deleted_corpus_gone") == 1)
+      assert(report("nd_torn") == "deleted_torn")
+      assert(report(".build_nd_x_y") == "deleted_stale_build")
+      assert(report("nd_blind") == "kept")
+      assert(!report.contains("README"))
+      // the kept zone is still committed and readable; deleted ones gone
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$keepZone/assignments/_SUCCESS")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/nd_torn")))
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$base/README")))
+    }
+  }
+
   test("fingerprint resolves through the Hadoop FS API and is null-safe") {
     assert(SimilarityOps.corpusFingerprint(spark, "/nonexistent/corpus")
       == "absent")
