@@ -231,17 +231,62 @@ object ReportSink {
     * also uncased LETTERS — CJK, most modifier letters) pass through and
     * break "words". Word state tracks CASED-ness, not letter-ness, to
     * match CPython: `"中a".title()` is `"中A"` (中 is an uncased letter, so
-    * `a` starts a new word). "cost-push" → "Cost-Push". */
+    * `a` starts a new word). "cost-push" → "Cost-Push".
+    *
+    * Iterates CODE POINTS, not UTF-16 units (CPython strings are code
+    * points): a supplementary-plane cased letter — Deseret `𐐀`,
+    * mathematical `𝕒` — is one cased character there, and a unit-wise walk
+    * would see two uncased surrogates, break the word, and titlecase the
+    * next letter. Case maps are the FULL (possibly multi-char) mappings
+    * CPython applies: lowering via `String.toLowerCase(ROOT)` (`İ` → `i̇`),
+    * titlecasing via `Character.toTitleCase` when a simple mapping exists
+    * (`ǆ` → `ǅ`) and otherwise via the full-uppercase expansion with every
+    * cased character after the first re-lowered — `ß` → `SS` → `Ss`,
+    * `ﬁ` → `FI` → `Fi`, `ŉ` → `ʼN` (the leading modifier is uncased, so
+    * `N` is the kept-upper "first"), matching CPython's SpecialCasing
+    * titlecase table without hardcoding it. */
   private[graft] def pyTitle(s: String): String = {
-    def isCased(c: Char) = c.isUpper || c.isLower ||
-      Character.getType(c) == Character.TITLECASE_LETTER
+    def isCased(cp: Int) =
+      Character.isUpperCase(cp) || Character.isLowerCase(cp) ||
+        Character.getType(cp) == Character.TITLECASE_LETTER
+    def one(cp: Int) = new String(Character.toChars(cp))
+    def fullLower(cp: Int) = one(cp).toLowerCase(java.util.Locale.ROOT)
+    def fullTitle(cp: Int): String = {
+      val t = Character.toTitleCase(cp)
+      if (t != cp) one(t)
+      // a char that IS its own titlecase form — upper (İ), titlecase (ǅ) —
+      // stays itself; only a LOWERCASE char with no simple mapping falls
+      // through to the full-uppercase expansion ('ǅa'.title() is 'ǅa',
+      // not 'Ǆa')
+      else if (Character.isUpperCase(cp) ||
+        Character.getType(cp) == Character.TITLECASE_LETTER) one(cp)
+      else {
+        val up = one(cp).toUpperCase(java.util.Locale.ROOT)
+        if (up == one(cp)) up // no case mapping at all (𝕒)
+        else { // multi-char expansion: keep the first CASED unit upper
+          val sb = new java.lang.StringBuilder(up.length)
+          var seenCased = false
+          var j = 0
+          while (j < up.length) {
+            val ucp = up.codePointAt(j)
+            if (isCased(ucp) && seenCased) sb.append(fullLower(ucp))
+            else { sb.appendCodePoint(ucp); if (isCased(ucp)) seenCased = true }
+            j += Character.charCount(ucp)
+          }
+          sb.toString
+        }
+      }
+    }
     val sb = new java.lang.StringBuilder(s.length)
     var prevCased = false
-    for (c <- s) {
-      if (isCased(c)) {
-        sb.append(if (prevCased) c.toLower else Character.toTitleCase(c))
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isCased(cp)) {
+        sb.append(if (prevCased) fullLower(cp) else fullTitle(cp))
         prevCased = true
-      } else { sb.append(c); prevCased = false }
+      } else { sb.appendCodePoint(cp); prevCased = false }
+      i += Character.charCount(cp)
     }
     sb.toString
   }

@@ -456,6 +456,12 @@ object SimilarityOps {
     * path below must then rediscover — not rebuild — a committed index). */
   private[graft] def resetNearDupIndexMemo(): Unit = nearDupIndexMemo.clear()
 
+  /** Test seam: runs between a durable-zone build and its publish rename,
+    * where a racing driver's publish can land. Production no-op; the spec
+    * injects a winner here to pin the lost-race recovery deterministically
+    * (the window is otherwise unreachable from a test). */
+  private[graft] var publishRaceHook: () => Unit = () => ()
+
   /** File-metadata fingerprint of the corpus' embeddings table, resolved
     * through the Hadoop FileSystem API so it is meaningful on WHATEVER
     * filesystem the path's scheme names (HDFS/S3A/local) — a `java.io.File`
@@ -509,50 +515,75 @@ object SimilarityOps {
     *
     * Concurrency: within a JVM `computeIfAbsent` serializes builders.
     * ACROSS drivers the durable zone is published by building into a
-    * throwaway sibling (`.build_nd_<fp>_<uuid>`) and RENAMING it onto the
-    * final path — atomic on HDFS and local FS, so racing drivers can never
-    * interleave writes inside one zone: the loser's rename fails, it
-    * deletes its own build and adopts the winner's committed zone. (On
-    * object stores whose rename is copy-based the publish is not atomic —
-    * pair the conf with an HDFS-compatible index location there.) An
-    * `absent` fingerprint (unreadable corpus) never touches the durable
-    * dir: it builds into a temp dir uncached, where the scan fails loudly —
-    * a shared `nd_absent` zone would otherwise be served across DIFFERENT
-    * corpora whose listings ever hiccup. */
-  private[graft] def nearDupIndexFor(s: SparkSession, d: String): String = {
-    val fp = corpusFingerprint(s, d)
-    val durableBase = s.conf.getOption("spark.graft.nearDupIndexDir")
-      .filter(_ => fp != "absent")
-    nearDupIndexMemo.computeIfAbsent(s"$d@$fp", _ => durableBase match {
-      case Some(base) =>
-        val conf = s.sparkContext.hadoopConfiguration
-        val finalPath = new org.apache.hadoop.fs.Path(s"$base/nd_$fp")
-        val fs = finalPath.getFileSystem(conf)
-        def committed = graft.sources.SourceOps.committedDir(fs,
-          new org.apache.hadoop.fs.Path(finalPath, "assignments"))
-        if (!committed) {
-          val tmp = new org.apache.hadoop.fs.Path(
-            s"$base/.build_nd_${fp}_${java.util.UUID.randomUUID}")
-          buildNearDupIndex(s, d, tmp.toString)
-          writeZoneManifest(fs, tmp, d, fp)
-          // clear a torn zone (a crashed previous builder), then publish
-          if (fs.exists(finalPath) && !committed) fs.delete(finalPath, true)
-          fs.mkdirs(finalPath.getParent)
-          if (!fs.rename(tmp, finalPath)) {
-            // lost the publish race: adopt the winner's zone
-            fs.delete(tmp, true)
-            if (!committed) throw new IllegalStateException(
-              s"could not publish near-dup index to $finalPath and no " +
-                "committed zone exists there")
-          }
-        }
-        finalPath.toString
+    * throwaway sibling (`.build_nd_<fp>_<uuid>`) and renaming it onto the
+    * final path ([[publishDurableZone]] — atomic on HDFS and local FS, and
+    * robust to BOTH race outcomes of Hadoop's rename contract; on object
+    * stores whose rename is copy-based the publish is not atomic — pair
+    * the conf with an HDFS-compatible index location there). An `absent`
+    * fingerprint (unreadable corpus) never touches the durable dir OR the
+    * memo: it builds into a temp dir uncached each call, where the scan
+    * fails loudly — a shared `nd_absent` zone would otherwise be served
+    * across DIFFERENT corpora whose listings ever hiccup, and a memoized
+    * `$d@absent` entry could outlive a corpus regeneration and serve a
+    * stale index the next time the listing hiccups. */
+  private[graft] def nearDupIndexFor(s: SparkSession, d: String): String =
+    resolveNearDupIndex(s, d, corpusFingerprint(s, d))
+
+  /** [[nearDupIndexFor]] with the fingerprint factored out — the seam the
+    * spec uses to drive the `absent` contract without having to induce a
+    * real listing IOException on a readable corpus. */
+  private[graft] def resolveNearDupIndex(s: SparkSession, d: String,
+      fp: String): String = {
+    def tempBuild(): String = {
+      val out =
+        java.nio.file.Files.createTempDirectory("graft_ndidx_").toString
+      buildNearDupIndex(s, d, out)
+      out
+    }
+    if (fp == "absent") tempBuild() // uncached + never durable, by design
+    else s.conf.getOption("spark.graft.nearDupIndexDir") match {
+      case Some(base) => nearDupIndexMemo.computeIfAbsent(s"$d@$fp",
+        _ => publishDurableZone(s, d, fp, base))
       case None =>
-        val out =
-          java.nio.file.Files.createTempDirectory("graft_ndidx_").toString
-        buildNearDupIndex(s, d, out)
-        out
-    })
+        nearDupIndexMemo.computeIfAbsent(s"$d@$fp", _ => tempBuild())
+    }
+  }
+
+  /** Build-and-publish one durable zone at `<base>/nd_<fp>`, returning its
+    * path. A committed zone is adopted without building. Publication is a
+    * rename of a fully-built sibling, but the OUTCOME is re-probed rather
+    * than inferred from rename's return value: when the destination
+    * already exists (a racing driver published first), HDFS and the local
+    * FS move the source INTO the existing directory and return TRUE — a
+    * "failed publish" that doesn't look like one. So after the rename this
+    * deletes any build of ours deposited inside the final zone, deletes
+    * the sibling if it still exists (the rename-returned-false shape), and
+    * then requires a committed zone to stand — whoever built it. */
+  private def publishDurableZone(s: SparkSession, d: String, fp: String,
+      base: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val finalPath = new org.apache.hadoop.fs.Path(s"$base/nd_$fp")
+    val fs = finalPath.getFileSystem(conf)
+    def committed = graft.sources.SourceOps.committedDir(fs,
+      new org.apache.hadoop.fs.Path(finalPath, "assignments"))
+    if (!committed) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$base/.build_nd_${fp}_${java.util.UUID.randomUUID}")
+      buildNearDupIndex(s, d, tmp.toString)
+      writeZoneManifest(fs, tmp, d, fp)
+      publishRaceHook() // test seam: a racing winner can publish here
+      // clear a torn zone (a crashed previous builder), then publish
+      if (fs.exists(finalPath) && !committed) fs.delete(finalPath, true)
+      fs.mkdirs(finalPath.getParent)
+      fs.rename(tmp, finalPath)
+      val deposited = new org.apache.hadoop.fs.Path(finalPath, tmp.getName)
+      if (fs.exists(deposited)) fs.delete(deposited, true) // lost the race
+      if (fs.exists(tmp)) fs.delete(tmp, true) // rename returned false
+      if (!committed) throw new IllegalStateException(
+        s"could not publish near-dup index to $finalPath and no " +
+          "committed zone exists there")
+    }
+    finalPath.toString
   }
 
   /** Tiny driver-side provenance record inside each durable zone: which
@@ -563,19 +594,20 @@ object SimilarityOps {
     def j(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
     val out = fs.create(
       new org.apache.hadoop.fs.Path(zone, "corpus.json"), true)
-    out.write((s"""{"corpus":"${j(corpus)}","fingerprint":"$fp"""" +
+    try out.write((s"""{"corpus":"${j(corpus)}","fingerprint":"$fp"""" +
       s""","built_at_ms":${System.currentTimeMillis}}""").getBytes("UTF-8"))
-    out.close()
+    finally out.close() // close even on a failed write — no leaked stream
   }
 
   private def readZoneManifest(fs: org.apache.hadoop.fs.FileSystem,
       zone: org.apache.hadoop.fs.Path): Option[(String, String)] = try {
     val in = fs.open(new org.apache.hadoop.fs.Path(zone, "corpus.json"))
     val buf = new java.io.ByteArrayOutputStream()
-    val chunk = new Array[Byte](4096)
-    var n = in.read(chunk)
-    while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-    in.close()
+    try {
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close() // a mid-read IO error must not leak the stream
     val raw = buf.toString("UTF-8")
     val field = "\"(corpus|fingerprint)\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
     val m = field.findAllMatchIn(raw).map(x => x.group(1) ->
@@ -620,32 +652,49 @@ object SimilarityOps {
       }
       if (name.startsWith(".build_nd_")) {
         if (now - st.getModificationTime > staleBuildMs)
-          Some(drop("deleted_stale_build"))
-        else Some(name -> "kept")
+          Seq(drop("deleted_stale_build"))
+        else Seq(name -> "kept")
       } else if (name.startsWith("nd_")) {
         val committed = graft.sources.SourceOps.committedDir(fs,
           new org.apache.hadoop.fs.Path(st.getPath, "assignments"))
-        if (!committed) Some(drop("deleted_torn"))
-        else readZoneManifest(fs, st.getPath) match {
-          case None => Some(name -> "kept") // unprovable — conservative
-          case Some((corpus, fp)) =>
-            corpusFingerprint(s, corpus) match {
-              case f if f == fp => Some(name -> "kept")
-              case f if f != "absent" => Some(drop("deleted_regenerated"))
-              case _ =>
-                // "absent" folds ALL IOExceptions together; re-probe
-                // existence to tell corpus-gone (prunable) from a
-                // transient listing error (keep — never delete on doubt)
-                val gone = try {
-                  val cp = new org.apache.hadoop.fs.Path(
-                    s"$corpus/embeddings.parquet")
-                  !cp.getFileSystem(conf).exists(cp)
-                } catch { case _: java.io.IOException => false }
-                if (gone) Some(drop("deleted_corpus_gone"))
-                else Some(name -> "kept")
+        if (!committed) Seq(drop("deleted_torn"))
+        else {
+          // a loser that crashed between its deposited-inside rename and
+          // its own cleanup (publishDurableZone) leaves `.build_nd_*`
+          // debris INSIDE the committed zone — the one place the
+          // top-level scan can't see. Same age rule as top-level builds.
+          val inner =
+            try fs.listStatus(st.getPath)
+            catch { case _: java.io.IOException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus] }
+          val debris = (if (inner == null) Nil else inner.toSeq)
+            .filter(c => c.getPath.getName.startsWith(".build_nd_") &&
+              now - c.getModificationTime > staleBuildMs)
+            .map { c =>
+              fs.delete(c.getPath, true)
+              s"$name/${c.getPath.getName}" -> "deleted_stale_build"
             }
+          debris ++ (readZoneManifest(fs, st.getPath) match {
+            case None => Seq(name -> "kept") // unprovable — conservative
+            case Some((corpus, fp)) =>
+              corpusFingerprint(s, corpus) match {
+                case f if f == fp => Seq(name -> "kept")
+                case f if f != "absent" => Seq(drop("deleted_regenerated"))
+                case _ =>
+                  // "absent" folds ALL IOExceptions together; re-probe
+                  // existence to tell corpus-gone (prunable) from a
+                  // transient listing error (keep — never delete on doubt)
+                  val gone = try {
+                    val cp = new org.apache.hadoop.fs.Path(
+                      s"$corpus/embeddings.parquet")
+                    !cp.getFileSystem(conf).exists(cp)
+                  } catch { case _: java.io.IOException => false }
+                  if (gone) Seq(drop("deleted_corpus_gone"))
+                  else Seq(name -> "kept")
+              }
+          })
         }
-      } else None // foreign files in the index dir are not ours to touch
+      } else Nil // foreign files in the index dir are not ours to touch
     }
   }
 
@@ -868,13 +917,22 @@ object SimilarityOps {
     * layout twin of [[nearDupIndexFor]]. The table NAME carries the corpus
     * fingerprint, so a regenerated corpus can never read a stale saved
     * table (it simply misses the catalog probe and rebuilds under a new
-    * name); within a JVM the catalog probe makes the build once-only. */
+    * name); within a JVM the catalog probe makes the build once-only. An
+    * `absent` fingerprint (transient listing failure) returns None — a
+    * shared `graft_nd_asg_absent` table would otherwise serve one corpus'
+    * assignments to a DIFFERENT corpus whose listing also hiccupped, the
+    * exact hazard [[resolveNearDupIndex]] excludes from its memo; the
+    * caller computes directly instead. The table additionally records its
+    * corpus path + fingerprint as TBLPROPERTIES so [[pruneNearDupTables]]
+    * can later PROVE it stale. */
   private val bucketedZoneLock = new Object
-  private def bucketedZoneFor(s: SparkSession, d: String): String =
+  private def bucketedZoneFor(s: SparkSession, d: String): Option[String] =
     bucketedZoneLock.synchronized {
       // serialized: concurrent gate invocations in one JVM must not race
       // the tableExists probe into a double delete+CTAS on one location
-      val table = s"graft_nd_asg_${corpusFingerprint(s, d)}"
+      val fp = corpusFingerprint(s, d)
+      if (fp == "absent") None else {
+      val table = s"graft_nd_asg_$fp"
       if (!s.catalog.tableExists(table)) {
         // With the default IN-MEMORY catalog a fresh JVM starts with an
         // empty catalog even when a previous session left the managed
@@ -894,8 +952,55 @@ object SimilarityOps {
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
         if (fs.exists(loc)) fs.delete(loc, true)
         buildNearDupIndexBucketed(s, d, table, 8)
+        def q(x: String) = x.replace("'", "''")
+        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+          s"'graft.nd.corpus'='${q(d)}','graft.nd.fingerprint'='$fp')")
       }
-      table
+      Some(table)
+      }
+    }
+
+  /** Catalog twin of [[pruneNearDupZones]]: every corpus regeneration
+    * strands the previous `graft_nd_asg_<fp>` bucketed table (full
+    * assignment data — the same tens-of-GB-at-scale debris class as the
+    * parquet zones), which nothing else reclaims. Same staleness-PROVEN
+    * discipline: a table is dropped only when its recorded corpus
+    * re-fingerprints to a DIFFERENT real digest (`dropped_regenerated`) or
+    * the corpus is positively gone (`dropped_corpus_gone`); tables with no
+    * provenance properties (pre-provenance builds, or anything else whose
+    * name merely collides with the prefix) and transient-IO cases are
+    * KEPT. Dropping a MANAGED table deletes its files; scans the current
+    * database, where [[bucketedZoneFor]] creates the zones. */
+  def pruneNearDupTables(s: SparkSession): Seq[(String, String)] =
+    bucketedZoneLock.synchronized {
+      import scala.jdk.CollectionConverters._
+      val db = s.catalog.currentDatabase
+      val zones = s.catalog.listTables(db).collectAsList().asScala.toSeq
+        .map(_.name).filter(_.startsWith("graft_nd_asg_")).sorted
+      zones.map { t =>
+        val props = s.sql(s"SHOW TBLPROPERTIES $t").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        (props.get("graft.nd.corpus"), props.get("graft.nd.fingerprint")) match {
+          case (Some(corpus), Some(fp)) =>
+            corpusFingerprint(s, corpus) match {
+              case f if f == fp => t -> "kept"
+              case f if f != "absent" =>
+                s.sql(s"DROP TABLE $t"); t -> "dropped_regenerated"
+              case _ =>
+                // absent folds all IOExceptions; re-probe existence to
+                // tell corpus-gone from a transient error (keep on doubt)
+                val gone = try {
+                  val cp = new org.apache.hadoop.fs.Path(
+                    s"$corpus/embeddings.parquet")
+                  !cp.getFileSystem(s.sparkContext.hadoopConfiguration)
+                    .exists(cp)
+                } catch { case _: java.io.IOException => false }
+                if (gone) { s.sql(s"DROP TABLE $t"); t -> "dropped_corpus_gone" }
+                else t -> "kept"
+            }
+          case _ => t -> "kept" // unprovable — conservative
+        }
+      }
     }
 
   /** The bucketed-table sweep under the full driver oracle gate: same pair
@@ -904,12 +1009,18 @@ object SimilarityOps {
     * candidate self-join reuses with zero exchanges (BucketedJoinSpec pins
     * the executed plan). Plan-only mode keeps the computed path for the
     * same reason [[gatePairs]] does: materializing a table is an eager job
-    * the registry-wide plan sweep must not pay. */
+    * the registry-wide plan sweep must not pay. A None zone (corpus
+    * unreadable at fingerprint time) also computes directly — same rows,
+    * no shared-table pollution; if the corpus is truly gone the scan fails
+    * loudly rather than serving another corpus' assignments. */
   private val qNearDupIvfBucketed = Q(
     "q_embed_neardup_ivf_bucketed",
     (s, d) =>
       (if (graft.PlanProbe.planOnly.value) ivfCosinePairs(s, d)
-       else ivfCosinePairsFromTable(s, d, bucketedZoneFor(s, d)))
+       else bucketedZoneFor(s, d) match {
+         case Some(t) => ivfCosinePairsFromTable(s, d, t)
+         case None => ivfCosinePairs(s, d)
+       })
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))
         .limit(100),
     Some(nearDupOracle))

@@ -133,6 +133,62 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       "bucketed-route gate diverged from the parquet route")
   }
 
+  test("bucketed gate never keys a shared table off an unreadable corpus") {
+    import graft.sim.SimilarityOps
+    // an unreadable corpus fingerprints as "absent"; the gate must fall
+    // back to computing (which fails loudly at the scan) rather than read
+    // or create graft_nd_asg_absent — a fingerprint-less SHARED name that
+    // a different corpus' listing hiccup would then silently serve
+    val ghost = "/nonexistent/graft_corpus"
+    assert(SimilarityOps.corpusFingerprint(spark, ghost) == "absent")
+    intercept[Exception] {
+      SparkEntry.queries("q_embed_neardup_ivf_bucketed")(spark, ghost)
+        .collect()
+    }
+    assert(!spark.catalog.tableExists("graft_nd_asg_absent"),
+      "an unreadable corpus must never create the shared absent table")
+  }
+
+  test("table pruner drops only provably stale bucketed assignment zones") {
+    import graft.sim.SimilarityOps
+    def gate(d: String) =
+      SparkEntry.queries("q_embed_neardup_ivf_bucketed")(spark, d).collect()
+    // zone 1: the standing testdata corpus → kept
+    gate(dir)
+    val fpKeep = SimilarityOps.corpusFingerprint(spark, dir)
+    // zone 2: a corpus that is then REGENERATED → dropped_regenerated
+    val corpus = java.nio.file.Files.createTempDirectory("ndtab").toString
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    emb.write.parquet(s"$corpus/embeddings.parquet")
+    gate(corpus)
+    val fpOld = SimilarityOps.corpusFingerprint(spark, corpus)
+    emb.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    assert(SimilarityOps.corpusFingerprint(spark, corpus) != fpOld)
+    // zone 3: a corpus deleted outright → dropped_corpus_gone
+    val corpus2 = java.nio.file.Files.createTempDirectory("ndtab2").toString
+    emb.write.parquet(s"$corpus2/embeddings.parquet")
+    gate(corpus2)
+    val fpGone = SimilarityOps.corpusFingerprint(spark, corpus2)
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(corpus2), true)
+    // a prefix-colliding table WITHOUT provenance properties → kept
+    spark.sql(
+      "CREATE TABLE graft_nd_asg_foreign (x INT) USING parquet")
+    try {
+      val report = SimilarityOps.pruneNearDupTables(spark).toMap
+      assert(report(s"graft_nd_asg_$fpKeep") == "kept")
+      assert(report(s"graft_nd_asg_$fpOld") == "dropped_regenerated")
+      assert(report(s"graft_nd_asg_$fpGone") == "dropped_corpus_gone")
+      assert(report("graft_nd_asg_foreign") == "kept")
+      assert(spark.catalog.tableExists(s"graft_nd_asg_$fpKeep"))
+      assert(!spark.catalog.tableExists(s"graft_nd_asg_$fpOld"))
+      assert(!spark.catalog.tableExists(s"graft_nd_asg_$fpGone"))
+      // the kept zone still answers the gate (files intact, not just meta)
+      assert(gate(dir).nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_nd_asg_foreign")
+  }
+
   test("aggregation on the bucket key also skips the exchange") {
     val agg = spark.table("li_b")
       .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))

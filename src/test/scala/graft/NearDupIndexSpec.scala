@@ -160,6 +160,84 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("an absent fingerprint is never memoized and never touches the " +
+      "durable dir") {
+    // a transient listing IOException (fp="absent") on a corpus that is
+    // readable at scan time must build UNCACHED: a memoized "$d@absent"
+    // entry could outlive a corpus regeneration and be served stale the
+    // next time the listing hiccups, and a shared nd_absent zone would
+    // collide across DIFFERENT corpora
+    val base = java.nio.file.Files.createTempDirectory("ndix5").toString
+    withIndexDir(base) {
+      SimilarityOps.resetNearDupIndexMemo()
+      val z1 = SimilarityOps.resolveNearDupIndex(spark, dir, "absent")
+      val z2 = SimilarityOps.resolveNearDupIndex(spark, dir, "absent")
+      assert(z1 != z2, "absent builds must be uncached — fresh temp each call")
+      assert(!z1.startsWith(base) && !z2.startsWith(base),
+        "absent builds must never land under the shared durable dir")
+      val left = new java.io.File(base).list()
+      assert(left == null || left.isEmpty,
+        s"durable dir must stay untouched, found: ${left.mkString(",")}")
+    }
+  }
+
+  test("a lost publish race adopts the winner's zone and strands no build") {
+    // Hadoop rename(src, dst) with dst an EXISTING directory moves src
+    // INTO dst and returns true (HDFS + local FS) — so a loser cannot
+    // detect the race from the return value. The resolver must re-probe:
+    // delete its own deposited build and serve the winner's zone intact.
+    val base = java.nio.file.Files.createTempDirectory("ndix6").toString
+    val fp = SimilarityOps.corpusFingerprint(spark, dir)
+    val zoneDir = java.nio.file.Paths.get(s"$base/nd_$fp")
+    withIndexDir(base) {
+      SimilarityOps.resetNearDupIndexMemo()
+      SimilarityOps.publishRaceHook = () => {
+        // the winner publishes a committed zone while our build is in
+        // flight (between buildNearDupIndex and the rename)
+        val asg = zoneDir.resolve("assignments")
+        java.nio.file.Files.createDirectories(asg)
+        java.nio.file.Files.writeString(asg.resolve("_SUCCESS"), "")
+        java.nio.file.Files.writeString(
+          asg.resolve("part-winner.parquet"), "winner")
+      }
+      try {
+        val zone = SimilarityOps.nearDupIndexFor(spark, dir)
+        assert(zone == s"$base/nd_$fp")
+        assert(java.nio.file.Files.exists(
+          zoneDir.resolve("assignments").resolve("part-winner.parquet")),
+          "the winner's committed zone must be adopted intact")
+        def names(p: java.nio.file.Path): Seq[String] = {
+          val l = p.toFile.list(); if (l == null) Nil else l.toSeq
+        }
+        assert(!names(java.nio.file.Paths.get(base))
+            .exists(_.startsWith(".build_nd_")),
+          "no top-level loser build may remain")
+        assert(!names(zoneDir).exists(_.startsWith(".build_nd_")),
+          "a build deposited inside the winner's zone must be cleaned")
+      } finally SimilarityOps.publishRaceHook = () => ()
+    }
+  }
+
+  test("pruner reclaims stale loser debris inside a committed zone") {
+    // a loser that crashed between its deposited-inside rename and its own
+    // cleanup leaves .build_nd_* debris INSIDE the committed zone — the one
+    // place the top-level scan can't see
+    val base = java.nio.file.Files.createTempDirectory("ndix7").toString
+    val zone = java.nio.file.Paths.get(s"$base/nd_blind2")
+    java.nio.file.Files.createDirectories(zone.resolve("assignments"))
+    java.nio.file.Files.writeString(
+      zone.resolve("assignments").resolve("_SUCCESS"), "")
+    java.nio.file.Files.createDirectories(zone.resolve(".build_nd_x_y"))
+    Thread.sleep(20) // let mtime fall strictly behind `now` for the 0ms rule
+    val report =
+      SimilarityOps.pruneNearDupZones(spark, base, staleBuildMs = 0).toMap
+    assert(report("nd_blind2") == "kept")
+    assert(report("nd_blind2/.build_nd_x_y") == "deleted_stale_build")
+    assert(!java.nio.file.Files.exists(zone.resolve(".build_nd_x_y")))
+    assert(java.nio.file.Files.exists(
+      zone.resolve("assignments").resolve("_SUCCESS")))
+  }
+
   test("fingerprint resolves through the Hadoop FS API and is null-safe") {
     assert(SimilarityOps.corpusFingerprint(spark, "/nonexistent/corpus")
       == "absent")

@@ -334,6 +334,29 @@ class ReportSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     // == '中A' in CPython), and apostrophes break words ("don't" → "Don'T")
     assert(ReportSink.pyTitle("中a") == "中A")
     assert(ReportSink.pyTitle("don't stop") == "Don'T Stop")
+    // code-point semantics (CPython strings are code points, not UTF-16
+    // units): a supplementary-plane CASED letter is one cased char, not
+    // two word-breaking surrogates. 𝕒 (U+1D552, Ll, no case maps) keeps
+    // the word open; Deseret 𐐀/𐐨 (U+10400/U+10428) map to each other.
+    // Expected values are CPython 3 outputs, captured verbatim.
+    assert(ReportSink.pyTitle("𝕒bc") == "𝕒bc")
+    assert(ReportSink.pyTitle("a𝕒bc") == "A𝕒bc")
+    assert(ReportSink.pyTitle("x𐐀y") == "X𐐨y")
+    assert(ReportSink.pyTitle("𐐨abc") == "𐐀abc")
+    // FULL case mappings (Unicode SpecialCasing), as CPython applies:
+    // word-initial expansions and İ's multi-char lowercase
+    assert(ReportSink.pyTitle("ßx") == "Ssx")
+    assert(ReportSink.pyTitle("ssßx") == "Ssßx") // mid-word ß lowers to itself
+    assert(ReportSink.pyTitle("ﬁle") == "File")
+    assert(ReportSink.pyTitle("ŉa") == "ʼNa")
+    assert(ReportSink.pyTitle("ǰab") == "J̌ab")
+    assert(ReportSink.pyTitle("AİB") == "Ai̇b")
+    assert(ReportSink.pyTitle("İx") == "İx")
+    // a titlecase letter is its own title form and lowers mid-word
+    assert(ReportSink.pyTitle("ǅa") == "ǅa")
+    assert(ReportSink.pyTitle("Ǆa") == "ǅa")
+    assert(ReportSink.pyTitle("aǅ") == "Aǆ")
+    assert(ReportSink.pyTitle("ᾈᾈ") == "ᾈᾀ")
     import spark.implicits._
     val empty = Seq.empty[(String, String, String, String)]
       .toDF("label", "theme", "topic", "topic_summary")
