@@ -145,7 +145,7 @@ object TextOps {
     * docs emits k² candidate pairs — the quadratic hot-key tail at 100 TB.
     * At τ=50 the worst single shingle contributes ≤ 50²/2 pairs regardless of
     * corpus size. */
-  private val ShingleDfCap = 50
+  private[graft] val ShingleDfCap = 50
 
   /** n-gram Jaccard near-dup: df-capped distinct shingle sets, bucket join on
     * shingle, |A∩B| / |A∪B| over the capped vocabulary — top-20 most-similar

@@ -1,0 +1,200 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Larger-operating-point stress for the TEXT near-dup family — the
+  * shingle-based twin of [[ScaleStress]] (which curves the IVF embedding
+  * path). The release gate pins the MinHash-LSH and df-capped n-gram
+  * Jaccard shapes at sf0.01/sf0.1 (500 / 5,000 docs); this tool
+  * manufactures a corpus `factor`× larger with KNOWN duplicate structure
+  * and re-pins, turning "the candidate volume stays bounded and the
+  * sketches still find near-dups" into measured evidence at a scale the
+  * checked-in testdata never reaches.
+  *
+  * Blowup construction (pure function of (doc_id, copy, word index) — no
+  * RNG, reproducible bit-for-bit): copy 0 is the source verbatim (ids
+  * remapped to `doc_id·factor`), copy k drops ~5% of the source's words
+  * via the classic fract(sin·const) hash. Each surviving 3-word shingle
+  * overlap leaves copy↔source Jaccard ≈ 0.8 and copy↔copy ≈ 0.65 — real
+  * near-dup structure, so every source with enough words contributes
+  * `factor·(factor−1)/2` ground-truth duplicate pairs.
+  *
+  * Three pins at the blown-up corpus:
+  *
+  *  - '''LSH recall''': ≥ 0.8 of the ground-truth cluster pairs (sources
+  *    with ≥ 12 words — shorter docs have too few shingles for a stable
+  *    signature, matching the batch path's own empty-signature rule) must
+  *    surface as MinHash band-bucket candidates. Falsifies a band/hash
+  *    regression that silently stops finding duplicates at scale.
+  *  - '''LSH candidate volume''': Σ bucket² ≤ n·(4·factor + 64). The
+  *    constructed clusters themselves account for ≤ 4·factor·n (a cluster
+  *    of `factor` docs sharing all 4 bands contributes 4·factor² per
+  *    source); the +64 covers background collisions. Falsifies a
+  *    stop-key: one degenerate signature shared by Θ(n) docs blows the
+  *    bound immediately.
+  *  - '''n-gram top-k fidelity''': the registered `q_ngram_jaccard`
+  *    (df-capped, τ=50) run verbatim at the new scale must fill its
+  *    top-20 with SAME-CLUSTER pairs at Jaccard ≥ 0.4 — cluster shingles
+  *    have df ≈ factor ≪ τ, so the cap must keep them while shedding the
+  *    corpus-wide stop-shingles. Falsifies both a cap-wiring break (the
+  *    join would quadratically flood on stop-shingles long before
+  *    returning) and a representation bug that buries true near-dups.
+  *
+  * {{{
+  * spark-submit --master 'local[32]' --driver-memory 16g \
+  *   --class graft.tools.TextScaleStress <jar> [srcDir] [factor] [outDir]
+  * }}}
+  */
+object TextScaleStress {
+
+  /** Deterministic word-drop blowup of `srcDir/documents.parquet` into
+    * `outDir/documents.parquet` with `factor`× the rows. */
+  def blowUpDocs(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val src = spark.read.parquet(s"$srcDir/documents.parquet")
+    def copy(k: Int): DataFrame =
+      if (k == 0)
+        src.select((col("doc_id") * factor).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars"))
+      else {
+        val dropped = expr(
+          s"""array_join(filter(split(text, '\\\\s+'), (w, i) ->
+             |  sin(doc_id * 12.9898 + $k * 78.233 + i * 0.37719)
+             |    * 43758.5453
+             |  - floor(sin(doc_id * 12.9898 + $k * 78.233 + i * 0.37719)
+             |          * 43758.5453) >= 0.05), ' ')""".stripMargin)
+        src.select((col("doc_id") * factor + k).as("doc_id"),
+            dropped.as("text"), col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    (0 until factor).map(copy).reduce(_ union _)
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** Ground-truth cluster recall of the MinHash band candidates; also
+    * returns the measured numbers for the curve record. */
+  def lshRecallCheck(s: SparkSession, d: String, factor: Int,
+      floor: Double = 0.8): (Seq[String], String) = {
+    val bands = graft.text.TextOps.bandTable(s, d)
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val eligible = s.read.parquet(s"$d/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(factor)) === 0 &&
+        size(split(col("text"), "\\s+")) >= 12)
+      .select(floor_div(col("doc_id"), factor).as("src"))
+    val nEligible = eligible.count()
+    val truthTotal = nEligible * factor * (factor - 1) / 2
+    val foundTruth = cand
+      .withColumn("sa", floor_div(col("doc_a"), factor))
+      .filter(col("sa") === floor_div(col("doc_b"), factor))
+      .join(eligible, col("sa") === col("src"), "left_semi")
+      .count()
+    val recall = if (truthTotal == 0) 1.0 else foundTruth.toDouble / truthTotal
+    val msg = f"lsh_recall=$recall%.4f ($foundTruth/$truthTotal over " +
+      s"$nEligible eligible sources)"
+    (if (recall >= floor) Nil
+     else Seq(f"LSH cluster recall $recall%.4f < $floor ($msg)"), msg)
+  }
+
+  private def floor_div(c: org.apache.spark.sql.Column, by: Int) =
+    floor(c / by).cast("long")
+
+  /** Σ bucket² bound over the band table — the no-stop-key pin. */
+  def lshVolumeCheck(s: SparkSession, d: String,
+      factor: Int): (Seq[String], String) = {
+    val n = s.read.parquet(s"$d/documents.parquet").count()
+    val sumSq = graft.text.TextOps.bandTable(s, d)
+      .groupBy(col("band"), col("key")).agg(count(lit(1)).as("b"))
+      .agg(sum(col("b") * col("b"))).head().getLong(0)
+    val bound = n * (4L * factor + 64)
+    val msg = s"lsh_sum_b2=$sumSq n=$n bound=$bound " +
+      f"(ratio=${sumSq.toDouble / n}%.1f per doc)"
+    (if (sumSq <= bound) Nil
+     else Seq(s"LSH Σb²=$sumSq exceeds $bound — stop-key signature ($msg)"),
+      msg)
+  }
+
+  /** The registered df-capped n-gram query, verbatim, at the new scale:
+    * its top-20 must be honest near-dups — full 20 rows, every pair at
+    * Jaccard ≥ 0.4, and at least 5 same-FAMILY pairs (same source-text
+    * digest: the base corpus legitimately contains exact-duplicate
+    * documents — the reason `q_dedup_exact` exists — so copies of two
+    * identical sources are true near-dups across cluster ids).
+    *
+    * Same-family is a floor, not a purity requirement, because the df cap
+    * is CORPUS-RELATIVE and duplication shifts it: at factor f, a shingle
+    * shared by more than τ/f base sources crosses τ and leaves the
+    * representation, so at 10× every ≥6-source shingle is gone and two
+    * UNRELATED docs whose surviving capped sets coincide honestly report
+    * Jaccard 1.0 (measured: 11/20 such pairs at 10×, 9/20 same-family).
+    * That is the cap doing its job — suppressing corpus-common shingles.
+    * The floor is therefore ACTIVE only while the cap still admits
+    * ≥5-source shingles (5·f ≤ τ): past that point — measured at 25×,
+    * where the synthetic corpus' template vocabulary is stripped to
+    * ≤2-source shingles and Jaccard-1.0 ties on tiny capped sets crowd
+    * the top (1/20 same-family) — raw-Jaccard ranking degenerates by
+    * construction and a production pipeline would pair the cap with a
+    * min-intersection threshold; the tool records the measurement and
+    * pins only fullness + the ≥0.4 floor there. */
+  def ngramTopCheck(s: SparkSession, d: String,
+      factor: Int): (Seq[String], String) = {
+    val top = graft.SparkEntry.queries("q_ngram_jaccard")(s, d).collect()
+    val family = s.read.parquet(s"$d/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(factor)) === 0)
+      .select(floor_div(col("doc_id"), factor).as("src"),
+        md5(col("text")).as("fam"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val lowJ = top.count(_.getAs[Double]("jaccard") < 0.4)
+    val sameFam = top.count { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      family.get(a / factor) == family.get(b / factor)
+    }
+    val minJ = if (top.isEmpty) 0.0
+      else top.map(_.getAs[Double]("jaccard")).min
+    val famFloorActive = 5 * factor <= graft.text.TextOps.ShingleDfCap
+    val msg = f"ngram_top=${top.length} min_jaccard=$minJ%.3f " +
+      s"low_jaccard=$lowJ same_family=$sameFam/20" +
+      (if (famFloorActive) "" else " (family floor inactive: cap strips " +
+        "multi-source shingles at this duplication factor)")
+    (if (top.length == 20 && lowJ == 0 && (!famFloorActive || sameFam >= 5))
+       Nil
+     else Seq(s"n-gram top-20 not honest near-dups ($msg)"), msg)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_text_stress").toString)
+    val spark = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    blowUpDocs(spark, srcDir, outDir, factor)
+    val n = spark.read.parquet(s"$outDir/documents.parquet").count()
+    println(s"[textstress] blowup ready: $srcDir ×$factor → $outDir (n=$n)")
+
+    val (f1, m1) = lshRecallCheck(spark, outDir, factor)
+    println(s"[textstress] $m1")
+    val (f2, m2) = lshVolumeCheck(spark, outDir, factor)
+    println(s"[textstress] $m2")
+    val (f3, m3) = ngramTopCheck(spark, outDir, factor)
+    println(s"[textstress] $m3")
+    val failures = f1 ++ f2 ++ f3
+    spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach(f => System.err.println(s"[textstress] FAIL $f"))
+      sys.exit(1)
+    }
+    println(s"[textstress] all 3 text near-dup scale pins hold at n=$n")
+  }
+}
