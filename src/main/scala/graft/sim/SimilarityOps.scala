@@ -510,8 +510,11 @@ object SimilarityOps {
     *  - conf unset (sandbox/ad-hoc): a per-JVM temp dir, built on first
     *    use, memoized for the session.
     *
-    * The memo key carries the fingerprint in BOTH modes, so within a JVM a
-    * regenerated corpus also triggers rebuild rather than stale reuse.
+    * The memo key carries the fingerprint AND the mode (the durable base
+    * or `temp`), so within a JVM a regenerated corpus triggers rebuild
+    * rather than stale reuse — and flipping `spark.graft.nearDupIndexDir`
+    * mid-session switches modes instead of serving the other mode's
+    * cached location.
     *
     * Concurrency: within a JVM `computeIfAbsent` serializes builders.
     * ACROSS drivers the durable zone is published by building into a
@@ -520,34 +523,36 @@ object SimilarityOps {
     * robust to BOTH race outcomes of Hadoop's rename contract; on object
     * stores whose rename is copy-based the publish is not atomic — pair
     * the conf with an HDFS-compatible index location there). An `absent`
-    * fingerprint (unreadable corpus) never touches the durable dir OR the
-    * memo: it builds into a temp dir uncached each call, where the scan
-    * fails loudly — a shared `nd_absent` zone would otherwise be served
-    * across DIFFERENT corpora whose listings ever hiccup, and a memoized
-    * `$d@absent` entry could outlive a corpus regeneration and serve a
-    * stale index the next time the listing hiccups. */
-  private[graft] def nearDupIndexFor(s: SparkSession, d: String): String =
+    * fingerprint (unreadable corpus at fingerprint time) resolves to None
+    * and the caller COMPUTES the pairs directly — same rows (the oracle
+    * pins the two routes equal), nothing persisted or memoized. The
+    * alternatives are all worse: a shared `nd_absent` zone would be served
+    * across DIFFERENT corpora whose listings ever hiccup, a memoized
+    * `$d@absent` entry could outlive a corpus regeneration, and an
+    * unkeyed driver-local temp build on a real cluster (executors writing
+    * `/tmp` shards to their own disks) would silently produce a
+    * near-empty index. */
+  private[graft] def nearDupIndexFor(s: SparkSession,
+      d: String): Option[String] =
     resolveNearDupIndex(s, d, corpusFingerprint(s, d))
 
   /** [[nearDupIndexFor]] with the fingerprint factored out — the seam the
     * spec uses to drive the `absent` contract without having to induce a
     * real listing IOException on a readable corpus. */
   private[graft] def resolveNearDupIndex(s: SparkSession, d: String,
-      fp: String): String = {
-    def tempBuild(): String = {
-      val out =
-        java.nio.file.Files.createTempDirectory("graft_ndidx_").toString
-      buildNearDupIndex(s, d, out)
-      out
-    }
-    if (fp == "absent") tempBuild() // uncached + never durable, by design
-    else s.conf.getOption("spark.graft.nearDupIndexDir") match {
-      case Some(base) => nearDupIndexMemo.computeIfAbsent(s"$d@$fp",
+      fp: String): Option[String] =
+    if (fp == "absent") None // compute-direct: never keyed, never durable
+    else Some(s.conf.getOption("spark.graft.nearDupIndexDir") match {
+      case Some(base) => nearDupIndexMemo.computeIfAbsent(s"$d@$fp@$base",
         _ => publishDurableZone(s, d, fp, base))
       case None =>
-        nearDupIndexMemo.computeIfAbsent(s"$d@$fp", _ => tempBuild())
-    }
-  }
+        nearDupIndexMemo.computeIfAbsent(s"$d@$fp@temp", _ => {
+          val out = java.nio.file.Files
+            .createTempDirectory("graft_ndidx_").toString
+          buildNearDupIndex(s, d, out)
+          out
+        })
+    })
 
   /** Build-and-publish one durable zone at `<base>/nd_<fp>`, returning its
     * path. A committed zone is adopted without building. Publication is a
@@ -558,7 +563,15 @@ object SimilarityOps {
     * "failed publish" that doesn't look like one. So after the rename this
     * deletes any build of ours deposited inside the final zone, deletes
     * the sibling if it still exists (the rename-returned-false shape), and
-    * then requires a committed zone to stand — whoever built it. */
+    * then requires a committed zone to stand — whoever built it.
+    *
+    * Known residual window, accepted: between the torn-zone re-probe and
+    * its delete, a racer's atomic publish can land and be deleted with the
+    * torn debris — microseconds wide, self-healing (this builder then
+    * publishes the SAME bit-deterministic content), and loud-transient
+    * only for a third JVM that adopted the racer's path in that gap.
+    * Closing it would need a lock service the deployment may not have;
+    * the determinism of the build is what makes the window benign. */
   private def publishDurableZone(s: SparkSession, d: String, fp: String,
       base: String): String = {
     val conf = s.sparkContext.hadoopConfiguration
@@ -650,8 +663,27 @@ object SimilarityOps {
       def drop(action: String): (String, String) = {
         fs.delete(st.getPath, true); name -> action
       }
+      // A directory's own mtime FREEZES once its direct children exist (a
+      // long parquet write only touches grandchildren under
+      // assignments/_temporary), so "age" must be the NEWEST mtime within
+      // two levels — otherwise any build outliving staleBuildMs is deleted
+      // MID-WRITE and a build that always exceeds the threshold livelocks.
+      def newestMtime(p: org.apache.hadoop.fs.Path, depth: Int): Long = {
+        val self = try fs.getFileStatus(p).getModificationTime
+          catch { case _: java.io.IOException => 0L }
+        if (depth == 0) self
+        else {
+          val kids = try fs.listStatus(p)
+            catch { case _: java.io.IOException =>
+              Array.empty[org.apache.hadoop.fs.FileStatus] }
+          (if (kids == null) Array.empty[org.apache.hadoop.fs.FileStatus]
+           else kids).foldLeft(self)((m, k) =>
+            math.max(m, if (k.isDirectory) newestMtime(k.getPath, depth - 1)
+              else k.getModificationTime))
+        }
+      }
       if (name.startsWith(".build_nd_")) {
-        if (now - st.getModificationTime > staleBuildMs)
+        if (now - newestMtime(st.getPath, 2) > staleBuildMs)
           Seq(drop("deleted_stale_build"))
         else Seq(name -> "kept")
       } else if (name.startsWith("nd_")) {
@@ -893,8 +925,10 @@ object SimilarityOps {
     * scan of assignments would hide the whole quantizer pipeline from the
     * registry-wide plan guard. */
   private def gatePairs(s: SparkSession, d: String): DataFrame =
+    // None index (unreadable-at-fingerprint corpus) computes directly —
+    // same pairs, just unamortized; a truly-gone corpus fails at the scan
     if (graft.PlanProbe.planOnly.value) ivfCosinePairs(s, d)
-    else ivfCosinePairs(s, d, Some(nearDupIndexFor(s, d)))
+    else ivfCosinePairs(s, d, nearDupIndexFor(s, d))
 
   /** Shared oracle for every near-dup sweep route (computed, persisted,
     * bucketed table): the pair ALGEBRA is identical, only the physical
@@ -950,11 +984,27 @@ object SimilarityOps {
           s.catalog.getDatabase(db).locationUri,
           table.toLowerCase(java.util.Locale.ROOT))
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-        buildNearDupIndexBucketed(s, d, table, 8)
-        def q(x: String) = x.replace("'", "''")
-        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
-          s"'graft.nd.corpus'='${q(d)}','graft.nd.fingerprint'='$fp')")
+        try {
+          if (fs.exists(loc)) fs.delete(loc, true)
+          buildNearDupIndexBucketed(s, d, table, 8)
+          // Spark SQL string literals process backslash escapes, so both
+          // the quote AND the backslash must be escaped or a path like
+          // /data/a\b is stored garbled — and the pruner would then
+          // re-fingerprint the garbled path and drop a LIVE table
+          def q(x: String) =
+            x.replace("\\", "\\\\").replace("'", "\\'")
+          s.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+            s"'graft.nd.corpus'='${q(d)}','graft.nd.fingerprint'='$fp')")
+        } catch {
+          // cross-DRIVER race on a shared metastore: the per-JVM lock
+          // can't serialize two drivers' tableExists→CTAS sequences, so
+          // the loser's create may throw (TableAlreadyExists /
+          // location-not-empty). The winner's table holds the SAME
+          // bit-deterministic content for this fingerprint — adopt it;
+          // rethrow anything that isn't explained by a completed winner.
+          case e: org.apache.spark.sql.AnalysisException =>
+            if (!s.catalog.tableExists(table)) throw e
+        }
       }
       Some(table)
       }

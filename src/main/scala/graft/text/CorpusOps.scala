@@ -1242,11 +1242,26 @@ object CorpusOps {
     * to both instead of silently drifting between twins. */
   private[graft] def healthDerived(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
+    val bg = col("__bg")
     docs
       .withColumn("n_words", size(words).cast("long"))
       .withColumn("dup_frac", round(
         lit(1.0) - size(array_distinct(words)).cast("double") / size(words),
         6))
+      // top-bigram fraction in-row, same shape as [[statelessGate]] (the
+      // __bg column is materialized first — a lambda over an unshared
+      // zip_with would rebuild it per element, the O(w²)→O(w³) trap):
+      // keep_rate must reflect the FULL repetition gate, and the
+      // dup-word half alone overstates surviving volume whenever docs
+      // pass the 0.6 dup cap but fail the 0.1 bigram cap
+      .withColumn("__bg", zip_with(slice(words, lit(1), size(words) - 1),
+        slice(words, lit(2), size(words) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .withColumn("bg_frac", when(size(bg) > 0, round(
+        array_max(transform(array_distinct(bg),
+          x => size(filter(bg, y => y === x)))).cast("double") / size(bg),
+        6)).otherwise(lit(0.0)))
+      .drop("__bg")
   }
 
   private[graft] def healthAggs: Seq[Column] = Seq(
@@ -1255,7 +1270,8 @@ object CorpusOps {
     round(avg(col("n_words")), 6).as("avg_words"),
     round(avg(when(col("lang") === "en", 1.0).otherwise(0.0)), 6)
       .as("pct_en"),
-    round(avg(when(col("dup_frac") <= DupWordCap, 1.0).otherwise(0.0)), 6)
+    round(avg(when(col("dup_frac") <= DupWordCap &&
+        col("bg_frac") <= TopBigramCap, 1.0).otherwise(0.0)), 6)
       .as("keep_rate"))
 
   private val qCorpusStats = Q(
@@ -1268,18 +1284,32 @@ object CorpusOps {
         .orderBy(col("source"))
     },
     Some(
-      s"""WITH m AS (
-         |  SELECT source, n_chars, lang,
-         |         len(string_split(text, ' ')) AS n_words,
-         |         round(1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-         |                 / len(string_split(text, ' ')), 6) AS dup_frac
+      s"""WITH w AS (
+         |  SELECT source, n_chars, lang, string_split(text, ' ') AS ws
          |  FROM documents
+         |), b AS (
+         |  SELECT source, n_chars, lang, ws,
+         |         [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))] AS bg
+         |  FROM w
+         |), m AS (
+         |  SELECT source, n_chars, lang,
+         |         len(ws) AS n_words,
+         |         round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+         |                 / len(ws), 6) AS dup_frac,
+         |         CASE WHEN len(bg) > 0 THEN round(
+         |           CAST(list_max(list_transform(list_distinct(bg),
+         |                  x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+         |             / len(bg), 6)
+         |         ELSE 0.0 END AS bg_frac
+         |  FROM b
          |)
          |SELECT source, count(*) AS n_docs,
          |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |       round(avg(n_words), 6) AS avg_words,
          |       round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS pct_en,
-         |       round(avg(CASE WHEN dup_frac <= $DupWordCap THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
+         |       round(avg(CASE WHEN dup_frac <= $DupWordCap
+         |                       AND bg_frac <= $TopBigramCap
+         |                  THEN 1.0 ELSE 0.0 END), 6) AS keep_rate
          |FROM m GROUP BY source ORDER BY source""".stripMargin))
 
   // --------------------------------------------------------- stateless gate

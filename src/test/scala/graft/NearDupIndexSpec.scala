@@ -51,7 +51,7 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = java.nio.file.Files.createTempDirectory("ndix").toString
     withIndexDir(base) {
       SimilarityOps.resetNearDupIndexMemo()
-      val zone = SimilarityOps.nearDupIndexFor(spark, dir)
+      val zone = SimilarityOps.nearDupIndexFor(spark, dir).get
       assert(zone.startsWith(base),
         s"conf must direct the zone under $base, got $zone")
       val built = listing(zone)
@@ -60,7 +60,7 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       // (and its commit marker) survives — the resolve must rediscover it,
       // not rebuild (file listing, lengths, and mtimes all unchanged)
       SimilarityOps.resetNearDupIndexMemo()
-      val again = SimilarityOps.nearDupIndexFor(spark, dir)
+      val again = SimilarityOps.nearDupIndexFor(spark, dir).get
       assert(again == zone)
       assert(listing(zone) == built,
         "a committed zone must be reused, not rebuilt")
@@ -75,14 +75,14 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     val base = java.nio.file.Files.createTempDirectory("ndix2").toString
     withIndexDir(base) {
       SimilarityOps.resetNearDupIndexMemo()
-      val zone1 = SimilarityOps.nearDupIndexFor(spark, corpus)
+      val zone1 = SimilarityOps.nearDupIndexFor(spark, corpus).get
       // regenerate: same rows, but new part-file names/mtimes — exactly the
       // scenario where a stale index must NOT be served
       emb.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
       val fp2 = SimilarityOps.corpusFingerprint(spark, corpus)
       assert(fp2 != fp1, "fingerprint must track the file metadata")
       SimilarityOps.resetNearDupIndexMemo()
-      val zone2 = SimilarityOps.nearDupIndexFor(spark, corpus)
+      val zone2 = SimilarityOps.nearDupIndexFor(spark, corpus).get
       assert(zone2 != zone1,
         "a regenerated corpus must land in a fresh zone")
     }
@@ -97,7 +97,7 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       asg.resolve("part-00000.snappy.parquet"), "torn garbage")
     withIndexDir(base) {
       SimilarityOps.resetNearDupIndexMemo()
-      val zone = SimilarityOps.nearDupIndexFor(spark, dir)
+      val zone = SimilarityOps.nearDupIndexFor(spark, dir).get
       // the rebuild must have replaced the garbage with a committed write
       assert(java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$zone/assignments/_SUCCESS")))
@@ -114,7 +114,7 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     withIndexDir(base) {
       SimilarityOps.resetNearDupIndexMemo()
       // zone 1: current corpus → must be KEPT
-      val keepZone = SimilarityOps.nearDupIndexFor(spark, dir)
+      val keepZone = SimilarityOps.nearDupIndexFor(spark, dir).get
       // zone 2: then regenerate its corpus → must be deleted_regenerated
       SimilarityOps.nearDupIndexFor(spark, corpus)
       emb.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
@@ -160,24 +160,39 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("an absent fingerprint is never memoized and never touches the " +
-      "durable dir") {
-    // a transient listing IOException (fp="absent") on a corpus that is
-    // readable at scan time must build UNCACHED: a memoized "$d@absent"
-    // entry could outlive a corpus regeneration and be served stale the
-    // next time the listing hiccups, and a shared nd_absent zone would
-    // collide across DIFFERENT corpora
+  test("an absent fingerprint resolves to None: compute-direct, never " +
+      "memoized, never durable") {
+    // a transient listing IOException (fp="absent") must not key ANY
+    // persistent artifact: a memoized "$d@absent" entry could outlive a
+    // corpus regeneration and be served stale, a shared nd_absent zone
+    // would collide across DIFFERENT corpora, and an unkeyed driver-local
+    // temp build would be silently near-empty on a real cluster. The
+    // caller computes the pairs directly instead (oracle pins the routes
+    // equal).
     val base = java.nio.file.Files.createTempDirectory("ndix5").toString
     withIndexDir(base) {
       SimilarityOps.resetNearDupIndexMemo()
-      val z1 = SimilarityOps.resolveNearDupIndex(spark, dir, "absent")
-      val z2 = SimilarityOps.resolveNearDupIndex(spark, dir, "absent")
-      assert(z1 != z2, "absent builds must be uncached — fresh temp each call")
-      assert(!z1.startsWith(base) && !z2.startsWith(base),
-        "absent builds must never land under the shared durable dir")
+      assert(SimilarityOps.resolveNearDupIndex(spark, dir, "absent").isEmpty)
       val left = new java.io.File(base).list()
       assert(left == null || left.isEmpty,
         s"durable dir must stay untouched, found: ${left.mkString(",")}")
+    }
+    // conf unset: same None, and nothing is memoized under the absent key
+    SimilarityOps.resetNearDupIndexMemo()
+    assert(SimilarityOps.resolveNearDupIndex(spark, dir, "absent").isEmpty)
+    // a real fingerprint afterwards still resolves and builds normally
+    assert(SimilarityOps.nearDupIndexFor(spark, dir).nonEmpty)
+  }
+
+  test("flipping the index-dir conf mid-session switches modes instead " +
+      "of serving the other mode's cached location") {
+    SimilarityOps.resetNearDupIndexMemo()
+    val temp = SimilarityOps.nearDupIndexFor(spark, dir).get // temp mode
+    val base = java.nio.file.Files.createTempDirectory("ndix8").toString
+    withIndexDir(base) {
+      val durable = SimilarityOps.nearDupIndexFor(spark, dir).get
+      assert(durable.startsWith(base) && durable != temp,
+        s"conf flip must re-resolve into the durable dir, got $durable")
     }
   }
 
@@ -201,7 +216,7 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
           asg.resolve("part-winner.parquet"), "winner")
       }
       try {
-        val zone = SimilarityOps.nearDupIndexFor(spark, dir)
+        val zone = SimilarityOps.nearDupIndexFor(spark, dir).get
         assert(zone == s"$base/nd_$fp")
         assert(java.nio.file.Files.exists(
           zoneDir.resolve("assignments").resolve("part-winner.parquet")),
