@@ -198,10 +198,27 @@ object AsOfJoinOps {
         import org.apache.spark.sql.catalyst.plans.logical.Project
         Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
       } else rPlan0
-    def res(plan: LogicalPlan, name: String): Expression =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    // Resolution matches Spark's: case sensitivity follows
+    // spark.sql.caseSensitive (default false — "TS" resolves "ts" here
+    // like everywhere else), and duplicate-named outputs are an ERROR,
+    // not a silent first-match — asof output itself carries duplicate
+    // names (self-join: k,t,v,k,t,v), so a chained as-of join that fed
+    // its output back in would otherwise silently key on whichever side
+    // happened to come first.
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def res(plan: LogicalPlan, name: String): Expression = {
+      def eq(a: String) = if (caseSensitive) a == name
+        else a.equalsIgnoreCase(name)
+      plan.output.filter(a => eq(a.name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}")
+        case many => throw new IllegalArgumentException(
+          s"column $name is ambiguous: ${many.size} outputs share the " +
+            "name — alias the inputs before the as-of join")
+      }
+    }
     val (lk, rk) = (res(lPlan, leftKey), res(rPlan, rightKey))
     val (lt, rt) = (res(lPlan, leftTime), res(rPlan, rightTime))
     // PLAN-time type agreement: the exec builds its key/time orderings from

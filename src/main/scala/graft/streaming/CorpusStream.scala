@@ -35,7 +35,15 @@ object CorpusStream {
   def gatedDocuments(stream: DataFrame): DataFrame =
     CorpusOps.statelessGate(stream)
 
-  /** Batch twin over the same directory, for stream ≡ batch assertions. */
+  /** Batch twin for stream ≡ batch assertions. Directory conventions
+    * differ by twin on purpose — mixing them is the standing misuse trap:
+    * `d` here (and in [[corpusStatsBatch]]) is the dataset ROOT
+    * (`Tables.documents` reads `$d/documents.parquet`), while
+    * [[readStream]] and [[dedupedBatch]] take the staged documents
+    * directory ITSELF (`docsDir` — the dir the stream watches, whose
+    * files ARE the table). Passing the stream's `docsDir` here fails
+    * with PATH_NOT_FOUND on `$docsDir/documents.parquet`; passing the
+    * root to [[dedupedBatch]] reads nothing. */
   def gatedBatch(spark: SparkSession, d: String): DataFrame =
     CorpusOps.statelessGate(graft.model.Tables.documents(spark, d))
 

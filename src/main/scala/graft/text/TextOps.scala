@@ -263,16 +263,27 @@ object TextOps {
     * have no shingles and yield an EMPTY band array — the batch path drops
     * them from the signature table the same way. Interpreted-HOF cost is 8
     * passes over the shingle array per row — the same per-shingle hash work
-    * as the batch path, paid in-row instead of in a shuffle. */
-  private[graft] def inRowBands(text: Column): Column = {
-    val hs = transform(shingles(text), s => hash32(s))
-    val mh = minhashA.indices.map(j =>
-      array_min(transform(hs, h => (h * minhashA(j) + minhashB(j)) % MinhashP)))
-    when(size(hs) > 0, array((0 until 4).map(bd =>
-      struct(lit(bd).as("band"),
-        concat_ws("_", mh(2 * bd), mh(2 * bd + 1)).as("key"))): _*))
-      .otherwise(array().cast("array<struct<band:int,key:string>>"))
-  }
+    * as the batch path, paid in-row instead of in a shuffle.
+    *
+    * The hashed-shingle array is bound ONCE as a lambda variable (the
+    * wrap-in-a-one-element-array trick): higher-order functions are
+    * interpreted and Spark's subexpression elimination skips
+    * LambdaVariable-containing trees, so a plain `val hs = transform(...)`
+    * referenced from `size` plus all 8 minhash transforms would re-run
+    * the full shingle split + one md5 per shingle at EVERY reference —
+    * ~9 hash passes per arriving document on the streaming ingest hot
+    * path instead of 1 (the same once-per-stage projection discipline
+    * contaminationGate documents for its word array). */
+  private[graft] def inRowBands(text: Column): Column =
+    element_at(
+      transform(array(transform(shingles(text), s => hash32(s))), hs => {
+        val mh = minhashA.indices.map(j => array_min(
+          transform(hs, h => (h * minhashA(j) + minhashB(j)) % MinhashP)))
+        when(size(hs) > 0, array((0 until 4).map(bd =>
+          struct(lit(bd).as("band"),
+            concat_ws("_", mh(2 * bd), mh(2 * bd + 1)).as("key"))): _*))
+          .otherwise(array().cast("array<struct<band:int,key:string>>"))
+      }), 1)
 
   /** MinHash band-bucket candidate pairs (doc_a < doc_b, distinct): docs
     * sharing a band bucket of [[bandTable]] become candidates. Shared by

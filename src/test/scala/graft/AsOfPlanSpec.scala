@@ -137,4 +137,24 @@ class AsOfPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       AsOfJoinOps.asof(probes2, refs2, "k", "rk", "t", "rt"))
     assert(e2.getMessage.contains("key type mismatch"))
   }
+
+  test("column resolution follows Spark: case-insensitive, and duplicate " +
+      "names are an ERROR, not a silent first-match") {
+    import spark.implicits._
+    val probes = Seq(("a", 5, "p1")).toDF("k", "t", "probe")
+    val refs = Seq(("a", 3, 100L)).toDF("rk", "rt", "v")
+    // spark.sql.caseSensitive defaults false — "K"/"RT" must resolve like
+    // every other DataFrame API
+    val out = AsOfJoinOps.asof(probes, refs, "K", "rk", "t", "RT")
+    assert(out.count() == 1)
+    // asof output itself carries duplicate names (self-join: k,t,v,k,t,v);
+    // feeding it back must refuse the ambiguous key instead of silently
+    // binding whichever side comes first
+    val selfOut = AsOfJoinOps.asof(probes, probes, "k", "k", "t", "t")
+    val dupNames = selfOut.columns.groupBy(identity).filter(_._2.length > 1)
+    assert(dupNames.nonEmpty, "precondition: self-join output has dups")
+    val e = intercept[IllegalArgumentException](
+      AsOfJoinOps.asof(selfOut, refs, "k", "rk", "t", "rt"))
+    assert(e.getMessage.contains("ambiguous"))
+  }
 }
