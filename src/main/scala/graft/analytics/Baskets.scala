@@ -514,16 +514,21 @@ object Baskets {
       .agg(approx_count_distinct(col("document_id"), 0.02).as("approx_docs"),
         countDistinct(col("document_id")).as("exact_docs"),
         count(lit(1)).as("n_chunks"))
+      // 10% margin = 5σ for the 2%-rsd sketch: the oracle pins TRUE, so the
+      // margin must hold for EVERY sector of ANY regenerated dataset — at
+      // 5% (2.5σ) a ~25-sector table flakes with probability ~1/4 per fresh
+      // generation with no code defect; at 5σ the per-sector flake odds are
+      // ~3e-7 and the gate still proves the sketch's error bound
       .select(col("entity_sector"), col("exact_docs"), col("n_chunks"),
         (abs(col("approx_docs") - col("exact_docs")).cast("double")
-          <= col("exact_docs") * 0.05).as("within_5pct"))
+          <= col("exact_docs") * 0.10).as("within_10pct"))
       .orderBy(col("entity_sector")),
     Some(
       s"""WITH ${graft.Oracle.chunkCte}
          |SELECT entity_sector,
          |       count(DISTINCT document_id) AS exact_docs,
          |       count(*) AS n_chunks,
-         |       TRUE AS within_5pct
+         |       TRUE AS within_10pct
          |FROM chunk
          |GROUP BY entity_sector
          |ORDER BY entity_sector""".stripMargin))

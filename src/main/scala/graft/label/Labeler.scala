@@ -27,6 +27,13 @@ object Labeler {
     */
   trait ExternalClassifier extends Serializable {
     def classify(rows: Iterator[(String, String)]): Iterator[(String, String, String, String)]
+    /** Identity of this classifier for the [[labelWithCache]] result cache:
+      * rows are valid hits only for the classifier that produced them, so a
+      * cache path reused across classifier versions re-labels instead of
+      * silently serving the old version's labels. Override when the class
+      * name doesn't capture the version (e.g. a prompt-templated LLM
+      * client: include the prompt/model revision). */
+    def cacheKey: String = getClass.getName
   }
 
   /** Deterministic rule stub standing in for the LLM labeler. Rules are
@@ -87,11 +94,17 @@ object Labeler {
     val unique = df.select(col("entity_id"), col("text"))
       .dropDuplicates("entity_id", "text")
       .as[(String, String)]
-    val labeled = unique
+    // lineage cut on the labeled frame: without it, every ACTION over the
+    // returned plan (count then write, a task retry, an AQE recompute)
+    // re-invokes the expensive external classifier — the exact spend the
+    // dedup-before-the-call rule exists to bound. The cut executes the
+    // classify stage eagerly, exactly once per call; plan-only sweeps skip
+    // it (cut ≡ identity there, so no external calls during plan audits).
+    val labeled = graft.PlanProbe.cut(unique
       .mapPartitions(rows => clf.classify(rows))
       .toDF("entity_id", "text", "label", "motivation")
       .select(col("entity_id"), textKey(col("text")).as("__tk"),
-        col("label"), col("motivation"))
+        col("label"), col("motivation")))
     mergeBack(df, labeled)
   }
 
@@ -130,9 +143,14 @@ object Labeler {
   /** Fixed schema of the cache parquet. Reading WITH this schema (instead of
     * inferring) makes an empty cache directory — which an append of zero rows
     * to a previously nonexistent path can create — read as an empty frame
-    * rather than fail schema inference. */
+    * rather than fail schema inference. `clf` records which classifier
+    * produced the row ([[ExternalClassifier.cacheKey]]); legacy cache files
+    * written before the column existed read as clf=NULL, never match any
+    * classifier, and are thus DISTRUSTED — their keys re-label and re-append
+    * under the current identity (a self-healing migration; the dead rows
+    * stay but are filtered out of every lookup). */
   private val cacheSchema = org.apache.spark.sql.types.StructType(
-    Seq("entity_id", "text", "label", "motivation").map(
+    Seq("entity_id", "text", "label", "motivation", "clf").map(
       org.apache.spark.sql.types.StructField(_,
         org.apache.spark.sql.types.StringType)))
 
@@ -154,13 +172,17 @@ object Labeler {
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cached: DataFrame =
       if (fs.exists(path)) spark.read.schema(cacheSchema).parquet(cachePath)
-      else Seq.empty[(String, String, String, String)]
-        .toDF("entity_id", "text", "label", "motivation")
-    val misses = unique.join(cached.select(col("entity_id"), col("text")),
+      else Seq.empty[(String, String, String, String, String)]
+        .toDF("entity_id", "text", "label", "motivation", "clf")
+    // rows are hits only for THIS classifier: a reused path across
+    // classifier versions must re-label, not serve the old labels
+    val mine = cached.filter(col("clf") === clf.cacheKey)
+    val misses = unique.join(mine.select(col("entity_id"), col("text")),
       Seq("entity_id", "text"), "left_anti")
     val fresh = misses.as[(String, String)]
       .mapPartitions(rows => clf.classify(rows))
       .toDF("entity_id", "text", "label", "motivation")
+      .withColumn("clf", lit(clf.cacheKey))
     // Unconditional append: exactly ONE execution of the classify stage (an
     // isEmpty probe before the write would run the expensive external calls
     // twice on a cold cache); an empty append is a no-op-cost footer write.
@@ -168,15 +190,23 @@ object Labeler {
     // Concurrent appenders racing on the same misses can leave duplicate
     // (entity_id, text) rows in the cache; a plain join on such a cache
     // would FAN OUT the output. Dedup on read makes the join safe under any
-    // append history (the classifier is deterministic, so duplicate rows
-    // agree on their labels and any survivor is correct). Expressed as an
-    // explicit key-grouped aggregate — same one-shuffle plan as
-    // dropDuplicates, but with fresh output attributes, which keeps
-    // downstream set operations over this join unambiguous.
+    // append history. The survivor is min(struct(label, motivation)) — the
+    // pair stays PAIRED (independent min(label)/min(motivation) could stitch
+    // two rows) and the pick is DETERMINISTIC across runs, where an
+    // unordered first() could flip between equally-valid duplicates (for a
+    // deterministic classifier they agree anyway; this makes the contract
+    // hold even for one that doesn't). The lookup aggregates only the
+    // WORKING SET (semi-join on df's unique keys first): a long-lived cache
+    // holding millions of historical keys must not be md5-hashed and
+    // shuffled wholesale to label a frame that touches a handful.
     val lookup = spark.read.schema(cacheSchema).parquet(cachePath)
+      .filter(col("clf") === clf.cacheKey)
+      .join(unique, Seq("entity_id", "text"), "left_semi")
       .groupBy(col("entity_id"), textKey(col("text")).as("__tk"))
-      .agg(first(col("label")).as("label"),
-        first(col("motivation")).as("motivation"))
+      .agg(min(struct(col("label"), col("motivation"))).as("__lm"))
+      .select(col("entity_id"), col("__tk"),
+        col("__lm.label").as("label"),
+        col("__lm.motivation").as("motivation"))
     mergeBack(df, lookup)
   }
 
@@ -242,6 +272,10 @@ object Labeler {
     * partition); pass an accumulator to observe it. */
   def labelBatchedPrompt(df: DataFrame, clf: BatchedClassifier,
       calls: Option[LongAccumulator] = None): DataFrame = {
+    // fail at the driver, by name — a zero/negative chunk size would
+    // otherwise surface as rows.grouped's opaque repeated TASK failure
+    require(clf.chunkSize >= 1,
+      s"chunkSize must be at least 1, got ${clf.chunkSize}")
     val spark = df.sparkSession
     import spark.implicits._
     val unique = df.select(col("entity_id"), col("text"))
@@ -252,7 +286,11 @@ object Labeler {
       .withColumn("row_id",
         md5(to_json(struct(col("entity_id"), col("text")))))
       .as[(String, String, String)]
-    val labeled = unique.mapPartitions { rows =>
+    // lineage cut, same rationale as labelDeduped: the documented
+    // Σ⌈rows_p/chunkSize⌉ call-count contract must hold for the CALL, not
+    // per downstream action/retry/recompute — the cut runs the batch stage
+    // eagerly exactly once (plan-only sweeps skip it: cut ≡ identity there)
+    val labeled = graft.PlanProbe.cut(unique.mapPartitions { rows =>
       rows.grouped(clf.chunkSize).flatMap { batch =>
         calls.foreach(_.add(1))
         val resp = clf.classifyBatch(batch.map(r => (r._3, r._2)))
@@ -264,7 +302,7 @@ object Labeler {
       }
     }.toDF("entity_id", "text", "label", "motivation")
       .select(col("entity_id"), textKey(col("text")).as("__tk"),
-        col("label"), col("motivation"))
+        col("label"), col("motivation")))
     mergeBack(df, labeled)
   }
 
@@ -341,8 +379,13 @@ object Labeler {
       viaExpr.join(viaBatch,
         Seq("sentence_id", "entity_id", "part_entity_id"))
         .agg(count(lit(1)).as("n_rows"),
-          sum(when(col("label") =!= col("b_label")
-            || col("motivation") =!= col("b_motivation"), 1L).otherwise(0L))
+          // null-SAFE comparison: a merge-back miss leaves b_label NULL,
+          // and `label =!= NULL` is NULL — when(NULL) would count it as a
+          // MATCH, letting a batched path that attaches no labels at all
+          // sail through the gate
+          sum(when(!(col("label") <=> col("b_label"))
+            || !(col("motivation") <=> col("b_motivation")), 1L)
+            .otherwise(0L))
             .as("n_mismatch"))
     },
     Some(
