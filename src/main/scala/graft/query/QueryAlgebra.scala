@@ -132,11 +132,13 @@ object QueryAlgebra {
     val perType: Seq[Seq[Seq[String]]] = entitiesByType.map(_._2)
       .filter(_.nonEmpty).map(_.grouped(batchSize).toSeq)
     if (perType.isEmpty) Seq.empty
-    else (0 until perType.map(_.size).max).flatMap { i =>
+    else (0 until perType.map(_.size).max).map { i =>
+      // never empty for i < max: perType keeps only non-empty lists and
+      // grouped(n) never yields an empty batch, so the type(s) realizing
+      // the max contribute at every i
       val group = perType.flatMap(batches =>
         if (i < batches.size) batches(i) else Seq.empty)
-      if (group.isEmpty) None
-      else Some(AnyQ(group.map(EntityQ(_)): _*))
+      AnyQ(group.map(EntityQ(_)): _*)
     }
   }
 

@@ -126,13 +126,20 @@ object SourceOps {
       filesPerPartition: Int = 1): Unit = {
     require(partitionCols.nonEmpty, "need at least one partition column")
     require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    require(!df.columns.contains("__slice"),
+      "__slice is reserved by writePartitioned's salting — rename the " +
+        "input column (withColumn would silently clobber it)")
     val keys = partitionCols.map(df.col)
     val routed =
       if (filesPerPartition == 1) df.repartition(keys: _*)
       else {
+        // xxhash64 over the row struct: same uniform slice distribution as
+        // the previous crc32(to_json(...)) at a fraction of the cost — no
+        // per-row JSON serialization — and it works on column types
+        // to_json cannot render
         val salted = df.withColumn("__slice",
-          pmod(crc32(to_json(struct(df.columns.map(col): _*))),
-            lit(filesPerPartition)))
+          pmod(xxhash64(struct(df.columns.map(col): _*)),
+            lit(filesPerPartition.toLong)))
         // explicit partition count: a bare repartition(cols) is an AQE
         // coalesce target, and coalescing merges slices of one partition
         // value back into one task — silently defeating the salt (observed:
@@ -268,8 +275,12 @@ object SourceOps {
       .csv(s"$dir/$sheet")
 
   def readSheet(spark: SparkSession, dir: String, sheet: String): DataFrame =
+    // multiLine: a quoted text field containing a newline is ONE record —
+    // the default line-based split shears it into two malformed rows, so
+    // even this module's own writeSheet → readSheet round-trip would break
+    // on any text column carrying a newline
     spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(s"$dir/$sheet")
+      .option("multiLine", "true").csv(s"$dir/$sheet")
 
   /** S7 with the reference's workbook-loading quirks
     * (`Narrative_Miners/src/tool.py:10-26`): real result sheets carry a
@@ -278,25 +289,64 @@ object SourceOps {
     * takes line 1 as the header, drops Unnamed/blank columns, parses `Date`,
     * and stamps `Source_Type` — the full load_results contract.
     *
-    * Line indexing uses zipWithIndex over the text lines (two passes over
-    * the sheet); sheets are small presentation tables, so this is a bounded
+    * Records are split by the CSV grammar, NOT by physical lines: a
+    * quoted field containing a newline is one record, where a text-line
+    * index sheared it in two and shifted the banner/header offsets for
+    * everything after. The banner/header/body boundaries come from a
+    * quote-aware driver-side scan of the raw file (a whole-file
+    * spark.read can't serve here: CSV schema width pins to the FIRST
+    * record — the one-field banner); the header and body slices then go
+    * through Spark's own multiLine CSV parser, so fields, quoting, and
+    * the body's column types are all real-parser semantics. Sheets are
+    * small presentation tables, so this bounded driver pass is a
     * driver-adjacent source, not a 100 TB path. */
   def readWorkbookSheet(spark: SparkSession, path: String,
       sourceType: String): DataFrame = {
-    val indexed = spark.read.textFile(path).rdd.zipWithIndex()
-    val header = indexed.filter(_._2 == 1L).map(_._1).collect().headOption
-      .getOrElse(throw new IllegalArgumentException(s"no header line in $path"))
-    val body = spark.createDataset(indexed.filter(_._2 >= 2L).map(_._1))(
-      org.apache.spark.sql.Encoders.STRING)
-    val parsed = spark.read.option("inferSchema", "true").csv(body)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = {
+      val in = fs.open(p)
+      val buf = new java.io.ByteArrayOutputStream()
+      try {
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      } finally in.close()
+      buf.toString("UTF-8")
+    }
+    // end index of the CSV record starting at `from`: newlines inside
+    // quotes don't terminate (doubled quotes toggle twice — a no-op, which
+    // is exactly right for the "" escape)
+    def recordEnd(from: Int): Int = {
+      var i = from; var inQ = false
+      while (i < raw.length) {
+        val ch = raw.charAt(i)
+        if (ch == '"') inQ = !inQ
+        else if (ch == '\n' && !inQ) return i
+        i += 1
+      }
+      raw.length
+    }
+    val e0 = recordEnd(0)
+    require(e0 < raw.length, s"no header line in $path")
+    val e1 = recordEnd(e0 + 1)
+    def slice(tag: String, text: String): String = {
+      val f = java.nio.file.Files
+        .createTempDirectory(s"graft_sheet_$tag").resolve(s"$tag.csv")
+      java.nio.file.Files.writeString(f, text)
+      f.toString
+    }
     // the header goes through the SAME CSV parser as the body — a naive
     // split(",") would shear a quoted header containing a comma
     // (`"Revenue, Net"`) into two names and misalign every column after it
-    val names = spark.read.csv(spark.createDataset(Seq(header))(
-        org.apache.spark.sql.Encoders.STRING))
+    val names = spark.read.option("multiLine", "true")
+      .csv(slice("header", raw.substring(e0 + 1, e1).stripSuffix("\r")))
       .head().toSeq.map(v => if (v == null) "" else v.toString.trim)
+    val bodyTxt = if (e1 >= raw.length) "" else raw.substring(e1 + 1)
+    val parsed = spark.read.option("inferSchema", "true")
+      .option("multiLine", "true").csv(slice("body", bodyTxt))
     val kept = names.zipWithIndex.filter { case (n, _) =>
-      n.nonEmpty && !n.contains("Unnamed") }
+      n.nonEmpty && !n.startsWith("Unnamed:") }
     val named = parsed.select(kept.toSeq.map { case (n, i) => col(s"_c$i").as(n) }: _*)
     val dated =
       if (named.columns.contains("Date"))

@@ -63,9 +63,12 @@ object Xlsx {
     sb.toString
   }
 
-  /** A1-style reference → (row0, col0). */
+  /** A1-style reference → (row0, col0). Letters are case-normalized: a
+    * lowercase ref (`a1` — spec-nonconforming but emitted by some writers)
+    * must map to column A, not silently land 32 columns away via the
+    * un-normalized arithmetic. */
   private[graft] def parseRef(ref: String): (Int, Int) = {
-    val letters = ref.takeWhile(_.isLetter)
+    val letters = ref.takeWhile(_.isLetter).toUpperCase(java.util.Locale.ROOT)
     val digits = ref.drop(letters.length)
     val col = letters.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
     (digits.toInt - 1, col)
@@ -335,11 +338,14 @@ object Xlsx {
     elems(wb.getDocumentElement, "sheet").map(_.getAttribute("name"))
   }
 
-  /** The raw cell grid of one sheet: dense Vector of rows of Option[String]
-    * canonical values (booleans as "true"/"false", sharedStrings resolved).
-    * Exposed for tests; [[readWorkbook]] is the typed contract. */
+  /** The raw cell grid of one sheet: dense Vector of rows of
+    * Option[(value, stringTyped)] canonical values (booleans as
+    * "true"/"false", sharedStrings resolved; stringTyped records whether
+    * the cell was authored as a string — inlineStr / shared / formula
+    * string cache). Exposed for tests; [[readWorkbook]] is the typed
+    * contract. */
   private[graft] def sheetGrid(spark: SparkSession, path: String,
-      sheet: Option[String]): Vector[Vector[Option[String]]] = {
+      sheet: Option[String]): Vector[Vector[Option[(String, Boolean)]]] = {
     val parts = entriesOf(spark, path)
     val wb = parseXml(parts("xl/workbook.xml"))
     val sheetsMeta = elems(wb.getDocumentElement, "sheet")
@@ -369,7 +375,12 @@ object Xlsx {
       case None => IndexedSeq.empty
     }
     val doc = parseXml(parts(sheetPath))
-    val cells = mutable.HashMap.empty[(Int, Int), String]
+    // cell value + whether the CELL ITSELF was string-typed (inlineStr,
+    // shared string, or a string formula cache): the type tag survives to
+    // inference so a string column of numeric-looking codes ("007") can't
+    // be coerced to numbers on read — pandas, the mirrored contract,
+    // respects cell types the same way
+    val cells = mutable.HashMap.empty[(Int, Int), (String, Boolean)]
     var maxR = -1
     var maxC = -1
     elems(doc.getDocumentElement, "row").foreach { rowEl =>
@@ -381,19 +392,24 @@ object Xlsx {
           // string-typed cells keep EMPTY values ("" is data, not absence —
           // dropping it would null it out and could erase the whole row);
           // escapes decode on read, the inverse of the writer's ooxmlEscape
-          val value: Option[String] = t match {
+          val value: Option[(String, Boolean)] = t match {
             case "inlineStr" =>
-              Some(ooxmlUnescape(elems(c, "t").map(_.getTextContent).mkString))
+              Some((ooxmlUnescape(
+                elems(c, "t").map(_.getTextContent).mkString), true))
             case "s" =>
-              elems(c, "v").headOption
-                .map(v => ooxmlUnescape(shared(v.getTextContent.trim.toInt)))
+              elems(c, "v").headOption.map(v =>
+                (ooxmlUnescape(shared(v.getTextContent.trim.toInt)), true))
+            case "str" => // formula string cache: a STRING result — decode
+              // escapes and keep empties, same as the other string forms
+              Some((ooxmlUnescape(
+                elems(c, "v").map(_.getTextContent).mkString), true))
             case "b" =>
               elems(c, "v").headOption.map(v =>
-                if (v.getTextContent.trim == "1") "true" else "false")
-            case _ => // numeric, "str" formula cache, or untyped: an empty
-              // <v> carries nothing
+                (if (v.getTextContent.trim == "1") "true" else "false",
+                  false))
+            case _ => // numeric or untyped: an empty <v> carries nothing
               elems(c, "v").headOption.map(_.getTextContent)
-                .filter(_.nonEmpty)
+                .filter(_.nonEmpty).map((_, false))
           }
           value.foreach { v =>
             cells((r, cc)) = v
@@ -403,6 +419,13 @@ object Xlsx {
         }
       }
     }
+    // dense-grid guard: ONE far-offset cell in a foreign workbook (legal
+    // refs reach XFD1048576) would otherwise tabulate ~1.7e10 slots and
+    // kill the driver — the reader is documented as accepting untrusted
+    // foreign files, so the blow-up must be a loud bounded error
+    require((maxR + 1).toLong * (maxC + 1).toLong <= 50000000L,
+      s"sheet grid ${maxR + 1} x ${maxC + 1} exceeds the 50M-cell bound — " +
+        "a far-offset cell in a foreign workbook?")
     Vector.tabulate(maxR + 1)(r => Vector.tabulate(maxC + 1)(c =>
       cells.get((r, c))))
   }
@@ -425,13 +448,35 @@ object Xlsx {
     DoubleRe.pattern.matcher(v).matches() ||
       v == "NaN" || v == "Infinity" || v == "-Infinity"
 
-  private def inferType(vals: Seq[String]): DataType =
+  /** Column type from (value, stringTyped) cells. A column with ANY
+    * string-typed cell is string-AUTHORED: it may still infer DateType
+    * (this sink writes dates as ISO inline strings — the load_results
+    * shape rule), but never numeric/boolean — "007" must come back "007",
+    * not 7L, exactly as pandas respects the cell type (pinned corruption
+    * class: SourceOpsSpec's "00123" identity). Numeric/boolean inference
+    * applies only to columns of untyped-numeric and `t="b"` cells. */
+  private val NonFinite = Set("NaN", "Infinity", "-Infinity")
+
+  private def inferType(vals: Seq[(String, Boolean)]): DataType = {
+    val vs = vals.map(_._1)
     if (vals.isEmpty) StringType
-    else if (vals.forall(isLong)) LongType
-    else if (vals.forall(isDouble)) DoubleType
-    else if (vals.forall(v => v == "true" || v == "false")) BooleanType
-    else if (vals.forall(v => DateRe.pattern.matcher(v).matches())) DateType
+    else if (vals.exists(_._2)) {
+      // exception: THIS sink writes non-finite doubles as inline strings
+      // (xlsx has no numeric NaN), so string-typed cells that are all
+      // non-finite markers in an otherwise-double column stay DoubleType —
+      // the format makes a NaN double and the literal string "NaN"
+      // indistinguishable, and the double reading preserves the writer's
+      // own round trip
+      if (vals.filter(_._2).map(_._1).forall(NonFinite) &&
+          vs.forall(isDouble)) DoubleType
+      else if (vs.forall(v => DateRe.pattern.matcher(v).matches())) DateType
+      else StringType
+    }
+    else if (vs.forall(isLong)) LongType
+    else if (vs.forall(isDouble)) DoubleType
+    else if (vs.forall(v => v == "true" || v == "false")) BooleanType
     else StringType
+  }
 
   /** A `Date` cell is either an ISO string (this sink's own output) or an
     * Excel NUMERIC DAY SERIAL (openpyxl/pandas write datetimes as serials
@@ -457,8 +502,12 @@ object Xlsx {
     val grid = sheetGrid(spark, path, sheet)
     require(grid.length > header, s"workbook sheet has no header row $header")
     val headerRow = grid(header)
+    // "Unnamed:" is a PREFIX rule (pandas names blank headers `Unnamed: N`)
+    // — contains() would silently drop a real column named e.g.
+    // "Top Unnamed Entities"
     val kept = headerRow.zipWithIndex.collect {
-      case (Some(h), i) if h.trim.nonEmpty && !h.contains("Unnamed") =>
+      case (Some((h, _)), i)
+          if h.trim.nonEmpty && !h.trim.startsWith("Unnamed:") =>
         (h.trim, i)
     }
     require(kept.nonEmpty, "no named columns in the header row")
@@ -474,7 +523,7 @@ object Xlsx {
     val schema = StructType(types.map { case (n, t) => StructField(n, t) })
     val rows: Seq[Row] = body.map { row =>
       Row.fromSeq(kept.zip(types).map { case ((_, i), (_, t)) =>
-        row.lift(i).flatten.map { v =>
+        row.lift(i).flatten.map { case (v, _) =>
           t match {
             case LongType => v.toLong
             case DoubleType => v.toDouble

@@ -31,6 +31,31 @@ class SourceOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("quoted newlines survive the sheet round-trip and the workbook " +
+      "reader's banner offsets") {
+    import spark.implicits._
+    // a text cell containing a newline is ONE record under the CSV
+    // grammar; a physical-line split would shear it into two malformed
+    // rows (and shift the workbook reader's banner/header offsets)
+    val tmp = java.nio.file.Files.createTempDirectory("sheets_nl").toString
+    val df = Seq(("a", "Revenue fell;\nmargins too", 1L),
+      ("b", "plain", 2L)).toDF("K", "Note", "N")
+    SourceOps.writeSheet(df, tmp, "notes")
+    val back = SourceOps.readSheet(spark, tmp, "notes")
+    assert(back.count() == 2)
+    assert(back.filter(col("Note").contains("\nmargins")).count() == 1)
+    // the banner'd workbook-sheet shape with an embedded newline in row 1
+    val f = java.nio.file.Paths.get(tmp, "banner.csv")
+    java.nio.file.Files.writeString(f,
+      "Narrative Mining Results\n,Entity,Note,Date\n" +
+        "0,Acme,\"line one\nline two\",2024-01-05\n" +
+        "1,Globex,plain,2024-02-10\n")
+    val wb = SourceOps.readWorkbookSheet(spark, f.toString, "news")
+    assert(wb.count() == 2)
+    assert(wb.filter(col("Note").contains("\nline two")).count() == 1)
+    assert(wb.columns.toSet == Set("Entity", "Note", "Date", "Source_Type"))
+  }
+
   test("workbook sheet reader applies header=1 + Unnamed-drop quirks") {
     // layout a real result sheet arrives in (tool.py:10-26): banner line,
     // header with a spreadsheet index column, then data

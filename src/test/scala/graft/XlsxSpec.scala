@@ -199,6 +199,24 @@ class XlsxSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"round-trip failed for ${cp(s)}")
   }
 
+  test("string cells keep their type: numeric-looking codes round-trip " +
+      "as strings") {
+    import spark.implicits._
+    // "007"/"012" are STRING cells (inlineStr); shape inference alone would
+    // coerce them to longs 7/12, destroying the zero padding — the cell
+    // type tag must win, as pandas' read_excel honors it
+    val df = Seq(("007", 7L), ("012", 12L), ("true", 1L))
+      .toDF("Code", "N")
+    val path = tmpXlsx()
+    Xlsx.saveWorkbook(Seq((df, "S", (0, 0))), path)
+    val back = Xlsx.readWorkbook(spark, path)
+    assert(back.schema("Code").dataType.typeName == "string")
+    assert(back.schema("N").dataType.typeName == "long")
+    assert(back.filter(col("Code") === "007").count() == 1)
+    assert(back.filter(col("Code") === "true").count() == 1,
+      "a string 'true' must not become a boolean")
+  }
+
   test("Date cells accept Excel numeric day serials (openpyxl shape)") {
     // serial 45292 = 2024-01-01 (days since 1899-12-30)
     val tmp = java.nio.file.Files.createTempDirectory("xl_serial")
