@@ -73,13 +73,19 @@ object Masking {
   }
 
   /** P5: regex-replace placeholders back to names
-    * (`labeling.py:23-44`): `Target Company(_\d+)?` → target name,
-    * `Other Company_k` → mapped name. */
+    * (`labeling.py:23-44`): `Target Company(_\d{1,2})?` → target name
+    * FIRST, then `Other Company_k` → mapped name — the reference's order
+    * (`re.sub` at labeling.py:30 precedes the loop at :35). The order is
+    * load-bearing, not style: a restored OTHER name containing the literal
+    * "Target Company" (e.g. "Target Company Holdings") must survive, and
+    * an others-first fold would hand it to the target regex to corrupt.
+    * The `{1,2}` suffix bound also mirrors the reference verbatim. */
   def unmask(masked: String, targetName: String, phMap: Seq[(Int, String)]): String = {
-    val withOthers = phMap.sortBy(-_._1).foldLeft(masked) {
+    val withTarget = masked.replaceAll("Target Company(_\\d{1,2})?",
+      java.util.regex.Matcher.quoteReplacement(targetName))
+    phMap.sortBy(-_._1).foldLeft(withTarget) {
       case (acc, (idx, name)) => acc.replace(OtherPrefix + idx, name)
     }
-    withOthers.replaceAll("Target Company(_\\d+)?", java.util.regex.Matcher.quoteReplacement(targetName))
   }
 
   /** UDF over (text, entities array<struct<key,name,start,end>>, target_key)

@@ -34,12 +34,23 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
-  // nullable even over non-null children: a LENGTH MISMATCH yields NULL —
-  // the same answer the DuckDB twin produces (list_zip pads the short side
-  // with NULL and the fold propagates it), so a malformed vector gives the
-  // two engines the same null instead of a silently-truncated dot on one
-  // side and a gate diff on the other
+  // nullable even over non-null children: a LENGTH MISMATCH or a NULL
+  // ELEMENT yields NULL — the same answers the DuckDB twin produces
+  // (list_zip pads the short side with NULL, and any NULL element
+  // propagates through the fold), so a malformed vector gives the two
+  // engines the same null. Reading getDouble on a null slot would have
+  // silently treated NULL as 0.0 — a cross-engine gate diff the moment
+  // real data carried a null element.
   override def nullable: Boolean = true
+
+  // static schema fact: when BOTH input types prove containsNull=false,
+  // the per-element null check is compiled out and the hot loop stays
+  // branch-free — the common parquet embedding shape pays nothing
+  private def mayHaveNullElements: Boolean = Seq(left, right).exists(
+    _.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -47,9 +58,11 @@ case class DotProduct(left: Expression, right: Expression)
     if (x.numElements() != y.numElements()) null
     else {
       val n = x.numElements()
+      val checkNulls = mayHaveNullElements
       var s = 0.0
       var i = 0
       while (i < n) {
+        if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
         s += x.getDouble(i) * y.getDouble(i)
         i += 1
       }
@@ -62,6 +75,14 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |      ${ev.isNull} = true;
+             |      break;
+             |    }
+             |    """.stripMargin
+        else ""
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -69,9 +90,11 @@ case class DotProduct(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |    $nullCheck$s += $a.getDouble($i) * $b.getDouble($i);
          |  }
-         |  ${ev.value} = $s;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
        """.stripMargin
     })

@@ -285,6 +285,21 @@ object GraphOps {
   private val qSpringLayout = Q(
     "q_spring_layout",
     (s, d) => {
+      if (graft.PlanProbe.planOnly.value) {
+        // plan-only: building this query must cost nothing (PlanProbe's
+        // contract for the registry-wide sweep), but springLayout is a
+        // driver COLLECT of the co-mention pipeline plus the O(n²) force
+        // loop. Expose the upstream join/aggregate instead — the part
+        // with a distributed plan worth guarding, which the post-collect
+        // LocalRelation would otherwise hide from the sweep — shaped to
+        // the gate's output schema.
+        val e = comentionEdges(s, d)
+        e.select(col("src").as("node")).union(e.select(col("dst")))
+          .distinct()
+          .withColumn("in_range", lit(true))
+          .withColumn("axis_max_ok", lit(true))
+          .orderBy(col("node"))
+      } else {
       val layout = springLayout(s, comentionEdges(s, d),
         iterations = 50, seed = 42L, weightCol = Some("weight"))
       val cmax = greatest(abs(col("x")), abs(col("y")))
@@ -295,6 +310,7 @@ object GraphOps {
         .withColumn("axis_max_ok", abs(max(cmax).over(all) - 1.0) <= lit(1e-9))
         .select(col("node"), col("in_range"), col("axis_max_ok"))
         .orderBy(col("node"))
+      }
     },
     Some(
       s"""${Oracle.labeledCte},

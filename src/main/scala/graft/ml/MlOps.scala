@@ -59,6 +59,7 @@ object MlOps {
       // side-effect-free and so the guard sees the tokenizer pipeline
       // instead of an InMemoryRelation leaf
       val vecs = if (planOnly) base else base.cache()
+      try {
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
         .setNumHashTables(8).setSeed(42L)
       val model = lsh.fit(vecs)
@@ -85,10 +86,12 @@ object MlOps {
           sum(when(abs(col("jaccard_dist") - col("exact_dist")) > 1e-9, 1L)
             .otherwise(0L)).as("n_dist_mismatch"))
       // materialize the 1-row verdict, then release the cache (identity in
-      // plan-only mode, where nothing executed and nothing was cached)
-      val cut = graft.PlanProbe.cut(out)
-      if (!planOnly) vecs.unpersist(false)
-      cut
+      // plan-only mode, where nothing executed and nothing was cached).
+      // finally-release: Dataset.cache registers eagerly in the
+      // CacheManager and is NOT GC-reclaimed, so a fit/join failure
+      // mid-query must not pin the term-vector frame for the session
+      graft.PlanProbe.cut(out)
+      } finally { if (!planOnly) vecs.unpersist(false) }
     },
     Some("SELECT TRUE AS has_pairs, CAST(0 AS BIGINT) AS n_dist_mismatch"))
 
@@ -121,6 +124,9 @@ object MlOps {
       // shuffle; released after the 1-row verdict materializes (the same
       // lifecycle discipline as qMlMinhash above)
       val vecs = vecs0.cache()
+      var bcRef: Option[org.apache.spark.broadcast.Broadcast[
+        Array[Array[Double]]]] = None
+      try {
       // k scales with the corpus (k ≈ n/targetBucket, matching the
       // hand-rolled adaptive quantizer in graft.sim) so expected cell
       // population stays constant as the table grows — a fixed k would make
@@ -143,6 +149,7 @@ object MlOps {
       val model = km.fit(vecs)
       val centers = model.clusterCenters.map(_.toArray)
       val bc = s.sparkContext.broadcast(centers)
+      bcRef = Some(bc)
       val nearestOk = udf((a: Seq[Float], assigned: Int) => {
         val v = a.map(_.toDouble).toArray
         def d2(c: Array[Double]): Double = {
@@ -157,9 +164,14 @@ object MlOps {
         .withColumn("ok", nearestOk(col("embedding"), col("cluster")))
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(!col("ok"), 1L).otherwise(0L)).as("n_mismatch"))
-      val cut = graft.PlanProbe.cut(out)
-      vecs.unpersist(false)
-      cut
+      graft.PlanProbe.cut(out)
+      } finally {
+        // finally-release (same rationale as qMlMinhash): a count/fit
+        // failure must not pin the embedding frame, and the centers
+        // broadcast is driver-memory that outlives the query otherwise
+        vecs.unpersist(false)
+        bcRef.foreach(_.destroy())
+      }
       }
     },
     Some(

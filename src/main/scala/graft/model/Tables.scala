@@ -279,6 +279,13 @@ object Tables {
   private val docCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def docCount(s: SparkSession, d: String): Long =
-    docCountCache.computeIfAbsent(d,
-      _ => documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1)
+    docCountCache.computeIfAbsent(d, _ => {
+      val row = documents(s, d).agg(max(col("doc_id"))).head()
+      // fail by name on an empty table: getLong on the NULL max would
+      // throw an opaque unboxing NPE, and the downstream pmod(_, 0)
+      // assignment key is a divide-by-zero shape anyway
+      require(!row.isNullAt(0),
+        s"documents table at $d is empty — no doc_id to key text assignment")
+      row.getLong(0) + 1
+    })
 }

@@ -88,12 +88,15 @@ object ThemeTree {
     import org.json4s.jackson.JsonMethods
 
     def intOf(v: JValue): Option[Int] = v match {
-      case JInt(x) => Some(x.toInt)
-      case JLong(x) => Some(x.toInt)
+      // range-checked: an out-of-Int-range id (2^32+2) must FAIL the
+      // parse like a fractional one, not wrap to a colliding small id
+      case JInt(x) if x.isValidInt => Some(x.toInt)
+      case JLong(x) if x >= Int.MinValue && x <= Int.MaxValue => Some(x.toInt)
       // LLMs routinely emit integral doubles ("Node": 2.0) — accept them;
       // a genuinely fractional Node id still fails the parse
-      case JDouble(x) if x.isWhole => Some(x.toInt)
-      case JDecimal(x) if x.isWhole => Some(x.toInt)
+      case JDouble(x) if x.isWhole && x >= Int.MinValue && x <= Int.MaxValue =>
+        Some(x.toInt)
+      case JDecimal(x) if x.isWhole && x.isValidInt => Some(x.toInt)
       case _ => None
     }
     def toNode(v: JValue): Either[String, ThemeNode] = v match {

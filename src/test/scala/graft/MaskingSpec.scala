@@ -56,6 +56,22 @@ class MaskingSpec extends AnyFunSuite {
     assert(um == "Acme sells to Bolt and Core")
   }
 
+  test("unmask restores a name containing the literal 'Target Company'") {
+    // reference order (labeling.py:30 before :35): the target regex runs
+    // FIRST, so an other-entity name like "Target Company Holdings"
+    // restored afterwards is never handed to the target regex to corrupt
+    // ("Acme Holdings"). Also pins the reference's _\d{1,2} suffix bound.
+    val um = Masking.unmask("Other Company_1 cut costs", "Acme",
+      Seq((1, "Target Company Holdings")))
+    assert(um == "Target Company Holdings cut costs")
+    assert(Masking.unmask("Target Company_2 rose", "Acme", Nil)
+      == "Acme rose")
+    // 3-digit suffix: the greedy {1,2} consumes two digits and leaves the
+    // third — CPython-verified reference behavior, quirk and all
+    assert(Masking.unmask("Target Company_123 rose", "Acme", Nil)
+      == "Acme3 rose")
+  }
+
   test("overlapping non-target spans resolve keep-first, never garble") {
     // nested/overlapping NER mentions: e2 overlaps e1 — the right-to-left
     // splice is only offset-safe over disjoint spans, so e2 must be DROPPED

@@ -66,4 +66,18 @@ class VectorExprsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val interp = df.selectExpr("graft_dot(a, b) AS d").collect()
     assert(interp(0).isNullAt(0) && interp(1).getDouble(0) == 11.0)
   }
+
+  test("a NULL element yields null, not a silent 0.0 (oracle parity)") {
+    // DuckDB propagates a NULL element through the fold; reading getDouble
+    // on the null slot would have treated it as 0.0 — a cross-engine diff
+    // on any row whose vector carries a null element
+    VectorExprs.register(spark)
+    val df = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), " +
+        "array(1.0D, 2.0D)) AS d, " +
+        "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS ok")
+    val r = df.collect().head
+    assert(r.isNullAt(0), "a null element must propagate to a null dot")
+    assert(r.getDouble(1) == 11.0)
+  }
 }
