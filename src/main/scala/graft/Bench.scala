@@ -142,11 +142,14 @@ object Bench {
     val extras10Json = extras10.map(name => "\"" + name + "\":" + minOf(name))
       .mkString("{", ",", "}")
     // extras participate in failure gating exactly like headline queries —
-    // a broken or unregistered showcase operator must not exit 0
+    // a broken or unregistered showcase operator must not exit 0. The rep
+    // gate is ANY failed rep, not all-reps-failed: a query that succeeds
+    // on pass 1 and OOMs on passes 2-3 still has a valid best-of (minOf
+    // ≥ 0), and gating on minOf alone would ship the intermittent crash
+    // with failures:[] and exit 0
     val failed =
       (headline ++ extraHeadline ++ extraR10).filterNot(qs0.contains) ++
-      results.filter(_._2 < 0).map(_._1) ++
-      (extras ++ extras10).filter(minOf(_) < 0)
+      (present ++ extras ++ extras10).filter(n => times(n).exists(_ < 0))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit
     // comma decimals (broken JSON) on comma-decimal default locales

@@ -74,11 +74,20 @@ object BenchDrift {
     val clean = cleanIdx(calib).map(samples).filter(_ >= 0)
     steady match {
       case None => "new"
+      // a non-positive baseline entry (typo, or a sub-resolution 0.0) is
+      // not comparable: without the guard `clean.min >= 2·0·run` flags
+      // EVERY run structural forever, while runRatio silently excludes the
+      // same entry from its pool — the two functions must agree on what a
+      // valid baseline is
+      case Some(s0) if s0 <= 0 => "new"
       case Some(s0) =>
         if (samples.forall(_ < 0)) "failed"
         else if (clean.isEmpty) "no_clean_pass"
         else if (clean.size >= 2 && clean.min >= 2.0 * s0 * run) "structural"
-        else if (clean.min > 1.3 * s0) "noise" // outside ±30%, not proven
+        // the envelope is two-sided: an implausible SPEEDUP (a query gone
+        // near-empty) is as much a drift signal as a slowdown — still
+        // non-gating, but it must not read "ok"
+        else if (clean.min > 1.3 * s0 || clean.min < s0 / 1.3) "noise"
         else "ok"
     }
   }

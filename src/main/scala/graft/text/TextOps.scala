@@ -161,11 +161,15 @@ object TextOps {
       // one plan (8 parquet scans, zero reused exchanges). The capped sh is
       // deliberately NOT checkpointed: the df-cap semi-join must stay in
       // the final plan (PlanGuardSpec pins it — it is the guard against the
-      // quadratic hot-key tail), and downstream re-reads hit the sh0 cache.
-      // (PlanProbe.cut ≡ localCheckpoint at execution time; these sketch
-      // checkpoints are intentional session-lifetime caches — O(shingles)
-      // rows, shared by every re-invocation in the same session — and the
-      // plan-only mode used by plan sweeps skips them entirely.)
+      // quadratic hot-key tail), and downstream re-reads within THIS
+      // query's plan hit the sh0 checkpoint. (PlanProbe.cut ≡
+      // localCheckpoint at execution time. Scope is per-INVOCATION, not
+      // per-session: each call to this builder runs the shingle job once
+      // and registers a fresh checkpoint that the ContextCleaner reclaims
+      // after the frame is unreachable — sharing across invocations would
+      // need a memo like SimilarityOps.nearDupIndexMemo, a deliberate
+      // non-goal here since the gate invokes each query once per pass.
+      // Plan-only sweeps skip the cut entirely.)
       val sh0 = graft.PlanProbe.cut(docShingles(s, d))
       val ok = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= ShingleDfCap).select(col("s"))
@@ -222,8 +226,11 @@ object TextOps {
     // candidate-pair query, so without a lineage cut the whole
     // shingle+minhash pipeline would execute once per join side (measured:
     // zero exchange reuse across the self-join). The signature is 1 row/doc
-    // — the cheapest thing in the pipeline to hold — kept for the session
-    // by design.
+    // — the cheapest thing in the pipeline to hold. Scope is
+    // per-INVOCATION (each bandTable call builds afresh; the checkpoint is
+    // reclaimed once the frame is unreachable) — callers that consume the
+    // table more than once share the RETURNED frame instead
+    // (TextScaleStress does).
     val sig = graft.PlanProbe.cut(hashed.groupBy(col("doc_id"))
       .agg(mhCols.head, mhCols.tail: _*))
     sig.select(col("doc_id"), explode(array(
@@ -287,15 +294,22 @@ object TextOps {
 
   /** MinHash band-bucket candidate pairs (doc_a < doc_b, distinct): docs
     * sharing a band bucket of [[bandTable]] become candidates. Shared by
-    * the LSH near-dup query and the duplicate-cluster connected-components
-    * query ([[CorpusOps]]). */
-  private[text] def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    val bands = bandTable(s, d)
+    * the LSH near-dup query, the duplicate-cluster connected-components
+    * query ([[CorpusOps]]), and the scale-stress harness
+    * ([[graft.tools.TextScaleStress]] — which must pin THIS definition,
+    * not a re-implementation that could silently drift from the shipped
+    * query). */
+  private[graft] def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
+    lshCandidatePairsFrom(bandTable(s, d))
+
+  /** [[lshCandidatePairs]] over a PREBUILT band table — lets a caller that
+    * also reads the band table directly (the stress harness' Σb² check)
+    * share one build instead of paying the shingle→minhash job twice. */
+  private[graft] def lshCandidatePairsFrom(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-  }
 
   /** DuckDB CTE chain ending in `cand(doc_a, doc_b)` — twin of
     * [[lshCandidatePairs]] (includes the shingle CTEs). */

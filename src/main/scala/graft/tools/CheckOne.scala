@@ -1,14 +1,16 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.SparkSession
 
 import graft.SparkEntry
 
 /** Dev helper: dump a SUBSET of SparkEntry.queries (args(2..)) to parquet +
   * oracle_sql.json in the Verify layout, so `scripts/check.py` can compare
-  * just the queries a change touched instead of the full registry.
+  * just the queries a change touched instead of the full registry. Shares
+  * [[graft.Verify]]'s dump discipline verbatim (same escape rules, same
+  * stale-dump deletion on failure, same per-query cut release) — the two
+  * mains must never drift, and one failing query must not abort the rest
+  * of the requested dumps.
   *
   * {{{ sbt "runMain graft.tools.CheckOne /root/testdata/sf0.01 /tmp/out q_bm25 ..." }}}
   */
@@ -29,21 +31,9 @@ object CheckOne {
     new java.io.File(outDir).mkdirs()
     val qs = SparkEntry.queries
     names.foreach { name =>
-      qs(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      graft.Verify.dumpQuery(spark, sfDir, outDir, name, qs(name))
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.view.filterKeys(names.contains)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.Verify.writeOracleJson(outDir, names)
     spark.stop()
   }
 }

@@ -85,7 +85,10 @@ object InvariantCheck {
         else Some(s"$name: $column = $v VIOLATES '$desc'")
       } catch {
         case e: Throwable => Some(s"$name: failed to run: ${e.getMessage}")
-      }
+      } finally graft.PlanProbe.releaseCuts() // per-invariant boundary:
+      // under cutPolicy=disk the cuts registry holds strong refs, so a
+      // ~15-min sweep without releases would grow block-store usage
+      // monotonically instead of plateauing per unit of work
     }
     // Pointer-jumping round bound: the synthetic chain graph has diameter
     // min(nDocs, ChainBucket)-1, and the CC loop must resolve it in
@@ -113,7 +116,7 @@ object InvariantCheck {
         s"$bound for diameter $diameter — pointer jumping is not engaging")
     } catch {
       case e: Throwable => Some(s"q_cc_chain: failed to run: ${e.getMessage}")
-    }
+    } finally graft.PlanProbe.releaseCuts()
     // Sequence-packing conservation: every document is packed exactly once
     // — the manifests' doc counts and token fills must sum to the corpus
     // totals (a dropped or double-packed doc breaks training-data audits).
@@ -263,7 +266,7 @@ object InvariantCheck {
     } catch {
       case e: Throwable =>
         Some(s"ivf_lifecycle: failed to run: ${e.getMessage}")
-    }
+    } finally graft.PlanProbe.releaseCuts()
     val failures = tableFailures ++ ccFailure ++ packFailure ++ ffdFailure ++
       ivfShapeFailure ++ ivfSuperFailure ++ ivfRecallFailures ++
       ivfLifecycleFailure

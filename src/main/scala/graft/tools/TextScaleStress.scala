@@ -74,14 +74,18 @@ object TextScaleStress {
   }
 
   /** Ground-truth cluster recall of the MinHash band candidates; also
-    * returns the measured numbers for the curve record. */
+    * returns the measured numbers for the curve record. Candidates come
+    * from [[graft.text.TextOps.lshCandidatePairsFrom]] — the SHIPPED
+    * definition, so the recall evidence always measures the query that
+    * runs in production, not a re-implementation that could drift. Pass
+    * `bands` when the caller also reads the band table (shares one
+    * shingle→minhash build across checks). */
   def lshRecallCheck(s: SparkSession, d: String, factor: Int,
-      floor: Double = 0.8): (Seq[String], String) = {
-    val bands = graft.text.TextOps.bandTable(s, d)
-    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      floor: Double = 0.8,
+      bands: Option[org.apache.spark.sql.DataFrame] = None)
+      : (Seq[String], String) = {
+    val cand = graft.text.TextOps.lshCandidatePairsFrom(
+      bands.getOrElse(graft.text.TextOps.bandTable(s, d)))
     val eligible = s.read.parquet(s"$d/documents.parquet")
       .filter(pmod(col("doc_id"), lit(factor)) === 0 &&
         size(split(col("text"), "\\s+")) >= 12)
@@ -104,10 +108,11 @@ object TextScaleStress {
     floor(c / by).cast("long")
 
   /** Σ bucket² bound over the band table — the no-stop-key pin. */
-  def lshVolumeCheck(s: SparkSession, d: String,
-      factor: Int): (Seq[String], String) = {
+  def lshVolumeCheck(s: SparkSession, d: String, factor: Int,
+      bands: Option[org.apache.spark.sql.DataFrame] = None)
+      : (Seq[String], String) = {
     val n = s.read.parquet(s"$d/documents.parquet").count()
-    val sumSq = graft.text.TextOps.bandTable(s, d)
+    val sumSq = bands.getOrElse(graft.text.TextOps.bandTable(s, d))
       .groupBy(col("band"), col("key")).agg(count(lit(1)).as("b"))
       .agg(sum(col("b") * col("b"))).head().getLong(0)
     val bound = n * (4L * factor + 64)
@@ -183,9 +188,13 @@ object TextScaleStress {
     val n = spark.read.parquet(s"$outDir/documents.parquet").count()
     println(s"[textstress] blowup ready: $srcDir ×$factor → $outDir (n=$n)")
 
-    val (f1, m1) = lshRecallCheck(spark, outDir, factor)
+    // ONE band-table build (its internal cut makes it reusable) shared by
+    // both LSH checks — at 10×/25× the shingle→minhash job is the
+    // dominant cost and paying it twice doubled the harness runtime
+    val bands = Some(graft.text.TextOps.bandTable(spark, outDir))
+    val (f1, m1) = lshRecallCheck(spark, outDir, factor, bands = bands)
     println(s"[textstress] $m1")
-    val (f2, m2) = lshVolumeCheck(spark, outDir, factor)
+    val (f2, m2) = lshVolumeCheck(spark, outDir, factor, bands)
     println(s"[textstress] $m2")
     val (f3, m3) = ngramTopCheck(spark, outDir, factor)
     println(s"[textstress] $m3")

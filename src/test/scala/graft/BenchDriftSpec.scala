@@ -47,6 +47,26 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(BenchDrift.status(Some(1.0), Seq(2.5, 2.6, 1.1), clean3) == "ok")
   }
 
+  test("the noise envelope is two-sided: an implausible speedup is drift") {
+    // a query gone near-empty (silently broken) runs far FASTER than
+    // steady — that is a drift signal, not health; still non-gating
+    assert(BenchDrift.status(Some(1.0), Seq(0.2, 0.25, 0.22), clean3)
+      == "noise")
+    // a mild warm-cache speedup inside the envelope stays ok
+    assert(BenchDrift.status(Some(1.0), Seq(0.85, 0.9, 0.88), clean3)
+      == "ok")
+  }
+
+  test("a non-positive steady entry is not comparable (treated as new)") {
+    // without the guard, 2·0·run = 0 flags every run structural forever
+    // while runRatio excludes the same entry from its pool
+    assert(BenchDrift.status(Some(0.0), Seq(1.0, 1.1, 0.9), clean3) == "new")
+    assert(BenchDrift.status(Some(-1.0), Seq(1.0, 1.1, 0.9), clean3)
+      == "new")
+    assert(BenchDrift.cleanBestRatio(Some(0.0), Seq(1.0, 1.1, 0.9), clean3)
+      .isEmpty)
+  }
+
   test("structural needs ≥2 clean passes") {
     // only pass 3 is clean and it is 3× steady: suspicious but a single
     // comparable sample is not proof
