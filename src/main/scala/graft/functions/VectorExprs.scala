@@ -45,12 +45,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   // static schema fact: when BOTH input types prove containsNull=false,
   // the per-element null check is compiled out and the hot loop stays
-  // branch-free — the common parquet embedding shape pays nothing
-  private def mayHaveNullElements: Boolean = Seq(left, right).exists(
-    _.dataType match {
-      case ArrayType(_, cn) => cn
-      case _ => true
-    })
+  // branch-free — the common parquet embedding shape pays nothing.
+  // lazy val, not def: the interpreted path reads this per row inside
+  // nullSafeEval, and a def would pay a Seq allocation + match each time
+  @transient private lazy val mayHaveNullElements: Boolean =
+    Seq(left, right).exists(
+      _.dataType match {
+        case ArrayType(_, cn) => cn
+        case _ => true
+      })
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -168,9 +168,14 @@ object MlOps {
       } finally {
         // finally-release (same rationale as qMlMinhash): a count/fit
         // failure must not pin the embedding frame, and the centers
-        // broadcast is driver-memory that outlives the query otherwise
+        // broadcast is driver-memory that outlives the query otherwise.
+        // unpersist, NOT destroy: under cutPolicy=disk PlanProbe.cut
+        // keeps lineage alive for recompute-on-failure, and a recomputed
+        // partition re-enters nearestOk — destroy() would fail that
+        // recompute and defeat the disk policy's recovery contract,
+        // while unpersist() lets the driver re-ship the value on demand
         vecs.unpersist(false)
-        bcRef.foreach(_.destroy())
+        bcRef.foreach(_.unpersist(false))
       }
       }
     },

@@ -694,7 +694,11 @@ object SimilarityOps {
           // a loser that crashed between its deposited-inside rename and
           // its own cleanup (publishDurableZone) leaves `.build_nd_*`
           // debris INSIDE the committed zone — the one place the
-          // top-level scan can't see. Same age rule as top-level builds.
+          // top-level scan can't see. The shallow dir mtime suffices
+          // here (unlike top-level builds, which need newestMtime to
+          // depth 2): deposited debris is a COMPLETE build whose last
+          // write was the rename that set this mtime — nothing inside
+          // it can still be progressing, so no deeper probe is needed.
           val inner =
             try fs.listStatus(st.getPath)
             catch { case _: java.io.IOException =>

@@ -330,21 +330,31 @@ object SourceOps {
     val e0 = recordEnd(0)
     require(e0 < raw.length, s"no header line in $path")
     val e1 = recordEnd(e0 + 1)
-    def slice(tag: String, text: String): String = {
-      val f = java.nio.file.Files
-        .createTempDirectory(s"graft_sheet_$tag").resolve(s"$tag.csv")
+    // one temp dir per call, not per slice; the header slice is fully
+    // consumed by .head() so it is deleted eagerly, while the body slice
+    // backs the returned (lazy) DataFrame and can only be reclaimed at
+    // JVM exit — deleteOnExit keeps a long-lived driver from accumulating
+    // unreclaimable litter across repeated workbook reads
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_sheet")
+    tmpDir.toFile.deleteOnExit()
+    def slice(tag: String, text: String): java.nio.file.Path = {
+      val f = tmpDir.resolve(s"$tag.csv")
       java.nio.file.Files.writeString(f, text)
-      f.toString
+      f
     }
     // the header goes through the SAME CSV parser as the body — a naive
     // split(",") would shear a quoted header containing a comma
     // (`"Revenue, Net"`) into two names and misalign every column after it
-    val names = spark.read.option("multiLine", "true")
-      .csv(slice("header", raw.substring(e0 + 1, e1).stripSuffix("\r")))
-      .head().toSeq.map(v => if (v == null) "" else v.toString.trim)
+    val headerFile = slice("header", raw.substring(e0 + 1, e1).stripSuffix("\r"))
+    val names =
+      try spark.read.option("multiLine", "true").csv(headerFile.toString)
+        .head().toSeq.map(v => if (v == null) "" else v.toString.trim)
+      finally java.nio.file.Files.deleteIfExists(headerFile)
     val bodyTxt = if (e1 >= raw.length) "" else raw.substring(e1 + 1)
+    val bodyFile = slice("body", bodyTxt)
+    bodyFile.toFile.deleteOnExit()
     val parsed = spark.read.option("inferSchema", "true")
-      .option("multiLine", "true").csv(slice("body", bodyTxt))
+      .option("multiLine", "true").csv(bodyFile.toString)
     val kept = names.zipWithIndex.filter { case (n, _) =>
       n.nonEmpty && !n.startsWith("Unnamed:") }
     val named = parsed.select(kept.toSeq.map { case (n, i) => col(s"_c$i").as(n) }: _*)
