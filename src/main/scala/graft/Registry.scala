@@ -28,5 +28,6 @@ object Registry {
       graft.summarize.SummarizeOps.queries ++
       graft.ml.MlOps.queries ++
       graft.report.Presentation.queries ++
+      graft.report.ReportPipeline.queries ++
       graft.label.Labeler.queries
 }
