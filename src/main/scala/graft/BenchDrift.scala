@@ -92,6 +92,45 @@ object BenchDrift {
     }
   }
 
+  /** run_ratio above this is a contended run. One such run is weather;
+    * two CONSECUTIVE such runs are a climate — see [[environmentVerdict]]. */
+  val RunRatioContended = 1.5
+
+  /** Escalation for runRatio's documented blind spot: a change that slows
+    * EVERY query uniformly normalizes away per-query (the median cancels
+    * it), and the driver's headline 2× gate has ~1.8× of steady-state
+    * headroom — a uniform ~1.7× true regression would pass both. But VM
+    * contention windows are transient while a true uniform regression is
+    * persistent, so the record file carries each run's run_ratio and TWO
+    * consecutive contended runs escalate to an explicit machine-readable
+    * verdict instead of two independent "probably just weather" shrugs.
+    *
+    *  - current ≤ 1.5                        → "ok"
+    *  - current > 1.5, previous unknown/≤1.5 → "elevated" (first strike)
+    *  - current > 1.5, previous > 1.5        → "degraded" (persistent:
+    *    re-run on quiet hardware; if the ratio persists, treat it as a
+    *    real uniform regression, not contention)
+    */
+  def environmentVerdict(prevRatio: Option[Double], current: Double): String =
+    if (current <= RunRatioContended) "ok"
+    else if (prevRatio.exists(_ > RunRatioContended)) "degraded"
+    else "elevated"
+
+  /** Pull `run_ratio` out of a previously persisted bench record
+    * (`bench_last_run.json`). Missing/malformed → None (first run, or a
+    * hand-edited file: the verdict degrades gracefully to first-strike). */
+  def parseRunRatio(json: String): Option[Double] = try {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case JObject(fields) => fields.collectFirst {
+        case ("run_ratio", JDouble(v)) => v
+        case ("run_ratio", JInt(v)) => v.toDouble
+        case ("run_ratio", JDecimal(v)) => v.toDouble
+      }
+      case _ => None
+    }
+  } catch { case _: Throwable => None }
+
   /** Parse the steady-state table (`bench_steady_state.json`): every
     * numeric entry of every object-valued section except `comment`,
     * flattened to query → seconds. Malformed input → empty map (Bench

@@ -131,4 +131,30 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(BenchDrift.parseSteady("not json").isEmpty)
     assert(BenchDrift.parseSteady("[1,2]").isEmpty)
   }
+
+  test("environment verdict: two consecutive contended runs escalate") {
+    // quiet run: always ok, regardless of history
+    assert(BenchDrift.environmentVerdict(None, 1.0) == "ok")
+    assert(BenchDrift.environmentVerdict(Some(2.0), 1.0) == "ok")
+    // boundary: exactly 1.5 is NOT contended (strict >)
+    assert(BenchDrift.environmentVerdict(Some(2.0), 1.5) == "ok")
+    // first strike: contended now, but no contended predecessor
+    assert(BenchDrift.environmentVerdict(None, 1.6) == "elevated")
+    assert(BenchDrift.environmentVerdict(Some(1.2), 1.6) == "elevated")
+    assert(BenchDrift.environmentVerdict(Some(1.5), 1.6) == "elevated")
+    // persistent: both this run and the recorded predecessor contended —
+    // the uniform-slowdown blind spot's machine verdict
+    assert(BenchDrift.environmentVerdict(Some(1.6), 1.7) == "degraded")
+    assert(BenchDrift.environmentVerdict(Some(4.0), 2.0) == "degraded")
+  }
+
+  test("parseRunRatio reads a persisted record, tolerates junk") {
+    assert(BenchDrift.parseRunRatio(
+      """{"metric":"total","value":17.8,"run_ratio":1.032,"sf":"x"}""")
+      .contains(1.032))
+    assert(BenchDrift.parseRunRatio("""{"run_ratio":2}""").contains(2.0))
+    assert(BenchDrift.parseRunRatio("""{"value":1.0}""").isEmpty)
+    assert(BenchDrift.parseRunRatio("not json").isEmpty)
+    assert(BenchDrift.parseRunRatio("[1]").isEmpty)
+  }
 }
