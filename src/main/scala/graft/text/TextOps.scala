@@ -147,6 +147,34 @@ object TextOps {
     * corpus size. */
   private[graft] val ShingleDfCap = 50
 
+  /** Production knobs paired with [[ShingleDfCap]] for HIGH-DUPLICATION
+    * corpora. The df cap is CORPUS-RELATIVE: at duplication factor f every
+    * shingle shared by more than τ/f base SOURCES crosses τ and leaves the
+    * representation — measured by TextScaleStress at ×25 on the synthetic
+    * corpus (whose sources share a ~30-word vocabulary, so almost no
+    * shingle is source-unique): the default τ=50 admits only ≤2-source
+    * shingles, documents retain ~0.1 shingles each, and raw Jaccard ties
+    * at 1.0 on 1-2-element capped sets (1/20 same-family in the top-20).
+    * The production pairing, exercised by TextScaleStress past 5·f > τ:
+    *
+    *  - '''[[ShingleDfCapConf]]''' — scale τ with expected duplication
+    *    (τ = c·f, c ≈ 10): a near-dup representation must admit shingles
+    *    with df ≥ f, because f-fold-duplicated sources share exactly
+    *    those. The candidate volume grows to ≤ τ²/2 per shingle — the
+    *    honest quadratic-in-f price when the TRUE pair count is itself
+    *    quadratic in f (each cluster of f copies holds f·(f−1)/2 pairs).
+    *    Production pipelines that can't pay it run exact dedup first,
+    *    which collapses f back toward 1.
+    *  - '''[[NgramMinInterConf]]''' — candidate pairs must share at least
+    *    this many capped shingles (default 1 = off): with the cap scaled,
+    *    true pairs share tens of surviving shingles while degenerate
+    *    coincidence ties share 1-2, so a small floor (≥3-5) removes the
+    *    ties without touching real near-dups.
+    *
+    * The gate runs both defaults so the DuckDB twin is unchanged. */
+  private[graft] val ShingleDfCapConf = "spark.graft.shingleDfCap"
+  private[graft] val NgramMinInterConf = "spark.graft.ngramMinIntersection"
+
   /** n-gram Jaccard near-dup: df-capped distinct shingle sets, bucket join on
     * shingle, |A∩B| / |A∪B| over the capped vocabulary — top-20 most-similar
     * pairs (never thresholds to empty, deterministic at any SF). Both sizes
@@ -171,14 +199,21 @@ object TextOps {
       // non-goal here since the gate invokes each query once per pass.
       // Plan-only sweeps skip the cut entirely.)
       val sh0 = graft.PlanProbe.cut(docShingles(s, d))
+      val dfCap = s.conf.get(ShingleDfCapConf, ShingleDfCap.toString).toInt
       val ok = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") <= ShingleDfCap).select(col("s"))
+        .filter(col("df") <= dfCap).select(col("s"))
       val sh = sh0.join(ok, Seq("s"), "left_semi")
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = sh.select(col("doc_id").as("doc_a"), col("s"))
       val b = sh.select(col("doc_id").as("doc_b"), col("s"))
-      val inter = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+      val inter0 = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+      // min-intersection knob (see NgramMinInterConf): a post-aggregation
+      // filter on the pair counts, so it costs nothing when off (1) and
+      // never changes the candidate-join shape the df cap bounds
+      val minInter = s.conf.get(NgramMinInterConf, "1").toInt
+      val inter =
+        if (minInter > 1) inter0.filter(col("inter") >= minInter) else inter0
       inter
         .join(sizes.withColumnRenamed("doc_id", "doc_a")
           .withColumnRenamed("sz", "sz_a"), Seq("doc_a"))

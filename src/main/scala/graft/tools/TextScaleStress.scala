@@ -137,17 +137,38 @@ object TextScaleStress {
     * UNRELATED docs whose surviving capped sets coincide honestly report
     * Jaccard 1.0 (measured: 11/20 such pairs at 10×, 9/20 same-family).
     * That is the cap doing its job — suppressing corpus-common shingles.
-    * The floor is therefore ACTIVE only while the cap still admits
-    * ≥5-source shingles (5·f ≤ τ): past that point — measured at 25×,
-    * where the synthetic corpus' template vocabulary is stripped to
-    * ≤2-source shingles and Jaccard-1.0 ties on tiny capped sets crowd
-    * the top (1/20 same-family) — raw-Jaccard ranking degenerates by
-    * construction and a production pipeline would pair the cap with a
-    * min-intersection threshold; the tool records the measurement and
-    * pins only fullness + the ≥0.4 floor there. */
+    * While the cap still admits ≥5-source shingles (5·f ≤ τ) the query
+    * runs at its gate defaults; past that point the DEFAULT representation
+    * degenerates by construction (measured at 25× with τ=50: documents
+    * retain ~0.1 shingles, the top-20 is Jaccard-1.0 ties on 1-2-shingle
+    * sets, 1/20 same-family — and a bare min-intersection floor over the
+    * starved sets returns an EMPTY top-20, there is nothing left to rank),
+    * so the tool engages the PRODUCTION pairing documented at
+    * [[graft.text.TextOps.ShingleDfCapConf]]: the duplication-scaled df
+    * cap (τ = 10·f readmits the shingles duplicated sources actually
+    * share) plus the min-intersection floor (kills coincidence ties) —
+    * and pins the SAME family floor there: the fidelity point is
+    * load-bearing at every factor, not waived at high duplication. */
   def ngramTopCheck(s: SparkSession, d: String,
       factor: Int): (Seq[String], String) = {
-    val top = graft.SparkEntry.queries("q_ngram_jaccard")(s, d).collect()
+    // past 5·f > τ the default cap starves the representation; scale the
+    // cap with the KNOWN duplication factor and floor pair support at 5 —
+    // true copies then share tens of surviving shingles, coincidence ties
+    // share 1-2, a wide margin on both sides
+    val native = 5 * factor <= graft.text.TextOps.ShingleDfCap
+    val (dfCap, minInter) =
+      if (native) (graft.text.TextOps.ShingleDfCap, 1) else (10 * factor, 5)
+    val confs = Seq(
+      graft.text.TextOps.ShingleDfCapConf -> dfCap.toString,
+      graft.text.TextOps.NgramMinInterConf -> minInter.toString)
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    if (!native) confs.foreach { case (k, v) => s.conf.set(k, v) }
+    val top =
+      try graft.SparkEntry.queries("q_ngram_jaccard")(s, d).collect()
+      finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
     val family = s.read.parquet(s"$d/documents.parquet")
       .filter(pmod(col("doc_id"), lit(factor)) === 0)
       .select(floor_div(col("doc_id"), factor).as("src"),
@@ -160,13 +181,10 @@ object TextScaleStress {
     }
     val minJ = if (top.isEmpty) 0.0
       else top.map(_.getAs[Double]("jaccard")).min
-    val famFloorActive = 5 * factor <= graft.text.TextOps.ShingleDfCap
     val msg = f"ngram_top=${top.length} min_jaccard=$minJ%.3f " +
-      s"low_jaccard=$lowJ same_family=$sameFam/20" +
-      (if (famFloorActive) "" else " (family floor inactive: cap strips " +
-        "multi-source shingles at this duplication factor)")
-    (if (top.length == 20 && lowJ == 0 && (!famFloorActive || sameFam >= 5))
-       Nil
+      s"low_jaccard=$lowJ same_family=$sameFam/20 " +
+      s"df_cap=$dfCap min_inter=$minInter"
+    (if (top.length == 20 && lowJ == 0 && sameFam >= 5) Nil
      else Seq(s"n-gram top-20 not honest near-dups ($msg)"), msg)
   }
 

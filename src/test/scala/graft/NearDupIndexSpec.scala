@@ -259,4 +259,87 @@ class NearDupIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
     // local path still fingerprints (scheme-less → local FS)
     assert(SimilarityOps.corpusFingerprint(spark, dir) != "absent")
   }
+
+  // ------------------------------------------------------- object stores
+  // publishDurableZone documents that on rename-is-copy stores the publish
+  // is NOT atomic. These cases drive the publish through CopyRenameFileSystem
+  // (copyfs: — deep-copy rename, markers last, crash injectable) to pin the
+  // documented contract: loser-adopts-winner or a LOUD failure — never a
+  // silently torn zone that passes for committed.
+
+  private def withCopyFs[T](f: String => T): T = {
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.copyfs.impl", "graft.CopyRenameFileSystem")
+    val localBase = java.nio.file.Files.createTempDirectory("ndix_os").toString
+    CopyRenameFileSystem.reset()
+    try f(localBase) finally CopyRenameFileSystem.reset()
+  }
+
+  test("rename-is-copy store: a crash mid-publish fails loudly, leaves no " +
+      "committed zone, and the retry rebuilds a complete one") {
+    withCopyFs { localBase =>
+      val base = s"copyfs:$localBase"
+      val fp = SimilarityOps.corpusFingerprint(spark, dir)
+      val localZone = java.nio.file.Paths.get(s"$localBase/nd_$fp")
+      withIndexDir(base) {
+        SimilarityOps.resetNearDupIndexMemo()
+        // tear the copy before ANY data file lands: the destination may
+        // exist (directories are created first) but must never carry a
+        // commit marker — markers are ordered last by construction
+        CopyRenameFileSystem.crashAfterDataFiles = Some(0)
+        intercept[java.io.IOException] {
+          SimilarityOps.nearDupIndexFor(spark, dir)
+        }
+        assert(!java.nio.file.Files.exists(
+          localZone.resolve("assignments").resolve("_SUCCESS")) &&
+          !java.nio.file.Files.exists(
+            localZone.resolve("assignments").resolve("_GRAFT_COMMITTED")),
+          "a torn publish must not leave a zone that looks committed")
+        // retry on a healthy store: the torn destination is distrusted,
+        // cleared, and republished COMPLETE
+        CopyRenameFileSystem.reset()
+        SimilarityOps.resetNearDupIndexMemo()
+        val zone = SimilarityOps.nearDupIndexFor(spark, dir).get
+        assert(zone == s"$base/nd_$fp")
+        assert(java.nio.file.Files.exists(
+          localZone.resolve("assignments").resolve("_SUCCESS")),
+          "the retry must publish a committed zone")
+        assert(spark.read.parquet(s"$zone/assignments").count() > 0,
+          "the republished assignments must be complete and readable")
+      }
+    }
+  }
+
+  test("rename-is-copy store: a lost race still adopts the winner intact") {
+    withCopyFs { localBase =>
+      val base = s"copyfs:$localBase"
+      val fp = SimilarityOps.corpusFingerprint(spark, dir)
+      val localZone = java.nio.file.Paths.get(s"$localBase/nd_$fp")
+      withIndexDir(base) {
+        SimilarityOps.resetNearDupIndexMemo()
+        SimilarityOps.publishRaceHook = () => {
+          val asg = localZone.resolve("assignments")
+          java.nio.file.Files.createDirectories(asg)
+          java.nio.file.Files.writeString(asg.resolve("_SUCCESS"), "")
+          java.nio.file.Files.writeString(
+            asg.resolve("part-winner.parquet"), "winner")
+        }
+        try {
+          val zone = SimilarityOps.nearDupIndexFor(spark, dir).get
+          assert(zone == s"$base/nd_$fp")
+          assert(java.nio.file.Files.exists(
+            localZone.resolve("assignments").resolve("part-winner.parquet")),
+            "the winner's committed zone must be adopted intact")
+          def names(p: java.nio.file.Path): Seq[String] = {
+            val l = p.toFile.list(); if (l == null) Nil else l.toSeq
+          }
+          assert(!names(java.nio.file.Paths.get(localBase))
+              .exists(_.startsWith(".build_nd_")),
+            "no top-level loser build may remain")
+          assert(!names(localZone).exists(_.startsWith(".build_nd_")),
+            "a build copy-deposited inside the winner's zone must be cleaned")
+        } finally SimilarityOps.publishRaceHook = () => ()
+      }
+    }
+  }
 }

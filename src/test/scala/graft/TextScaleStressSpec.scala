@@ -83,4 +83,28 @@ class TextScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(f1.isEmpty && f2.isEmpty && f3.isEmpty,
       s"pins failed: ${(f1 ++ f2 ++ f3).mkString("; ")} [$m1 | $m2 | $m3]")
   }
+
+  test("the min-intersection knob floors pair support and is a pure " +
+      "restriction of the default ranking") {
+    val out = java.nio.file.Files.createTempDirectory("ts_e").toString
+    TextScaleStress.blowUpDocs(spark, dir, out, 3)
+    val q = SparkEntry.queries("q_ngram_jaccard")
+    val base = q(spark, out).collect()
+    val k = 5L
+    spark.conf.set(graft.text.TextOps.NgramMinInterConf, k.toString)
+    val kept =
+      try q(spark, out).collect()
+      finally spark.conf.unset(graft.text.TextOps.NgramMinInterConf)
+    assert(kept.nonEmpty && kept.forall(_.getAs[Long]("inter") >= k),
+      "a pair below the support floor survived the knob")
+    // filtering preserves relative order, so every supported pair of the
+    // default top-20 must reappear in the filtered top-20 (new entries may
+    // rise from below it — that is the point of the knob)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+    val keptKeys = kept.map(key).toSet
+    base.filter(_.getAs[Long]("inter") >= k).foreach(r =>
+      assert(keptKeys.contains(key(r)),
+        s"supported pair ${key(r)} dropped out of the filtered ranking"))
+  }
 }
