@@ -67,6 +67,11 @@ object Bench {
     "q_wrap_truncate",     // P8 wrap UDF + codegen truncation window
     "q_embed_neardup_ivf") // hierarchical 8-table OR-amplified IVF near-dup
 
+  /** Operators born in round 13 — same frozen-set protocol as
+    * [[extraR10]] (`extras_r13` in the JSON, own calibration samples). */
+  val extraR13: Seq[String] = Seq(
+    "q_report_pipeline")   // §3.3 composed search→label→score→coalesce chain
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -106,10 +111,12 @@ object Bench {
     val present = headline.filter(qs0.contains)
     val extras = extraHeadline.filter(qs0.contains)
     val extras10 = extraR10.filter(qs0.contains)
+    val extras13 = extraR13.filter(qs0.contains)
     val passes = 3
     // times(name) accumulates one entry per pass; -1 marks a failed rep
     val times = scala.collection.mutable.Map(
-      (present ++ extras ++ extras10).map(_ -> List.empty[Double]): _*)
+      (present ++ extras ++ extras10 ++ extras13)
+        .map(_ -> List.empty[Double]): _*)
     // headline passes run FIRST and alone — extras must not perturb the
     // page-cache/GC conditions of headline reps 2-3, or `total` stops being
     // comparable to rounds benched before extras existed; each later block
@@ -130,6 +137,11 @@ object Bench {
       extras10.foreach { name => times(name) :+= once(name, qs0(name)) }
       c
     }
+    val calibExtras13 = (1 to passes).map { _ =>
+      val c = calibrate()
+      extras13.foreach { name => times(name) :+= once(name, qs0(name)) }
+      c
+    }
     def minOf(name: String): Double = {
       val ok = times(name).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
@@ -141,6 +153,8 @@ object Bench {
       .mkString("{", ",", "}")
     val extras10Json = extras10.map(name => "\"" + name + "\":" + minOf(name))
       .mkString("{", ",", "}")
+    val extras13Json = extras13.map(name => "\"" + name + "\":" + minOf(name))
+      .mkString("{", ",", "}")
     // extras participate in failure gating exactly like headline queries —
     // a broken or unregistered showcase operator must not exit 0. The rep
     // gate is ANY failed rep, not all-reps-failed: a query that succeeds
@@ -148,8 +162,10 @@ object Bench {
     // ≥ 0), and gating on minOf alone would ship the intermittent crash
     // with failures:[] and exit 0
     val failed =
-      (headline ++ extraHeadline ++ extraR10).filterNot(qs0.contains) ++
-      (present ++ extras ++ extras10).filter(n => times(n).exists(_ < 0))
+      (headline ++ extraHeadline ++ extraR10 ++ extraR13)
+        .filterNot(qs0.contains) ++
+      (present ++ extras ++ extras10 ++ extras13)
+        .filter(n => times(n).exists(_ < 0))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit
     // comma decimals (broken JSON) on comma-decimal default locales
@@ -159,6 +175,7 @@ object Bench {
     val calibJson = fmtCalib(calib)
     val calibExtrasJson = fmtCalib(calibExtras)
     val calibExtras10Json = fmtCalib(calibExtras10)
+    val calibExtras13Json = fmtCalib(calibExtras13)
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // ---- machine-readable drift verdicts --------------------------------
@@ -191,7 +208,8 @@ object Bench {
     // against the median. Computed before adjudication; emitted as
     // "run_ratio" so readers see the contention the verdicts discounted.
     val blocks: Seq[(Seq[String], Seq[Double])] =
-      Seq(present -> calib, extras -> calibExtras, extras10 -> calibExtras10)
+      Seq(present -> calib, extras -> calibExtras,
+        extras10 -> calibExtras10, extras13 -> calibExtras13)
     val runRatio = BenchDrift.runRatio(blocks.flatMap { case (names, cs) =>
       names.flatMap(n => BenchDrift.cleanBestRatio(steady.get(n), times(n), cs))
     })
@@ -216,7 +234,8 @@ object Bench {
     val drift: Seq[(String, (String, String))] =
       present.map(n => n -> driftOf(n, calib)) ++
         extras.map(n => n -> driftOf(n, calibExtras)) ++
-        extras10.map(n => n -> driftOf(n, calibExtras10))
+        extras10.map(n => n -> driftOf(n, calibExtras10)) ++
+        extras13.map(n => n -> driftOf(n, calibExtras13))
     val driftJson = drift.map(_._2._2).mkString("{", ",", "}")
     val structural = drift.collect { case (n, ("structural", _)) => n }
     val structuralJson = structural.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -236,7 +255,7 @@ object Bench {
     } catch { case _: Throwable => None }
     val envVerdict = BenchDrift.environmentVerdict(prevRatio, runRatio)
 
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"drift":$driftJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","drift_baseline":"$baselineTag","sf":"$sfDir"}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"extras_r13":$extras13Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"calibration_extras_r13":$calibExtras13Json,"drift":$driftJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","drift_baseline":"$baselineTag","sf":"$sfDir"}"""
     // Persist the full record: the driver's tail capture keeps only the
     // compact trailing line, so per-query history would otherwise live
     // only in prose. A write failure (read-only checkout, container FS)
