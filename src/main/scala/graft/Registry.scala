@@ -17,6 +17,8 @@ object Registry {
       graft.analytics.Relational.queries ++
       graft.analytics.TimeSeriesOps.queries ++
       graft.analytics.Baskets.queries ++
+      graft.analytics.MarketPipeline.queries ++
+      graft.analytics.ScreenerPipeline.queries ++
       graft.analytics.Sessions.queries ++
       graft.analytics.AsOf.queries ++
       graft.ingest.ChunkOps.queries ++

@@ -1,0 +1,262 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Oracle, Q}
+import graft.label.Labeler
+import graft.model.Tables
+import graft.query.QueryAlgebra
+import graft.query.QueryAlgebra._
+
+/** §3.1 end-to-end market-analysis pipeline — the reference's flagship
+  * lifecycle (`AI_Cost_Cutting_Market_Analysis.ipynb` cells 18-41, traced in
+  * SURVEY.md §3.1) composed as ONE gated DataFrame pipeline, the way
+  * [[graft.report.ReportPipeline]] composes §3.3. Every stage is individually
+  * hash-gated by its own query; this query gates the COMPOSITION — stage
+  * boundaries, the batched-search fan-out multiplicity, the dedup key, the
+  * mask→label ordering, and the basket→panel restriction — so cross-stage
+  * contract drift surfaces as a red CORRECTNESS row.
+  *
+  * Stage map (reference line → gated building block → here):
+  *  1. plan + batched search (`query_builder.py:85-148, 329-408` build the
+  *     Similarity ∧ Any(entity batch) ∧ Source ∧ date-range trees;
+  *     `search.py:150-161` fans them out) → the SAME algebra combinators
+  *     ([[QueryAlgebra.autoBatchEntities]] splits the watchlist into Q8
+  *     batches), rendered as ONE scan: the shared conjuncts filter the scan
+  *     and the per-batch disjunctions become an exploded matching-batch
+  *     array (`q_query_algebra` / `q_entity_batching` shapes) — row
+  *     multiplicity is exactly the reference's concatenated per-batch
+  *     result stream;
+  *  2. dedup (`search.py:427-577` `process_screener_search_results` keeps
+  *     one row per (chunk, target entity); `q_dedup_exact` / `q_union_dedup`
+  *     shapes) → hash aggregate on (sentence_id, entity_id) — live: the
+  *     chunk relation genuinely repeats that key (its minimal unique key
+  *     adds part_entity_id);
+  *  3. entity masking (`search.py:576` `mask_sentences`; `q_mask_target`
+  *     shape) → the single-span co-mention splice as a codegen Column
+  *     expression — the UDF↔expression agreement is already pinned by
+  *     `q_mask_multi`/`q_mask_roundtrip`, so the pipeline hot path keeps
+  *     whole-stage codegen;
+  *  4. label MASKED text + consistency guard (`labeling.py:226-324` label,
+  *     `:379` guard; `q_label_batched`/`q_label_guard` shapes) →
+  *     [[Labeler.labelColOn]]/[[Labeler.motivationColOn]] over masked_text,
+  *     then [[Labeler.guarded]];
+  *  5. basket with percentage shares + top-k (`tool.py:296-363`;
+  *     `q_basket` shape) → conditional-aggregation exposure counts per
+  *     company, share/net arithmetic, top-6 by total exposure with a
+  *     deterministic tiebreak;
+  *  6. weekly net-exposure panel over the basket (`tool.py:619-754`;
+  *     `q_exposure_panel` + `q_wmon_weekly` shapes) → dense W-MON week ×
+  *     basket-company scaffold, zero-filled conditional counts, weekly net
+  *     exposure, with the stage-5 basket attributes riding along.
+  *
+  * Scale shape: stages 1-4 are one codegen'd scan (similarity/scope/date
+  * conjuncts sit on the Parquet scan; the batch explode fans out ≤ |batches|
+  * and here exactly 1 — batches partition the watchlist) followed by one
+  * keyed hash aggregate; stage 5/6 aggregates are dimension-bounded
+  * (≤ |entities| and ≤ |weeks|×|entities| rows at any corpus size), so the
+  * basket cross join and the counts merge broadcast explicitly — the fact
+  * table never shuffles past the two groupBys. The labeled frame is
+  * traversed three times (bounds, counts, basket), same as
+  * `q_exposure_panel`'s scaffold — at 100 TB, checkpoint the deduped frame
+  * (S8) before the fan-in instead of re-scanning.
+  */
+object MarketPipeline {
+
+  /** Watchlist + Q8 batch size (`batch_size=10` in the reference;
+    * 3 here keeps several batches live at test SFs). */
+  private val Watchlist: Seq[String] = (1 to 8).map(i => s"s$i")
+  private val BatchSize = 3
+
+  /** Shared search conjuncts (ipynb cell 18-19 params). */
+  private val Sim = Similarity("fast stream merge", 0.3)
+  private val Scope = SourceQ("news", "transcripts")
+  private val Dates = DateRange("1995-01-01", "1996-12-31")
+
+  private val BasketK = 6
+
+  /** Stage 5/6 target-entity placeholder (the reference numbers non-target
+    * co-mentions `Company 1..n`, `search.py:647-659`). */
+  private val Placeholder = "Company 1"
+
+  private def batches: Seq[AnyQ] =
+    QueryAlgebra.autoBatchEntities(Seq("COMP" -> Watchlist), BatchSize)
+
+  /** Stages 1-4 as one scan: search fan-out → dedup → mask → label+guard. */
+  private def labeledSearch(s: SparkSession, d: String): DataFrame = {
+    val batchArr = array(batches.zipWithIndex.map { case (g, i) =>
+      struct(lit(i).as("batch_id"), g.toColumn.as("hit")) }: _*)
+    val searched = Tables.chunkRows(s, d)
+      .filter(Sim.toColumn && Scope.toColumn && Dates.toColumn)
+      .withColumn("__b", explode(filter(batchArr, b => b.getField("hit"))))
+      .drop("__b")
+    val deduped = searched
+      .groupBy(col("sentence_id"), col("entity_id"))
+      .agg(min(col("timestamp_utc")).as("timestamp_utc"),
+        min(col("headline")).as("headline"),
+        min(col("entity_name")).as("entity_name"),
+        min(col("entity_sector")).as("entity_sector"),
+        min(col("text")).as("text"))
+    val p = instr(col("text"), "customer")
+    val masked = deduped.withColumn("masked_text",
+      when(p > 0,
+        concat(substring(col("text"), lit(1), p - 1), lit(Placeholder),
+          substring(col("text"), p + 8, length(col("text")))))
+        .otherwise(col("text")))
+    Labeler.guarded(masked
+      .withColumn("label", Labeler.labelColOn(col("masked_text")))
+      .withColumn("motivation", Labeler.motivationColOn(col("masked_text"))))
+  }
+
+  private def cnt(label: String): org.apache.spark.sql.Column =
+    sum(when(col("label") === label, 1L).otherwise(0L))
+
+  private val qMarketPipeline = Q(
+    "q_market_pipeline",
+    (s, d) => {
+      val labeled = labeledSearch(s, d)
+      // stage 5: basket — exposure counts, shares, net, top-k
+      val basket = labeled
+        .groupBy(col("entity_name"), col("entity_sector"))
+        .agg(cnt("P").as("positive_exp"), cnt("N").as("negative_exp"))
+        .filter(col("positive_exp") + col("negative_exp") > 0)
+        .select(col("entity_name"), col("entity_sector"),
+          (col("positive_exp") + col("negative_exp")).as("basket_total"),
+          round(lit(100.0) * col("positive_exp") /
+            (col("positive_exp") + col("negative_exp")), 4)
+            .as("basket_positive_pct"),
+          (col("positive_exp") - col("negative_exp")).as("basket_net"))
+        .orderBy(col("basket_total").desc, col("entity_name"))
+        .limit(BasketK)
+      // stage 6: dense W-MON week scaffold × basket, zero-filled weekly
+      // exposure. All three frames below are dimension-bounded aggregates of
+      // the labeled search frame; broadcast the merge sides explicitly —
+      // post-aggregation sizes are opaque to the planner at compile time
+      val weeks = labeled
+        .agg(
+          date_add(date_trunc("week",
+            min(col("timestamp_utc")) - expr("INTERVAL 1 DAY")).cast("date"), 7)
+            .as("mn"),
+          date_add(date_trunc("week",
+            max(col("timestamp_utc")) - expr("INTERVAL 1 DAY")).cast("date"), 7)
+            .as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 7 DAY"))).as("w"))
+        .select(date_format(col("w"), "yyyy-MM-dd").as("week"))
+      val counts = labeled
+        .groupBy(TimeSeriesOps.wMon(col("timestamp_utc")).as("week"),
+          col("entity_name"))
+        .agg(cnt("P").as("positive_exp"), cnt("N").as("negative_exp"))
+      weeks.crossJoin(broadcast(basket))
+        .join(broadcast(counts), Seq("week", "entity_name"), "left")
+        .na.fill(0L, Seq("positive_exp", "negative_exp"))
+        .withColumn("net_exposure", col("positive_exp") - col("negative_exp"))
+        .select(col("week"), col("entity_name"), col("entity_sector"),
+          col("basket_total"), col("basket_positive_pct"), col("basket_net"),
+          col("positive_exp"), col("negative_exp"), col("net_exposure"))
+        .orderBy(col("week"), col("entity_name"))
+    },
+    Some {
+      def inList(ids: Seq[String]): String =
+        ids.map(id => s"'$id'").mkString("(", ", ", ")")
+      val batchAlternatives = batches.zipWithIndex.map { case (g, i) =>
+        val ids = g.qs.collect { case EntityQ(id) => id }
+        s"""(b = $i AND (entity_id IN ${inList(ids)}
+           |         OR other_entity_id IN ${inList(ids)}
+           |         OR part_entity_id IN ${inList(ids)}))""".stripMargin
+      }.mkString("\n      OR ")
+      val simTokens = Sim.tokens.map(t =>
+        s"CASE WHEN contains(lower(text), '$t') THEN 1.0 ELSE 0.0 END")
+        .mkString("(", "\n       + ", s")\n      / ${Sim.tokens.size}.0")
+      s"""WITH ${Oracle.chunkCte},
+         |searched AS (
+         |  SELECT *, unnest(list_filter([${batches.indices.mkString(", ")}], b ->
+         |      $batchAlternatives)) AS batch_id
+         |  FROM chunk
+         |  WHERE $simTokens >= ${Sim.minScore}
+         |    AND document_type IN ('news', 'transcripts')
+         |    AND timestamp_utc >= TIMESTAMP '1995-01-01 00:00:00'
+         |    AND timestamp_utc <= TIMESTAMP '1996-12-31 23:59:59'
+         |),
+         |deduped AS (
+         |  SELECT sentence_id, entity_id,
+         |         min(timestamp_utc) AS timestamp_utc,
+         |         min(headline) AS headline,
+         |         min(entity_name) AS entity_name,
+         |         min(entity_sector) AS entity_sector,
+         |         min(text) AS text
+         |  FROM searched GROUP BY 1, 2
+         |),
+         |masked AS (
+         |  SELECT *,
+         |    CASE WHEN strpos(text, 'customer') > 0
+         |         THEN substr(text, 1, strpos(text, 'customer') - 1)
+         |              || '$Placeholder'
+         |              || substr(text, strpos(text, 'customer') + 8)
+         |         ELSE text END AS masked_text
+         |  FROM deduped
+         |),
+         |labeled AS (
+         |  SELECT *,
+         |    CASE WHEN motivation IS NULL OR motivation = 'unclear'
+         |         THEN 'U' ELSE raw_label END AS label
+         |  FROM (
+         |    SELECT *,
+         |      ${Oracle.labelCase.replace("text", "masked_text")} AS raw_label,
+         |      ${Oracle.motivationCase.replace("text", "masked_text")} AS motivation
+         |    FROM masked)
+         |),
+         |basket AS (
+         |  SELECT entity_name, entity_sector,
+         |         positive_exp + negative_exp AS basket_total,
+         |         round(100.0 * positive_exp / (positive_exp + negative_exp), 4)
+         |           AS basket_positive_pct,
+         |         positive_exp - negative_exp AS basket_net
+         |  FROM (
+         |    SELECT entity_name, entity_sector,
+         |           CAST(sum(CASE WHEN label = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS positive_exp,
+         |           CAST(sum(CASE WHEN label = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS negative_exp
+         |    FROM labeled GROUP BY 1, 2
+         |  )
+         |  WHERE positive_exp + negative_exp > 0
+         |  ORDER BY basket_total DESC, entity_name
+         |  LIMIT $BasketK
+         |),
+         |bounds AS (
+         |  SELECT date_trunc('week', min(timestamp_utc) - INTERVAL 1 DAY)
+         |           + INTERVAL 7 DAY AS mn,
+         |         date_trunc('week', max(timestamp_utc) - INTERVAL 1 DAY)
+         |           + INTERVAL 7 DAY AS mx
+         |  FROM labeled
+         |),
+         |weeks AS (
+         |  SELECT strftime(unnest(generate_series(mn, mx, INTERVAL 7 DAY)),
+         |                  '%Y-%m-%d') AS week
+         |  FROM bounds
+         |),
+         |counts AS (
+         |  SELECT strftime(date_trunc('week', timestamp_utc - INTERVAL 1 DAY)
+         |                  + INTERVAL 7 DAY, '%Y-%m-%d') AS week,
+         |         entity_name,
+         |         CAST(sum(CASE WHEN label = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS positive_exp,
+         |         CAST(sum(CASE WHEN label = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS negative_exp
+         |  FROM labeled GROUP BY 1, 2
+         |)
+         |SELECT w.week, b.entity_name, b.entity_sector,
+         |       b.basket_total, b.basket_positive_pct, b.basket_net,
+         |       COALESCE(x.positive_exp, 0) AS positive_exp,
+         |       COALESCE(x.negative_exp, 0) AS negative_exp,
+         |       COALESCE(x.positive_exp, 0) - COALESCE(x.negative_exp, 0)
+         |         AS net_exposure
+         |FROM weeks w CROSS JOIN basket b
+         |LEFT JOIN counts x ON x.week = w.week AND x.entity_name = b.entity_name
+         |ORDER BY w.week, b.entity_name""".stripMargin
+    })
+
+  def queries: Seq[Q] = Seq(qMarketPipeline)
+}

@@ -19,7 +19,7 @@ object TimeSeriesOps {
 
   /** pandas `to_period('W-MON')` analogue: label = the Monday ENDING the
     * (Tue..Mon) week. d → next Monday, where a Monday labels itself. */
-  private def wMon(ts: Column): Column =
+  private[analytics] def wMon(ts: Column): Column =
     date_format(
       date_add(date_trunc("week", ts - expr("INTERVAL 1 DAY")).cast("date"), 7),
       "yyyy-MM-dd")

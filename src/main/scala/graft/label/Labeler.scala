@@ -41,20 +41,29 @@ object Labeler {
     * them. P/A/N/U mirror the reference's provider/adopter/negative/unclear
     * label alphabet.
     */
-  val labelCol: Column =
-    when(col("text").contains("slow") && col("text").contains("merge"), lit("N"))
-      .when(col("text").contains("fast"), lit("P"))
-      .when(col("text").contains("stream"), lit("A"))
+  /** The stub rules over an arbitrary text column — the reference labels
+    * MASKED text (`labeling.py:307-312` passes `masked_text`), so composed
+    * pipelines apply the same rule set to the mask stage's output while the
+    * standalone gates label the raw chunk text. One rule definition either
+    * way. */
+  def labelColOn(text: Column): Column =
+    when(text.contains("slow") && text.contains("merge"), lit("N"))
+      .when(text.contains("fast"), lit("P"))
+      .when(text.contains("stream"), lit("A"))
       .otherwise(lit("U"))
 
-  val motivationCol: Column =
-    when(col("text").contains("slow") && col("text").contains("merge"),
-      concat(lit("negative: "), substring(col("text"), 1, 40)))
-      .when(col("text").contains("fast"),
-        concat(lit("positive: "), substring(col("text"), 1, 40)))
-      .when(col("text").contains("stream"),
-        concat(lit("adopter: "), substring(col("text"), 1, 40)))
+  def motivationColOn(text: Column): Column =
+    when(text.contains("slow") && text.contains("merge"),
+      concat(lit("negative: "), substring(text, 1, 40)))
+      .when(text.contains("fast"),
+        concat(lit("positive: "), substring(text, 1, 40)))
+      .when(text.contains("stream"),
+        concat(lit("adopter: "), substring(text, 1, 40)))
       .otherwise(lit("unclear"))
+
+  val labelCol: Column = labelColOn(col("text"))
+
+  val motivationCol: Column = motivationColOn(col("text"))
 
   /** Column-expression fast path: label + motivation inline (whole-stage
     * codegen; no shuffle, no barrier). Used when the classifier is the stub. */

@@ -43,7 +43,9 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("bucketed fact-fact join plans with zero exchanges and zero sorts") {
     val joined = spark.table("li_b")
       .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.executedPlan.toString
+    // pin the ADAPTIVE-final plan (execute, then unwrap), not the
+    // compile-time one — same pattern as ReportPipelineSpec
+    val (rows, plan) = PlanCheck.executedFinalPlan(joined)
     assert(plan.contains("SortMergeJoin"))
     assert(!plan.contains("Exchange"),
       s"bucketed join should not shuffle:\n$plan")
@@ -52,7 +54,7 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     // and it computes the same thing as the plain shuffled join
     val plain = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-    assert(joined.count() == plain.count())
+    assert(rows.length == plain.count())
   }
 
   test("composite-key bucketing joins exchange-free on the full key") {
@@ -69,7 +71,7 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(spark.table("li_mk2").select(col("l_orderkey"),
         col("l_linenumber"), col("l_extendedprice")),
         Seq("l_orderkey", "l_linenumber"))
-    val plan = joined.queryExecution.executedPlan.toString
+    val (_, plan) = PlanCheck.executedFinalPlan(joined)
     assert(plan.contains("SortMergeJoin"))
     assert(!plan.contains("Exchange"),
       s"full-key bucketed join should not shuffle:\n$plan")
@@ -94,7 +96,7 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(t.select(col("tbl"), col("bucket"), col("vec_id").as("id_b")),
         Seq("tbl", "bucket"))
       .filter(col("id_a") < col("id_b"))
-    val plan = selfJoin.queryExecution.executedPlan.toString
+    val (_, plan) = PlanCheck.executedFinalPlan(selfJoin)
     assert(plan.contains("SortMergeJoin"))
     assert(!plan.contains("Exchange"),
       s"bucketed assignment self-join should not shuffle:\n$plan")
@@ -192,7 +194,7 @@ class BucketedJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("aggregation on the bucket key also skips the exchange") {
     val agg = spark.table("li_b")
       .groupBy(col("l_orderkey")).agg(sum(col("l_quantity")).as("q"))
-    val plan = agg.queryExecution.executedPlan.toString
+    val (_, plan) = PlanCheck.executedFinalPlan(agg)
     assert(!plan.contains("Exchange"),
       s"groupBy on the bucket key should reuse the bucketing:\n$plan")
     val expected = Tables.lineitem(spark, dir)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Composition invariants of the §3.1 end-to-end market pipeline
+  * (`q_market_pipeline`) the row-hash gate can't state row-locally: scaffold
+  * density, basket restriction and ordering, the zero-fill/net arithmetic,
+  * and the broadcast shape of the panel merges on the ADAPTIVE-final plan. */
+class MarketPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def pipeline = Registry.all.find(_.name == "q_market_pipeline").get
+
+  private lazy val (rows, plan) =
+    PlanCheck.executedFinalPlan(pipeline.run(spark, dir))
+
+  test("panel is a dense weeks × basket scaffold") {
+    assert(rows.nonEmpty)
+    val weeks = rows.map(_.getAs[String]("week")).distinct.sorted
+    val companies = rows.map(_.getAs[String]("entity_name")).distinct
+    assert(companies.length <= 6, "basket must be top-k bounded (k=6)")
+    assert(rows.length === weeks.length * companies.length,
+      "every (week, basket company) cell must exist exactly once")
+    // consecutive W-MON labels are 7 days apart (dense, no gaps)
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    weeks.sliding(2).filter(_.length == 2).foreach { pair =>
+      val (a, b) = (pair(0), pair(1))
+      assert(java.time.LocalDate.parse(a, fmt).plusDays(7) ===
+        java.time.LocalDate.parse(b, fmt), s"week gap between $a and $b")
+    }
+    // and each label is a Monday (pandas W-MON period end)
+    weeks.foreach(w => assert(
+      java.time.LocalDate.parse(w, fmt).getDayOfWeek ===
+        java.time.DayOfWeek.MONDAY, s"$w is not a Monday"))
+  }
+
+  test("basket attributes are constant per company and internally consistent") {
+    rows.groupBy(_.getAs[String]("entity_name")).foreach { case (_, rs) =>
+      assert(rs.map(r => (r.getAs[Long]("basket_total"),
+        r.getAs[Double]("basket_positive_pct"),
+        r.getAs[Long]("basket_net"))).distinct.length === 1,
+        "stage-5 basket columns must ride along unchanged")
+      val total = rs.head.getAs[Long]("basket_total")
+      assert(total > 0, "basket keeps only companies with exposure")
+      // the weekly counts must sum back to the basket totals (same frame,
+      // two aggregations — the composition seam this spec exists for)
+      val posSum = rs.map(_.getAs[Long]("positive_exp")).sum
+      val negSum = rs.map(_.getAs[Long]("negative_exp")).sum
+      assert(posSum + negSum === total,
+        "weekly P/N counts must reconcile with the basket total")
+    }
+  }
+
+  test("weekly net exposure is the zero-filled P−N arithmetic") {
+    rows.foreach { r =>
+      assert(r.getAs[Long]("net_exposure") ===
+        r.getAs[Long]("positive_exp") - r.getAs[Long]("negative_exp"))
+    }
+  }
+
+  test("panel merges stay broadcast on the ADAPTIVE-final plan") {
+    assert(rows.nonEmpty)
+    // basket cross join + counts left merge: both sides are
+    // dimension-bounded aggregates and must broadcast — the fact table
+    // shuffles only for its two groupBys, never for the panel merges
+    assert(!plan.contains("SortMergeJoin"),
+      s"a panel merge fell back to a shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast panel merges:\n$plan")
+  }
+}

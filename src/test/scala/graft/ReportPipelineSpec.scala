@@ -72,12 +72,18 @@ class ReportPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("response merges stay broadcast (dimension-bounded right sides)") {
-    val plan = pipeline.run(spark, dir).queryExecution.executedPlan.toString
+    // pin the ADAPTIVE-final plan: execute the frame, then walk
+    // AdaptiveSparkPlanExec.executedPlan — the compile-time plan alone can
+    // silently diverge from what AQE actually ran (this automates the
+    // manual sf0.1 audit recorded in BASELINE.md, round 13)
+    val (rows, plan) = PlanCheck.executedFinalPlan(pipeline.run(spark, dir))
+    assert(rows.nonEmpty)
     val bhjOuter = plan.split("\n")
       .count(l => l.contains("BroadcastHashJoin") && l.contains("LeftOuter"))
     assert(bhjOuter >= 2,
-      s"both response merges must be broadcast left joins, plan had $bhjOuter")
-    assert(!plan.contains("SortMergeJoin LeftOuter"),
-      "a response merge fell back to a shuffle join")
+      s"both response merges must be broadcast left joins, plan had " +
+        s"$bhjOuter:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a response merge fell back to a shuffle join:\n$plan")
   }
 }
