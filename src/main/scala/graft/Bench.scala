@@ -247,15 +247,20 @@ object Bench {
     // run's run_ratio, so two consecutive contended runs (>1.5) become an
     // explicit "degraded" verdict — runRatio's documented uniform-slowdown
     // blind spot is machine-adjudicated instead of shrugged off twice.
+    // The record is accepted as prior evidence only when its boot_id
+    // matches this boot (parseRunRatio): a record that rode in with a git
+    // checkout carries another machine/time's weather and must read as
+    // first-strike, not strike two.
     val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECORD",
       resolveRepoFile("bench_last_run.json"))
+    val bootId = BenchDrift.bootId
     val prevRatio = try {
       BenchDrift.parseRunRatio(new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(recordPath)), "UTF-8"))
+        java.nio.file.Paths.get(recordPath)), "UTF-8"), bootId)
     } catch { case _: Throwable => None }
     val envVerdict = BenchDrift.environmentVerdict(prevRatio, runRatio)
 
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"extras_r13":$extras13Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"calibration_extras_r13":$calibExtras13Json,"drift":$driftJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","drift_baseline":"$baselineTag","sf":"$sfDir"}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"extras_r13":$extras13Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"calibration_extras_r13":$calibExtras13Json,"drift":$driftJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","boot_id":"$bootId","drift_baseline":"$baselineTag","sf":"$sfDir"}"""
     // Persist the full record: the driver's tail capture keeps only the
     // compact trailing line, so per-query history would otherwise live
     // only in prose. A write failure (read-only checkout, container FS)

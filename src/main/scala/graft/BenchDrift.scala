@@ -116,17 +116,39 @@ object BenchDrift {
     else if (prevRatio.exists(_ > RunRatioContended)) "degraded"
     else "elevated"
 
+  /** Identity of this machine's current boot (Linux boot_id UUID). The
+    * "two CONSECUTIVE contended runs" escalation is only meaningful for
+    * records produced in the same environment — a bench_last_run.json that
+    * rode in with a git checkout carries another machine/time's weather,
+    * and inheriting its ratio would report "degraded" on the first local
+    * contended run (r13 advice). Unreadable → "unknown", which never
+    * matches (conservative: first-strike). */
+  def bootId: String = try {
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/proc/sys/kernel/random/boot_id")), "UTF-8").trim
+  } catch { case _: Throwable => "unknown" }
+
   /** Pull `run_ratio` out of a previously persisted bench record
-    * (`bench_last_run.json`). Missing/malformed → None (first run, or a
-    * hand-edited file: the verdict degrades gracefully to first-strike). */
-  def parseRunRatio(json: String): Option[Double] = try {
+    * (`bench_last_run.json`), accepting it as PRIOR EVIDENCE only when the
+    * record's `boot_id` equals `currentBootId` — same machine, same boot.
+    * Missing/malformed/foreign/old-format (no boot_id) → None (first run,
+    * a fresh checkout, or a hand-edited file: the verdict degrades
+    * gracefully to first-strike). */
+  def parseRunRatio(json: String,
+      currentBootId: String = bootId): Option[Double] = try {
     import org.json4s._
     org.json4s.jackson.JsonMethods.parse(json) match {
-      case JObject(fields) => fields.collectFirst {
-        case ("run_ratio", JDouble(v)) => v
-        case ("run_ratio", JInt(v)) => v.toDouble
-        case ("run_ratio", JDecimal(v)) => v.toDouble
-      }
+      case JObject(fields) =>
+        val sameBoot = currentBootId != "unknown" && fields.exists {
+          case ("boot_id", JString(b)) => b == currentBootId
+          case _ => false
+        }
+        if (!sameBoot) None
+        else fields.collectFirst {
+          case ("run_ratio", JDouble(v)) => v
+          case ("run_ratio", JInt(v)) => v.toDouble
+          case ("run_ratio", JDecimal(v)) => v.toDouble
+        }
       case _ => None
     }
   } catch { case _: Throwable => None }

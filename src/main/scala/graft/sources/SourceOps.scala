@@ -282,6 +282,21 @@ object SourceOps {
     spark.read.option("header", "true").option("inferSchema", "true")
       .option("multiLine", "true").csv(s"$dir/$sheet")
 
+  /** One per-JVM temp dir for [[readWorkbookSheet]] slices, registered for
+    * exit-deletion ONCE — per-read dirs grew the deleteOnExit set (and the
+    * disk) monotonically in a long-lived driver doing repeated reads. */
+  private lazy val sheetTmpDir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft_sheet")
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  /** Body-slice cache for [[readWorkbookSheet]], keyed by content digest:
+    * one backing file (and one deleteOnExit registration) per DISTINCT
+    * body, however many times the sheet is re-read. */
+  private val sheetBodyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** S7 with the reference's workbook-loading quirks
     * (`Narrative_Miners/src/tool.py:10-26`): real result sheets carry a
     * banner row above the header (pandas `header=1`) and spreadsheet index
@@ -330,29 +345,34 @@ object SourceOps {
     val e0 = recordEnd(0)
     require(e0 < raw.length, s"no header line in $path")
     val e1 = recordEnd(e0 + 1)
-    // one temp dir per call, not per slice; the header slice is fully
-    // consumed by .head() so it is deleted eagerly, while the body slice
-    // backs the returned (lazy) DataFrame and can only be reclaimed at
-    // JVM exit — deleteOnExit keeps a long-lived driver from accumulating
-    // unreclaimable litter across repeated workbook reads
-    val tmpDir = java.nio.file.Files.createTempDirectory("graft_sheet")
-    tmpDir.toFile.deleteOnExit()
-    def slice(tag: String, text: String): java.nio.file.Path = {
-      val f = tmpDir.resolve(s"$tag.csv")
-      java.nio.file.Files.writeString(f, text)
-      f
-    }
     // the header goes through the SAME CSV parser as the body — a naive
     // split(",") would shear a quoted header containing a comma
-    // (`"Revenue, Net"`) into two names and misalign every column after it
-    val headerFile = slice("header", raw.substring(e0 + 1, e1).stripSuffix("\r"))
+    // (`"Revenue, Net"`) into two names and misalign every column after it.
+    // The header slice is fully consumed by .head() so it is deleted
+    // eagerly (unique name: concurrent reads share sheetTmpDir)
+    val headerFile = java.nio.file.Files.createTempFile(
+      sheetTmpDir, "header", ".csv")
+    java.nio.file.Files.writeString(headerFile,
+      raw.substring(e0 + 1, e1).stripSuffix("\r"))
     val names =
       try spark.read.option("multiLine", "true").csv(headerFile.toString)
         .head().toSeq.map(v => if (v == null) "" else v.toString.trim)
       finally java.nio.file.Files.deleteIfExists(headerFile)
     val bodyTxt = if (e1 >= raw.length) "" else raw.substring(e1 + 1)
-    val bodyFile = slice("body", bodyTxt)
-    bodyFile.toFile.deleteOnExit()
+    // body slices back the returned (lazy) DataFrame, so they can only be
+    // reclaimed at JVM exit — cache them by CONTENT digest (r13 advice):
+    // repeated reads of the same sheet reuse one backing file instead of
+    // growing the deleteOnExit set and the on-disk litter per read, while
+    // a workbook that changed on disk gets a fresh file and frames from
+    // earlier reads keep their still-valid backing (no overwrite race)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(bodyTxt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bodyFile = sheetBodyCache.computeIfAbsent(digest, _ => {
+      val f = sheetTmpDir.resolve(s"body-$digest.csv")
+      java.nio.file.Files.writeString(f, bodyTxt)
+      f.toFile.deleteOnExit()
+      f
+    })
     val parsed = spark.read.option("inferSchema", "true")
       .option("multiLine", "true").csv(bodyFile.toString)
     val kept = names.zipWithIndex.filter { case (n, _) =>

@@ -171,7 +171,13 @@ object TextOps {
     *    coincidence ties share 1-2, so a small floor (≥3-5) removes the
     *    ties without touching real near-dups.
     *
-    * The gate runs both defaults so the DuckDB twin is unchanged. */
+    * Tuned runs call [[ngramJaccardTop]] with explicit values. The session
+    * confs below exist as a TRIPWIRE, not a tuning path: the gated
+    * `q_ngram_jaccard` is oracle-locked to the defaults (its DuckDB twin
+    * interpolates [[ShingleDfCap]] at registration and has no
+    * min-intersection term), so if either conf is set during a gated run
+    * the query FAILS FAST with a pointer here instead of silently
+    * hash-mismatching against the default-valued oracle. */
   private[graft] val ShingleDfCapConf = "spark.graft.shingleDfCap"
   private[graft] val NgramMinInterConf = "spark.graft.ngramMinIntersection"
 
@@ -179,10 +185,14 @@ object TextOps {
     * shingle, |A∩B| / |A∪B| over the capped vocabulary — top-20 most-similar
     * pairs (never thresholds to empty, deterministic at any SF). Both sizes
     * and intersections are computed over the SAME capped shingle sets, so the
-    * similarity is a true Jaccard on the df-filtered representation. */
-  private val qNgramJaccard = Q(
-    "q_ngram_jaccard",
-    (s, d) => {
+    * similarity is a true Jaccard on the df-filtered representation.
+    *
+    * Parameterized — the production entry for tuned (duplication-scaled)
+    * runs (TextScaleStress past 5·f > τ); the gated `q_ngram_jaccard`
+    * pins the default operating point (dfCap = [[ShingleDfCap]],
+    * minInter = 1), which is the point its DuckDB oracle spells out. */
+  private[graft] def ngramJaccardTop(s: SparkSession, d: String,
+      dfCap: Int, minInter: Int): DataFrame = {
       // lineage cut on the raw shingles: sh0 feeds the df aggregate, the
       // semi-join left side, sizes, and both sides of the intersection
       // self-join — without the cut the shingle explode executed 8 times in
@@ -199,7 +209,6 @@ object TextOps {
       // non-goal here since the gate invokes each query once per pass.
       // Plan-only sweeps skip the cut entirely.)
       val sh0 = graft.PlanProbe.cut(docShingles(s, d))
-      val dfCap = s.conf.get(ShingleDfCapConf, ShingleDfCap.toString).toInt
       val ok = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select(col("s"))
       val sh = sh0.join(ok, Seq("s"), "left_semi")
@@ -208,10 +217,10 @@ object TextOps {
       val b = sh.select(col("doc_id").as("doc_b"), col("s"))
       val inter0 = a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-      // min-intersection knob (see NgramMinInterConf): a post-aggregation
-      // filter on the pair counts, so it costs nothing when off (1) and
-      // never changes the candidate-join shape the df cap bounds
-      val minInter = s.conf.get(NgramMinInterConf, "1").toInt
+      // min-intersection knob (see NgramMinInterConf doc): a
+      // post-aggregation filter on the pair counts, so it costs nothing
+      // when off (1) and never changes the candidate-join shape the df
+      // cap bounds
       val inter =
         if (minInter > 1) inter0.filter(col("inter") >= minInter) else inter0
       inter
@@ -224,6 +233,24 @@ object TextOps {
         .select(col("doc_a"), col("doc_b"), col("inter"), col("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(20)
+  }
+
+  private val qNgramJaccard = Q(
+    "q_ngram_jaccard",
+    (s, d) => {
+      // tripwire (r13 advice): the oracle below is locked to the default
+      // knobs — a session-conf override here would hash-mismatch the gate
+      // silently, so refuse to run instead; tuned runs call
+      // ngramJaccardTop with explicit values
+      Seq(ShingleDfCapConf -> ShingleDfCap.toString,
+        NgramMinInterConf -> "1").foreach { case (k, dflt) =>
+        val v = s.conf.get(k, dflt)
+        if (v != dflt) throw new IllegalStateException(
+          s"$k=$v is set, but q_ngram_jaccard is oracle-locked to $dflt; " +
+            "unset it for gated runs or call TextOps.ngramJaccardTop " +
+            "directly for tuned runs")
+      }
+      ngramJaccardTop(s, d, ShingleDfCap, 1)
     },
     Some(
       s"""WITH $shingleCte,

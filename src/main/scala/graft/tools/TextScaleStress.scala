@@ -158,17 +158,12 @@ object TextScaleStress {
     val native = 5 * factor <= graft.text.TextOps.ShingleDfCap
     val (dfCap, minInter) =
       if (native) (graft.text.TextOps.ShingleDfCap, 1) else (10 * factor, 5)
-    val confs = Seq(
-      graft.text.TextOps.ShingleDfCapConf -> dfCap.toString,
-      graft.text.TextOps.NgramMinInterConf -> minInter.toString)
-    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
-    if (!native) confs.foreach { case (k, v) => s.conf.set(k, v) }
+    // the tuned operating point goes through the parameterized builder —
+    // the gated q_ngram_jaccard is oracle-locked to the defaults and
+    // refuses session-conf overrides (r13 advice: a conf leak would
+    // false-red a gated run, so the conf path no longer exists)
     val top =
-      try graft.SparkEntry.queries("q_ngram_jaccard")(s, d).collect()
-      finally prev.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None) => s.conf.unset(k)
-      }
+      graft.text.TextOps.ngramJaccardTop(s, d, dfCap, minInter).collect()
     val family = s.read.parquet(s"$d/documents.parquet")
       .filter(pmod(col("doc_id"), lit(factor)) === 0)
       .select(floor_div(col("doc_id"), factor).as("src"),

@@ -148,13 +148,34 @@ class BenchDriftSpec extends AnyFunSuite {
     assert(BenchDrift.environmentVerdict(Some(4.0), 2.0) == "degraded")
   }
 
-  test("parseRunRatio reads a persisted record, tolerates junk") {
+  test("parseRunRatio reads a same-boot record, tolerates junk") {
+    val boot = "aaaa-bbbb"
     assert(BenchDrift.parseRunRatio(
-      """{"metric":"total","value":17.8,"run_ratio":1.032,"sf":"x"}""")
-      .contains(1.032))
-    assert(BenchDrift.parseRunRatio("""{"run_ratio":2}""").contains(2.0))
-    assert(BenchDrift.parseRunRatio("""{"value":1.0}""").isEmpty)
-    assert(BenchDrift.parseRunRatio("not json").isEmpty)
-    assert(BenchDrift.parseRunRatio("[1]").isEmpty)
+      s"""{"metric":"total","value":17.8,"run_ratio":1.032,"boot_id":"$boot","sf":"x"}""",
+      boot).contains(1.032))
+    assert(BenchDrift.parseRunRatio(
+      s"""{"run_ratio":2,"boot_id":"$boot"}""", boot).contains(2.0))
+    assert(BenchDrift.parseRunRatio(
+      s"""{"value":1.0,"boot_id":"$boot"}""", boot).isEmpty)
+    assert(BenchDrift.parseRunRatio("not json", boot).isEmpty)
+    assert(BenchDrift.parseRunRatio("[1]", boot).isEmpty)
+  }
+
+  test("parseRunRatio rejects foreign-boot records (fresh-checkout weather)") {
+    // a committed bench_last_run.json from another machine/boot must not
+    // count as strike one of the degraded escalation
+    val rec = """{"run_ratio":2.5,"boot_id":"other-machine"}"""
+    assert(BenchDrift.parseRunRatio(rec, "this-machine").isEmpty)
+    // old-format record without boot_id: also foreign (conservative)
+    assert(BenchDrift.parseRunRatio("""{"run_ratio":2.5}""", "this-machine")
+      .isEmpty)
+    // unreadable local boot id: never match, even against itself
+    assert(BenchDrift.parseRunRatio(
+      """{"run_ratio":2.5,"boot_id":"unknown"}""", "unknown").isEmpty)
+    // and the live default path agrees with an explicitly passed bootId
+    if (BenchDrift.bootId != "unknown") {
+      val live = s"""{"run_ratio":1.9,"boot_id":"${BenchDrift.bootId}"}"""
+      assert(BenchDrift.parseRunRatio(live).contains(1.9))
+    }
   }
 }

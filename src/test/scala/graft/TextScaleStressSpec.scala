@@ -88,15 +88,19 @@ class TextScaleStressSpec extends AnyFunSuite with BeforeAndAfterAll {
       "restriction of the default ranking") {
     val out = java.nio.file.Files.createTempDirectory("ts_e").toString
     TextScaleStress.blowUpDocs(spark, dir, out, 3)
-    val q = SparkEntry.queries("q_ngram_jaccard")
-    val base = q(spark, out).collect()
+    import graft.text.TextOps
+    val base = SparkEntry.queries("q_ngram_jaccard")(spark, out).collect()
     val k = 5L
-    spark.conf.set(graft.text.TextOps.NgramMinInterConf, k.toString)
-    val kept =
-      try q(spark, out).collect()
-      finally spark.conf.unset(graft.text.TextOps.NgramMinInterConf)
+    val kept = TextOps.ngramJaccardTop(spark, out, TextOps.ShingleDfCap,
+      k.toInt).collect()
     assert(kept.nonEmpty && kept.forall(_.getAs[Long]("inter") >= k),
       "a pair below the support floor survived the knob")
+    // and the gated query refuses a session-conf override outright —
+    // its oracle is locked to the defaults (r13 advice tripwire)
+    spark.conf.set(TextOps.NgramMinInterConf, k.toString)
+    try intercept[IllegalStateException] {
+      SparkEntry.queries("q_ngram_jaccard")(spark, out)
+    } finally spark.conf.unset(TextOps.NgramMinInterConf)
     // filtering preserves relative order, so every supported pair of the
     // default top-20 must reappear in the filtered top-20 (new entries may
     // rise from below it — that is the point of the knob)
