@@ -72,6 +72,13 @@ object Bench {
   val extraR13: Seq[String] = Seq(
     "q_report_pipeline")   // §3.3 composed search→label→score→coalesce chain
 
+  /** Composed lifecycles born in round 14 — same frozen-set protocol
+    * (`extras_r14` in the JSON, own calibration samples, run LAST so the
+    * older sets stay round-over-round comparable). */
+  val extraR14: Seq[String] = Seq(
+    "q_market_pipeline",   // §3.1 search→dedup→mask→label→basket→panel chain
+    "q_screener_pipeline") // §3.2 tree→search→label→score-matrix chain
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -112,10 +119,11 @@ object Bench {
     val extras = extraHeadline.filter(qs0.contains)
     val extras10 = extraR10.filter(qs0.contains)
     val extras13 = extraR13.filter(qs0.contains)
+    val extras14 = extraR14.filter(qs0.contains)
     val passes = 3
     // times(name) accumulates one entry per pass; -1 marks a failed rep
     val times = scala.collection.mutable.Map(
-      (present ++ extras ++ extras10 ++ extras13)
+      (present ++ extras ++ extras10 ++ extras13 ++ extras14)
         .map(_ -> List.empty[Double]): _*)
     // headline passes run FIRST and alone — extras must not perturb the
     // page-cache/GC conditions of headline reps 2-3, or `total` stops being
@@ -142,6 +150,11 @@ object Bench {
       extras13.foreach { name => times(name) :+= once(name, qs0(name)) }
       c
     }
+    val calibExtras14 = (1 to passes).map { _ =>
+      val c = calibrate()
+      extras14.foreach { name => times(name) :+= once(name, qs0(name)) }
+      c
+    }
     def minOf(name: String): Double = {
       val ok = times(name).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
@@ -155,6 +168,8 @@ object Bench {
       .mkString("{", ",", "}")
     val extras13Json = extras13.map(name => "\"" + name + "\":" + minOf(name))
       .mkString("{", ",", "}")
+    val extras14Json = extras14.map(name => "\"" + name + "\":" + minOf(name))
+      .mkString("{", ",", "}")
     // extras participate in failure gating exactly like headline queries —
     // a broken or unregistered showcase operator must not exit 0. The rep
     // gate is ANY failed rep, not all-reps-failed: a query that succeeds
@@ -162,9 +177,9 @@ object Bench {
     // ≥ 0), and gating on minOf alone would ship the intermittent crash
     // with failures:[] and exit 0
     val failed =
-      (headline ++ extraHeadline ++ extraR10 ++ extraR13)
+      (headline ++ extraHeadline ++ extraR10 ++ extraR13 ++ extraR14)
         .filterNot(qs0.contains) ++
-      (present ++ extras ++ extras10 ++ extras13)
+      (present ++ extras ++ extras10 ++ extras13 ++ extras14)
         .filter(n => times(n).exists(_ < 0))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit
@@ -176,6 +191,7 @@ object Bench {
     val calibExtrasJson = fmtCalib(calibExtras)
     val calibExtras10Json = fmtCalib(calibExtras10)
     val calibExtras13Json = fmtCalib(calibExtras13)
+    val calibExtras14Json = fmtCalib(calibExtras14)
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // ---- machine-readable drift verdicts --------------------------------
@@ -235,7 +251,8 @@ object Bench {
       present.map(n => n -> driftOf(n, calib)) ++
         extras.map(n => n -> driftOf(n, calibExtras)) ++
         extras10.map(n => n -> driftOf(n, calibExtras10)) ++
-        extras13.map(n => n -> driftOf(n, calibExtras13))
+        extras13.map(n => n -> driftOf(n, calibExtras13)) ++
+        extras14.map(n => n -> driftOf(n, calibExtras14))
     val driftJson = drift.map(_._2._2).mkString("{", ",", "}")
     val structural = drift.collect { case (n, ("structural", _)) => n }
     val structuralJson = structural.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -260,7 +277,7 @@ object Bench {
     } catch { case _: Throwable => None }
     val envVerdict = BenchDrift.environmentVerdict(prevRatio, runRatio)
 
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"extras_r13":$extras13Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"calibration_extras_r13":$calibExtras13Json,"drift":$driftJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","boot_id":"$bootId","drift_baseline":"$baselineTag","sf":"$sfDir"}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"extras_r13":$extras13Json,"extras_r14":$extras14Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"calibration_extras_r13":$calibExtras13Json,"calibration_extras_r14":$calibExtras14Json,"drift":$driftJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","boot_id":"$bootId","drift_baseline":"$baselineTag","sf":"$sfDir"}"""
     // Persist the full record: the driver's tail capture keeps only the
     // compact trailing line, so per-query history would otherwise live
     // only in prose. A write failure (read-only checkout, container FS)

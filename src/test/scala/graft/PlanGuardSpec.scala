@@ -45,6 +45,9 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_peaks_topk",            // same peak sets
     "q_scaffold_month_entity", // months × entities scaffold (both tiny dims)
     "q_exposure_panel",        // same scaffold shape
+    "q_market_pipeline",       // weeks × top-6 basket scaffold (stage 6 —
+                               // both sides dimension-bounded aggregates,
+                               // see MarketPipeline scale notes)
     "q_index_align_ffill",     // dense date spine × series ids
     "q_smooth_kernel",         // finite kernel offsets (≤ 9 rows)
     "q_ml_kmeans_ivf",         // k≈n/16 broadcast centroids (scale-adaptive)
