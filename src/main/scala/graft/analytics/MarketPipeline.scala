@@ -115,7 +115,12 @@ object MarketPipeline {
   private val qMarketPipeline = Q(
     "q_market_pipeline",
     (s, d) => {
-      val labeled = labeledSearch(s, d)
+      // lineage cut on the labeled search frame: basket, week bounds, and
+      // weekly counts all re-read it — without the cut the search scan +
+      // dedup shuffle execute three times in one plan. The frame is tiny
+      // (watchlist × date-range slice of the corpus), the cheapest thing
+      // in the pipeline to hold; plan-only sweeps skip the cut (identity)
+      val labeled = graft.PlanProbe.cut(labeledSearch(s, d))
       // stage 5: basket — exposure counts, shares, net, top-k
       val basket = labeled
         .groupBy(col("entity_name"), col("entity_sector"))

@@ -96,6 +96,12 @@ object ReportPipeline {
   private val qReportPipeline = Q(
     "q_report_pipeline",
     (s, d) => {
+      // NO lineage cut on the fanned frame, deliberately: the three
+      // downstream aggregates do re-read it, but it is a LARGE slice of
+      // the corpus (every theme-matching chunk × fan-out, text columns
+      // included) — measured at sf0.1, checkpointing it costs 4.0 s vs
+      // 1.7 s for the triple codegen'd scan (MarketPipeline's cut is the
+      // opposite call: its frame is a tiny watchlist × date-range slice)
       val kept = searchedLabeled(s, d)
       // stage 3: company-level topic summaries + magnitude over NEWS
       val byCompany = kept.filter(col("document_type") === "news")
