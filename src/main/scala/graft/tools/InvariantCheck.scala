@@ -68,7 +68,7 @@ object InvariantCheck {
     spark.sparkContext.setLogLevel("WARN")
     // cluster-profile runs (`--conf spark.graft.cutPolicy=reliable`) need a
     // checkpoint dir; on the local gate box default one into /tmp so the
-    // full 18-invariant sweep can be exercised under reliable cuts — on a
+    // full 20-invariant sweep can be exercised under reliable cuts — on a
     // real cluster, set an HDFS dir explicitly instead
     if (spark.conf.get(graft.PlanProbe.PolicyKey, "local") == "reliable" &&
         spark.sparkContext.getCheckpointDir.isEmpty)
@@ -267,15 +267,66 @@ object InvariantCheck {
       case e: Throwable =>
         Some(s"ivf_lifecycle: failed to run: ${e.getMessage}")
     } finally graft.PlanProbe.releaseCuts()
+    // Composed-lifecycle accounting at scale (round 14): the §3.1 panel's
+    // dense-scaffold + reconciliation identities and the §3.2 score
+    // matrix's accounting identity, asserted at the requested SF — the
+    // hash gate pins the VALUES at sf0.01 and the specs pin these
+    // invariants at sf0.001; this proves they are SF-invariant.
+    val marketFailure: Option[String] = try {
+      val m = qs("q_market_pipeline")(spark, sfDir)
+      val r = m.selectExpr(
+        "count(*)",
+        "count(DISTINCT week)",
+        "count(DISTINCT entity_name)",
+        // Spark dayofweek: Sunday = 1, so Monday = 2 (W-MON period ends)
+        "min(cast(dayofweek(to_date(week)) = 2 AS int))",
+        "min(cast(net_exposure = positive_exp - negative_exp AS int))")
+        .head()
+      val rows = r.getLong(0); val weeks = r.getLong(1)
+      val comps = r.getLong(2)
+      // the weekly counts and the basket totals are two aggregations of
+      // the SAME labeled frame — they must reconcile per company
+      val rec = m.groupBy("entity_name", "basket_total")
+        .agg(org.apache.spark.sql.functions
+          .expr("sum(positive_exp) + sum(negative_exp)").as("wk"))
+        .where("wk <> basket_total").count()
+      if (rows > 0 && rows == weeks * comps && comps <= 6 &&
+          r.getInt(3) == 1 && r.getInt(4) == 1 && rec == 0L) {
+        println(s"[invariant] OK q_market_pipeline: dense $weeks×$comps " +
+          "W-MON panel, weekly counts reconcile to the basket totals")
+        None
+      } else Some(s"q_market_pipeline: rows=$rows weeks=$weeks " +
+        s"companies=$comps mondays_ok=${r.getInt(3)} net_ok=${r.getInt(4)} " +
+        s"unreconciled=$rec — the basket→panel composition broke at scale")
+    } catch {
+      case e: Throwable =>
+        Some(s"q_market_pipeline: failed to run: ${e.getMessage}")
+    } finally graft.PlanProbe.releaseCuts()
+    val screenerFailure: Option[String] = try {
+      val sc = qs("q_screener_pipeline")(spark, sfDir)
+      val bad = sc.where("composite_score <> P + A + N + U OR " +
+        "composite_score <> adoption_score + risk_score").count()
+      val dup = sc.groupBy("entity_name").count().where("count > 1").count()
+      val n = sc.count()
+      if (bad == 0L && dup == 0L && n > 0) {
+        println(s"[invariant] OK q_screener_pipeline: $n companies, leaf " +
+          "and parent rollups both sum to the composite")
+        None
+      } else Some(s"q_screener_pipeline: n=$n bad_accounting=$bad " +
+        s"dup_companies=$dup — the tree→matrix composition broke at scale")
+    } catch {
+      case e: Throwable =>
+        Some(s"q_screener_pipeline: failed to run: ${e.getMessage}")
+    } finally graft.PlanProbe.releaseCuts()
     val failures = tableFailures ++ ccFailure ++ packFailure ++ ffdFailure ++
       ivfShapeFailure ++ ivfSuperFailure ++ ivfRecallFailures ++
-      ivfLifecycleFailure
+      ivfLifecycleFailure ++ marketFailure ++ screenerFailure
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach(f => System.err.println(s"[invariant] FAIL $f"))
       sys.exit(1)
     }
-    println(s"[invariant] all ${invariants.size + 6 + recallDirs.size} " +
+    println(s"[invariant] all ${invariants.size + 8 + recallDirs.size} " +
       s"invariants hold at $sfDir")
   }
 
