@@ -105,6 +105,26 @@ class CutPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(left == 0, s"$left checkpoint files survived retirement")
   }
 
+  test("market pipeline is bit-identical under local, reliable, and disk " +
+      "cut policies") {
+    // round 14 put a cut on the pipeline's labeled search frame — a GATED
+    // query now depends on cut semantics, so policy-invariance must hold
+    // for it the same way it does for the IVF sweep
+    def run(): Seq[String] =
+      Registry.all.find(_.name == "q_market_pipeline").get
+        .run(spark, dir).collect().map(_.toString).toSeq
+    val base = run()
+    assert(base.nonEmpty)
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_mkt_ck").toString)
+    assert(withPolicy("reliable")(run()) == base,
+      "reliable-checkpoint cut changed the panel")
+    assert(withPolicy("disk")(run()) == base,
+      "DISK_ONLY-persist cut changed the panel")
+    PlanProbe.releaseCuts()
+  }
+
   test("a sweep through the persisted assignment index is bit-identical " +
       "to the computed path") {
     val base = sweep()
