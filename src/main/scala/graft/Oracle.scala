@@ -95,18 +95,27 @@ object Oracle {
       |  )
       |)""".stripMargin
 
-  /** SQL twin of [[graft.label.Labeler.labelCol]] / `motivationCol`. */
-  val labelCase: String =
-    """CASE WHEN contains(text, 'slow') AND contains(text, 'merge') THEN 'N'
-      |     WHEN contains(text, 'fast') THEN 'P'
-      |     WHEN contains(text, 'stream') THEN 'A'
-      |     ELSE 'U' END""".stripMargin
+  /** SQL twins of [[graft.label.Labeler.labelColOn]] / `motivationColOn`,
+    * parameterized by the text column exactly like the Column side — the
+    * reference labels MASKED text, so composed-pipeline oracles render the
+    * same rules over their mask stage's output column (a blind
+    * `replace("text", ...)` over the rendered SQL would also rewrite any
+    * future rule token or identifier containing that substring). */
+  def labelCaseOn(c: String): String =
+    s"""CASE WHEN contains($c, 'slow') AND contains($c, 'merge') THEN 'N'
+       |     WHEN contains($c, 'fast') THEN 'P'
+       |     WHEN contains($c, 'stream') THEN 'A'
+       |     ELSE 'U' END""".stripMargin
 
-  val motivationCase: String =
-    """CASE WHEN contains(text, 'slow') AND contains(text, 'merge') THEN 'negative: ' || substr(text, 1, 40)
-      |     WHEN contains(text, 'fast') THEN 'positive: ' || substr(text, 1, 40)
-      |     WHEN contains(text, 'stream') THEN 'adopter: ' || substr(text, 1, 40)
-      |     ELSE 'unclear' END""".stripMargin
+  def motivationCaseOn(c: String): String =
+    s"""CASE WHEN contains($c, 'slow') AND contains($c, 'merge') THEN 'negative: ' || substr($c, 1, 40)
+       |     WHEN contains($c, 'fast') THEN 'positive: ' || substr($c, 1, 40)
+       |     WHEN contains($c, 'stream') THEN 'adopter: ' || substr($c, 1, 40)
+       |     ELSE 'unclear' END""".stripMargin
+
+  val labelCase: String = labelCaseOn("text")
+
+  val motivationCase: String = motivationCaseOn("text")
 
   /** `WITH chunk AS (...), labeled AS (chunk + label, motivation)` prefix. */
   val labeledCte: String =

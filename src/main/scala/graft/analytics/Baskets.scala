@@ -419,9 +419,9 @@ object Baskets {
         .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
           col("entity_name"))
         .agg(
-          sum(when(col("label") === "P", 1L).otherwise(0L)).as("positive_exp"),
+          Labeler.countOf(col("label"), "P").as("positive_exp"),
           max(when(col("label") === "P", col("headline"))).as("headline_pos"),
-          sum(when(col("label") === "N", 1L).otherwise(0L)).as("negative_exp"),
+          Labeler.countOf(col("label"), "N").as("negative_exp"),
           max(when(col("label") === "N", col("headline"))).as("headline_neg"))
       months.crossJoin(companies)
         .join(counts, Seq("month", "entity_name"), "left")

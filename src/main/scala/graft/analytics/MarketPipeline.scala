@@ -110,7 +110,7 @@ object MarketPipeline {
   }
 
   private def cnt(label: String): org.apache.spark.sql.Column =
-    sum(when(col("label") === label, 1L).otherwise(0L))
+    Labeler.countOf(col("label"), label)
 
   private val qMarketPipeline = Q(
     "q_market_pipeline",
@@ -139,13 +139,8 @@ object MarketPipeline {
       // the labeled search frame; broadcast the merge sides explicitly —
       // post-aggregation sizes are opaque to the planner at compile time
       val weeks = labeled
-        .agg(
-          date_add(date_trunc("week",
-            min(col("timestamp_utc")) - expr("INTERVAL 1 DAY")).cast("date"), 7)
-            .as("mn"),
-          date_add(date_trunc("week",
-            max(col("timestamp_utc")) - expr("INTERVAL 1 DAY")).cast("date"), 7)
-            .as("mx"))
+        .agg(TimeSeriesOps.wMonDate(min(col("timestamp_utc"))).as("mn"),
+          TimeSeriesOps.wMonDate(max(col("timestamp_utc"))).as("mx"))
         .select(explode(sequence(col("mn"), col("mx"),
           expr("INTERVAL 7 DAY"))).as("w"))
         .select(date_format(col("w"), "yyyy-MM-dd").as("week"))
@@ -208,8 +203,8 @@ object MarketPipeline {
          |         THEN 'U' ELSE raw_label END AS label
          |  FROM (
          |    SELECT *,
-         |      ${Oracle.labelCase.replace("text", "masked_text")} AS raw_label,
-         |      ${Oracle.motivationCase.replace("text", "masked_text")} AS motivation
+         |      ${Oracle.labelCaseOn("masked_text")} AS raw_label,
+         |      ${Oracle.motivationCaseOn("masked_text")} AS motivation
          |    FROM masked)
          |),
          |basket AS (

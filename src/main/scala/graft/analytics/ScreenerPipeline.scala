@@ -83,11 +83,11 @@ object ScreenerPipeline {
         .join(broadcast(leafDim), Seq("label"))
       // stage 4: score matrix — leaf counts + parent rollups + composite,
       // columns generated from the parsed tree
-      def cnt(c: Column, v: String): Column =
-        sum(when(c === v, 1L).otherwise(0L))
       val scoreCols =
-        leafThemes.map { case (l, _) => cnt(col("label"), l).as(l) } ++
-          themes.map(t => cnt(col("theme"), t).as(s"${t}_score")) :+
+        leafThemes.map { case (l, _) =>
+          Labeler.countOf(col("label"), l).as(l) } ++
+          themes.map(t =>
+            Labeler.countOf(col("theme"), t).as(s"${t}_score")) :+
           count(lit(1)).as("composite_score")
       labeled
         .groupBy(col("entity_name"), col("entity_ticker"),

@@ -17,12 +17,18 @@ import graft.model.Tables
   */
 object TimeSeriesOps {
 
-  /** pandas `to_period('W-MON')` analogue: label = the Monday ENDING the
-    * (Tue..Mon) week. d → next Monday, where a Monday labels itself. */
+  /** pandas `to_period('W-MON')` analogue, DATE-typed: the Monday ENDING
+    * the (Tue..Mon) week. d → next Monday, where a Monday labels itself.
+    * ONE definition of the week arithmetic — the label form below, the
+    * market pipeline's scaffold bounds, and its weekly count keys all
+    * derive from it, so the convention cannot desynchronize between the
+    * scaffold and the counts (which would zero-fill the whole panel). */
+  private[analytics] def wMonDate(ts: Column): Column =
+    date_add(date_trunc("week", ts - expr("INTERVAL 1 DAY")).cast("date"), 7)
+
+  /** [[wMonDate]] rendered as the `yyyy-MM-dd` period label. */
   private[analytics] def wMon(ts: Column): Column =
-    date_format(
-      date_add(date_trunc("week", ts - expr("INTERVAL 1 DAY")).cast("date"), 7),
-      "yyyy-MM-dd")
+    date_format(wMonDate(ts), "yyyy-MM-dd")
 
   /** W1: monthly chunk counts per sector. */
   private val qMonthly = Q(

@@ -65,6 +65,14 @@ object Labeler {
 
   val motivationCol: Column = motivationColOn(col("text"))
 
+  /** One-pass conditional count `sum(when(c === v, 1L))` — the exposure/
+    * score-count idiom shared by the basket, panel, and pipeline
+    * aggregates; its DuckDB twin is
+    * `CAST(sum(CASE WHEN c = 'v' THEN 1 ELSE 0 END) AS BIGINT)`. One
+    * definition keeps the Spark/oracle pairing in lockstep. */
+  def countOf(c: Column, v: String): Column =
+    sum(when(c === v, 1L).otherwise(0L))
+
   /** Column-expression fast path: label + motivation inline (whole-stage
     * codegen; no shuffle, no barrier). Used when the classifier is the stub. */
   def withStubLabels(df: DataFrame): DataFrame =

@@ -272,48 +272,64 @@ object InvariantCheck {
     // matrix's accounting identity, asserted at the requested SF — the
     // hash gate pins the VALUES at sf0.01 and the specs pin these
     // invariants at sf0.001; this proves they are SF-invariant.
+    // Both pipeline results are dimension-bounded (≤ weeks × top-6 and
+    // ≤ |watchlist| rows at ANY SF), so collect each ONCE and assert every
+    // identity driver-side — one Spark action per pipeline instead of one
+    // per identity, and a 0-row result degrades to a readable diagnostic
+    // rather than a null-aggregate surprise.
     val marketFailure: Option[String] = try {
-      val m = qs("q_market_pipeline")(spark, sfDir)
-      val r = m.selectExpr(
-        "count(*)",
-        "count(DISTINCT week)",
-        "count(DISTINCT entity_name)",
-        // Spark dayofweek: Sunday = 1, so Monday = 2 (W-MON period ends)
-        "min(cast(dayofweek(to_date(week)) = 2 AS int))",
-        "min(cast(net_exposure = positive_exp - negative_exp AS int))")
-        .head()
-      val rows = r.getLong(0); val weeks = r.getLong(1)
-      val comps = r.getLong(2)
+      val rows = qs("q_market_pipeline")(spark, sfDir).collect()
+      val weeks = rows.map(_.getAs[String]("week")).distinct
+      val comps = rows.map(_.getAs[String]("entity_name")).distinct
+      // W-MON period labels end on Mondays
+      val mondaysOk = weeks.forall(w =>
+        java.time.LocalDate.parse(w).getDayOfWeek ==
+          java.time.DayOfWeek.MONDAY)
+      val netOk = rows.forall(r => r.getAs[Long]("net_exposure") ==
+        r.getAs[Long]("positive_exp") - r.getAs[Long]("negative_exp"))
       // the weekly counts and the basket totals are two aggregations of
       // the SAME labeled frame — they must reconcile per company
-      val rec = m.groupBy("entity_name", "basket_total")
-        .agg(org.apache.spark.sql.functions
-          .expr("sum(positive_exp) + sum(negative_exp)").as("wk"))
-        .where("wk <> basket_total").count()
-      if (rows > 0 && rows == weeks * comps && comps <= 6 &&
-          r.getInt(3) == 1 && r.getInt(4) == 1 && rec == 0L) {
-        println(s"[invariant] OK q_market_pipeline: dense $weeks×$comps " +
-          "W-MON panel, weekly counts reconcile to the basket totals")
+      val unreconciled = rows.groupBy(_.getAs[String]("entity_name"))
+        .count { case (_, rs) =>
+          rs.map(r => r.getAs[Long]("positive_exp") +
+            r.getAs[Long]("negative_exp")).sum !=
+            rs.head.getAs[Long]("basket_total") }
+      if (rows.nonEmpty && rows.length == weeks.length * comps.length &&
+          comps.length <= 6 && mondaysOk && netOk && unreconciled == 0) {
+        println(s"[invariant] OK q_market_pipeline: dense ${weeks.length}×" +
+          s"${comps.length} W-MON panel, weekly counts reconcile to the " +
+          "basket totals")
         None
-      } else Some(s"q_market_pipeline: rows=$rows weeks=$weeks " +
-        s"companies=$comps mondays_ok=${r.getInt(3)} net_ok=${r.getInt(4)} " +
-        s"unreconciled=$rec — the basket→panel composition broke at scale")
+      } else Some(s"q_market_pipeline: rows=${rows.length} " +
+        s"weeks=${weeks.length} companies=${comps.length} " +
+        s"mondays_ok=$mondaysOk net_ok=$netOk unreconciled=$unreconciled " +
+        "— the basket→panel composition broke at scale")
     } catch {
       case e: Throwable =>
         Some(s"q_market_pipeline: failed to run: ${e.getMessage}")
     } finally graft.PlanProbe.releaseCuts()
     val screenerFailure: Option[String] = try {
-      val sc = qs("q_screener_pipeline")(spark, sfDir)
-      val bad = sc.where("composite_score <> P + A + N + U OR " +
-        "composite_score <> adoption_score + risk_score").count()
-      val dup = sc.groupBy("entity_name").count().where("count > 1").count()
-      val n = sc.count()
-      if (bad == 0L && dup == 0L && n > 0) {
-        println(s"[invariant] OK q_screener_pipeline: $n companies, leaf " +
-          "and parent rollups both sum to the composite")
+      // expectations derive from the SAME tree the pipeline derives its
+      // columns from — a fixture change adapts here instead of dying on an
+      // unresolved hard-coded column
+      val tree = graft.model.ThemeTree.fixture
+      val parentOf = graft.model.ThemeTree.labelToParent(tree)
+      val leaves = graft.model.ThemeTree.leaves(tree).map(_.label)
+      val parents = leaves.map(parentOf).distinct
+      val rows = qs("q_screener_pipeline")(spark, sfDir).collect()
+      val bad = rows.count { r =>
+        val comp = r.getAs[Long]("composite_score")
+        leaves.map(l => r.getAs[Long](l)).sum != comp ||
+          parents.map(p => r.getAs[Long](s"${p}_score")).sum != comp }
+      val names = rows.map(_.getAs[String]("entity_name"))
+      val dup = names.length - names.distinct.length
+      if (bad == 0 && dup == 0 && rows.nonEmpty) {
+        println(s"[invariant] OK q_screener_pipeline: ${rows.length} " +
+          "companies, leaf and parent rollups both sum to the composite")
         None
-      } else Some(s"q_screener_pipeline: n=$n bad_accounting=$bad " +
-        s"dup_companies=$dup — the tree→matrix composition broke at scale")
+      } else Some(s"q_screener_pipeline: n=${rows.length} " +
+        s"bad_accounting=$bad dup_companies=$dup — the tree→matrix " +
+        "composition broke at scale")
     } catch {
       case e: Throwable =>
         Some(s"q_screener_pipeline: failed to run: ${e.getMessage}")

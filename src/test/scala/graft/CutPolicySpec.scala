@@ -113,16 +113,26 @@ class CutPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     def run(): Seq[String] =
       Registry.all.find(_.name == "q_market_pipeline").get
         .run(spark, dir).collect().map(_.toString).toSeq
-    val base = run()
-    assert(base.nonEmpty)
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft_mkt_ck").toString)
-    assert(withPolicy("reliable")(run()) == base,
-      "reliable-checkpoint cut changed the panel")
-    assert(withPolicy("disk")(run()) == base,
-      "DISK_ONLY-persist cut changed the panel")
-    PlanProbe.releaseCuts()
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_mkt_ck")
+    try {
+      val base = run()
+      assert(base.nonEmpty)
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      assert(withPolicy("reliable")(run()) == base,
+        "reliable-checkpoint cut changed the panel")
+      assert(withPolicy("disk")(run()) == base,
+        "DISK_ONLY-persist cut changed the panel")
+    } finally {
+      // hygiene even on assertion failure: cut state must not leak into
+      // the adjacent tests (which assert on cache/checkpoint retirement),
+      // and the reliable run's files must not outlive the test
+      PlanProbe.releaseCuts()
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(ckDir)
+      try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
   }
 
   test("a sweep through the persisted assignment index is bit-identical " +
