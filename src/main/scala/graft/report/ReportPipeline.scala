@@ -81,7 +81,15 @@ object ReportPipeline {
   private def searchedLabeled(s: SparkSession, d: String): DataFrame = {
     val themeArr = array(Themes.map { case (term, tag) =>
       struct(lit(term).as("term"), lit(tag).as("theme")) }: _*)
+    // redundant with the explode below (a row fans out to ≥1 theme iff it
+    // contains ≥1 term) but SARGABLE: the disjunction references only the
+    // documents text column, so the optimizer sinks it to that scan and
+    // the whole star join sees only theme-matching chunks — the explode's
+    // empty-array row drop could only ever run after the joins
+    val anyTheme = Themes.map { case (term, _) =>
+      col("text").contains(term) }.reduce(_ || _)
     val fanned = Tables.chunkRows(s, d)
+      .filter(anyTheme)
       .select(col("document_id"), col("headline"), col("entity_id"),
         col("entity_name"), col("document_type"), col("text"),
         explode(filter(themeArr, t => col("text").contains(t.getField("term"))))
