@@ -65,9 +65,16 @@ object QueryAlgebra {
     def toColumn: Column = col("document_type").isin(types: _*)
   }
 
-  /** Q6: fiscal-year constraint. */
+  /** Q6: fiscal-year constraint. Rendered as the equivalent half-open
+    * timestamp range, NOT `year(ts) === y`: wrapping the column in year()
+    * defeats parquet min/max row-group pruning and partition pruning on a
+    * date-partitioned table, while the range form is sargable — at 100 TB
+    * that is the difference between scanning one year and scanning all of
+    * them. */
   final case class FiscalYearQ(y: Int) extends Qry {
-    def toColumn: Column = year(col("timestamp_utc")) === y
+    def toColumn: Column =
+      col("timestamp_utc") >= to_timestamp(lit(s"$y-01-01 00:00:00")) &&
+        col("timestamp_utc") < to_timestamp(lit(s"${y + 1}-01-01 00:00:00"))
   }
 
   /** Q9: inclusive date-range constraint (reference ranges end 23:59:59,
