@@ -263,8 +263,12 @@ object Relational {
   private val qSetOps = Q(
     "q_intersect_except",
     (s, d) => {
+      // half-open range, not date_format(ts) === '1998-07': the format
+      // wrap defeats parquet min/max pruning on the orders scan; the
+      // equivalent range is sargable (same rationale as FiscalYearQ)
       val c = Tables.chunkRows(s, d)
-        .filter(date_format(col("timestamp_utc"), "yyyy-MM") === "1998-07")
+        .filter(col("timestamp_utc") >= to_timestamp(lit("1998-07-01")) &&
+          col("timestamp_utc") < to_timestamp(lit("1998-08-01")))
       def ents(t: String) = c.filter(col("document_type") === t)
         .select(col("entity_id")).distinct()
       ents("news").intersect(ents("filings"))
