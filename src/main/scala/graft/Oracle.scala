@@ -10,6 +10,23 @@ package graft
   */
 object Oracle {
 
+  /** Render `s` as a SQL single-quoted string literal (doubling embedded
+    * quotes). Every composed-pipeline oracle that interpolates a
+    * Scala-side value (similarity tokens, watchlist ids, tree labels) must
+    * route through this — today's fixture vocabulary happens to be
+    * quote-free, but a future fixture token containing `'` would otherwise
+    * produce invalid (or worse, silently wrong) oracle SQL far from the
+    * value's definition site. */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Render `s` as a SQL double-quoted identifier (doubling embedded
+    * quotes). Used where a Scala-side value becomes a COLUMN NAME in the
+    * oracle (`AS $label`): DuckDB's quoted identifier preserves the exact
+    * string, which is also what Spark's `.as(label)` names the column —
+    * so the driver's sorted-by-name compare keeps matching for any label
+    * the tree parser admits, not just identifier-shaped ones. */
+  def sqlIdent(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
   /** SQL twin of [[graft.model.Tables.chunkRows]]. */
   val chunkCte: String =
     """chunk AS (
@@ -94,6 +111,51 @@ object Oracle {
       |    FROM chunk
       |  )
       |)""".stripMargin
+
+  /** DuckDB twin of [[graft.ingest.ChunkOps.multiSpanMaskCol]] — the FULL
+    * multi-span P3 mask as a CTE over `src`: enumerate every occurrence of
+    * the three planted tokens (1-based here, matching substr), number the
+    * non-target keys by first appearance, sort, and splice left-to-right by
+    * segment concatenation (equivalent to the engine's right-to-left fold:
+    * the spans are disjoint, so masked = Σ gap_i + placeholder_i + tail).
+    * Emits `SELECT * EXCLUDE (sp), ... AS masked_text`. */
+  def maskedCteSql(src: String, cteName: String = "masked"): String = {
+    val target = sqlLit(graft.functions.Masking.TargetPlaceholder)
+    val other = sqlLit(graft.functions.Masking.OtherPrefix)
+    def occ(token: String, ph: String): String = {
+      val tl = token.length
+      s"""list_transform(
+         |      list_filter(generate_series(1, greatest(len(text) - ${tl - 1}, 0)),
+         |        i -> substr(text, i, $tl) = '$token'),
+         |      i -> struct_pack(s := i, e := i + $tl, ph := $ph))""".stripMargin
+    }
+    val partNum =
+      "CASE WHEN strpos(text, 'order') > 0 AND strpos(text, 'order') < " +
+        "strpos(text, 'part') THEN 2 ELSE 1 END"
+    val orderNum =
+      "CASE WHEN strpos(text, 'part') > 0 AND strpos(text, 'part') < " +
+        "strpos(text, 'order') THEN 2 ELSE 1 END"
+    // NOTE: no generated line may BEGIN with '||' — the outer query's
+    // stripMargin would eat the first pipe as a margin marker
+    s"""$cteName AS (
+       |  SELECT * EXCLUDE (sp),
+       |    CASE WHEN len(sp) = 0 THEN text ELSE
+       |      list_aggregate(list_transform(sp, (x, i) ->
+       |        substr(text, CASE WHEN i = 1 THEN 1 ELSE sp[i - 1].e END,
+       |               x.s - CASE WHEN i = 1 THEN 1 ELSE sp[i - 1].e END) ||
+       |        x.ph),
+       |        'string_agg', '') ||
+       |      substr(text, sp[len(sp)].e)
+       |    END AS masked_text
+       |  FROM (
+       |    SELECT *, list_sort(list_concat(list_concat(
+       |      ${occ("customer", target)},
+       |      ${occ("part", s"$other || ($partNum)")}),
+       |      ${occ("order", s"$other || ($orderNum)")})) AS sp
+       |    FROM $src
+       |  )
+       |)""".stripMargin
+  }
 
   /** SQL twins of [[graft.label.Labeler.labelColOn]] / `motivationColOn`,
     * parameterized by the text column exactly like the Column side — the

@@ -33,11 +33,15 @@ import graft.query.QueryAlgebra._
   *     shapes) → hash aggregate on (sentence_id, entity_id) — live: the
   *     chunk relation genuinely repeats that key (its minimal unique key
   *     adds part_entity_id);
-  *  3. entity masking (`search.py:576` `mask_sentences`; `q_mask_target`
-  *     shape) → the single-span co-mention splice as a codegen Column
-  *     expression — the UDF↔expression agreement is already pinned by
-  *     `q_mask_multi`/`q_mask_roundtrip`, so the pipeline hot path keeps
-  *     whole-stage codegen;
+  *  3. entity masking (`search.py:576` `mask_sentences`, the FULL
+  *     multi-span algorithm of `search.py:611-677`: every target span →
+  *     `Target Company`, every other-entity span → `Other Company_i` with
+  *     stable first-appearance numbering, right-to-left splice) →
+  *     [[graft.ingest.ChunkOps.multiSpanMaskCol]], the production mask
+  *     path as a codegen Column expression — `q_mask_multi` pins it ≡ the
+  *     span-array UDF row-by-row, so the pipeline hot path keeps
+  *     whole-stage codegen while running the real P3 algorithm, not a
+  *     single-span stand-in;
   *  4. label MASKED text + consistency guard (`labeling.py:226-324` label,
   *     `:379` guard; `q_label_batched`/`q_label_guard` shapes) →
   *     [[Labeler.labelColOn]]/[[Labeler.motivationColOn]] over masked_text,
@@ -53,7 +57,12 @@ import graft.query.QueryAlgebra._
   *
   * Scale shape: stages 1-4 are one codegen'd scan (similarity/scope/date
   * conjuncts sit on the Parquet scan; the batch explode fans out ≤ |batches|
-  * and here exactly 1 — batches partition the watchlist) followed by one
+  * per matched role — and exactly 1 for THIS corpus, because watchlist ids
+  * ('s…') only ever appear in the entity_id role, so each row matches the
+  * single batch holding its supplier; an id scheme where one id can occupy
+  * several of the entity/other/part roles would fan out to every matching
+  * batch, same as the reference's concatenated per-batch result stream —
+  * the property is pinned in MarketPipelineSpec) followed by one
   * keyed hash aggregate; stage 5/6 aggregates are dimension-bounded
   * (≤ |entities| and ≤ |weeks|×|entities| rows at any corpus size), so the
   * basket cross join and the counts merge broadcast explicitly — the fact
@@ -65,8 +74,10 @@ import graft.query.QueryAlgebra._
 object MarketPipeline {
 
   /** Watchlist + Q8 batch size (`batch_size=10` in the reference;
-    * 3 here keeps several batches live at test SFs). */
-  private val Watchlist: Seq[String] = (1 to 8).map(i => s"s$i")
+    * 3 here keeps several batches live at test SFs). Visible to
+    * MarketPipelineSpec, which pins the corpus shape the batch fan-out
+    * claim rests on (watchlist ids only in the entity_id role). */
+  private[graft] val Watchlist: Seq[String] = (1 to 8).map(i => s"s$i")
   private val BatchSize = 3
 
   /** Shared search conjuncts (ipynb cell 18-19 params). */
@@ -76,15 +87,15 @@ object MarketPipeline {
 
   private val BasketK = 6
 
-  /** Stage 5/6 target-entity placeholder (the reference numbers non-target
-    * co-mentions `Company 1..n`, `search.py:647-659`). */
-  private val Placeholder = "Company 1"
-
   private def batches: Seq[AnyQ] =
     QueryAlgebra.autoBatchEntities(Seq("COMP" -> Watchlist), BatchSize)
 
-  /** Stages 1-4 as one scan: search fan-out → dedup → mask → label+guard. */
-  private def labeledSearch(s: SparkSession, d: String): DataFrame = {
+  /** Stages 1-4 as one scan: search fan-out → dedup → mask → label+guard.
+    * Shared with [[NetworkPipeline]] (§3.1's step-6 graph arm continues
+    * from exactly this frame); its SQL twin is [[labeledSearchSql]].
+    * `document_id` rides through the dedup because the graph arm groups
+    * co-mentions by document. */
+  private[graft] def labeledSearch(s: SparkSession, d: String): DataFrame = {
     val batchArr = array(batches.zipWithIndex.map { case (g, i) =>
       struct(lit(i).as("batch_id"), g.toColumn.as("hit")) }: _*)
     // the AnyQ conjunct is REDUNDANT with the batch explode below (a row
@@ -101,17 +112,14 @@ object MarketPipeline {
       .drop("__b")
     val deduped = searched
       .groupBy(col("sentence_id"), col("entity_id"))
-      .agg(min(col("timestamp_utc")).as("timestamp_utc"),
+      .agg(min(col("document_id")).as("document_id"),
+        min(col("timestamp_utc")).as("timestamp_utc"),
         min(col("headline")).as("headline"),
         min(col("entity_name")).as("entity_name"),
         min(col("entity_sector")).as("entity_sector"),
         min(col("text")).as("text"))
-    val p = instr(col("text"), "customer")
     val masked = deduped.withColumn("masked_text",
-      when(p > 0,
-        concat(substring(col("text"), lit(1), p - 1), lit(Placeholder),
-          substring(col("text"), p + 8, length(col("text")))))
-        .otherwise(col("text")))
+      graft.ingest.ChunkOps.multiSpanMaskCol(col("text")))
     Labeler.guarded(masked
       .withColumn("label", Labeler.labelColOn(col("masked_text")))
       .withColumn("motivation", Labeler.motivationColOn(col("masked_text"))))
@@ -119,6 +127,55 @@ object MarketPipeline {
 
   private def cnt(label: String): org.apache.spark.sql.Column =
     Labeler.countOf(col("label"), label)
+
+  /** DuckDB twin of [[labeledSearch]] — the searched/deduped/masked/labeled
+    * CTE chain, for embedding after `WITH ${Oracle.chunkCte},`. ONE
+    * definition shared by this gate and [[NetworkPipeline]]'s, so the two
+    * §3.1 gates can never disagree about what "the labeled search frame"
+    * means. */
+  private[graft] def labeledSearchSql: String = {
+    def inList(ids: Seq[String]): String =
+      ids.map(Oracle.sqlLit).mkString("(", ", ", ")")
+    val batchAlternatives = batches.zipWithIndex.map { case (g, i) =>
+      val ids = g.qs.collect { case EntityQ(id) => id }
+      s"""(b = $i AND (entity_id IN ${inList(ids)}
+         |         OR other_entity_id IN ${inList(ids)}
+         |         OR part_entity_id IN ${inList(ids)}))""".stripMargin
+    }.mkString("\n      OR ")
+    val simTokens = Sim.tokens.map(t =>
+      s"CASE WHEN contains(lower(text), ${Oracle.sqlLit(t)}) THEN 1.0 ELSE 0.0 END")
+      .mkString("(", "\n       + ", s")\n      / ${Sim.tokens.size}.0")
+    s"""searched AS (
+       |  SELECT *, unnest(list_filter([${batches.indices.mkString(", ")}], b ->
+       |      $batchAlternatives)) AS batch_id
+       |  FROM chunk
+       |  WHERE $simTokens >= ${Sim.minScore}
+       |    AND document_type IN ('news', 'transcripts')
+       |    AND timestamp_utc >= TIMESTAMP '1995-01-01 00:00:00'
+       |    AND timestamp_utc <= TIMESTAMP '1996-12-31 23:59:59'
+       |),
+       |deduped AS (
+       |  SELECT sentence_id, entity_id,
+       |         min(document_id) AS document_id,
+       |         min(timestamp_utc) AS timestamp_utc,
+       |         min(headline) AS headline,
+       |         min(entity_name) AS entity_name,
+       |         min(entity_sector) AS entity_sector,
+       |         min(text) AS text
+       |  FROM searched GROUP BY 1, 2
+       |),
+       |${Oracle.maskedCteSql("deduped")},
+       |labeled AS (
+       |  SELECT *,
+       |    CASE WHEN motivation IS NULL OR motivation = 'unclear'
+       |         THEN 'U' ELSE raw_label END AS label
+       |  FROM (
+       |    SELECT *,
+       |      ${Oracle.labelCaseOn("masked_text")} AS raw_label,
+       |      ${Oracle.motivationCaseOn("masked_text")} AS motivation
+       |    FROM masked)
+       |)""".stripMargin
+  }
 
   private val qMarketPipeline = Q(
     "q_market_pipeline",
@@ -166,55 +223,8 @@ object MarketPipeline {
         .orderBy(col("week"), col("entity_name"))
     },
     Some {
-      def inList(ids: Seq[String]): String =
-        ids.map(id => s"'$id'").mkString("(", ", ", ")")
-      val batchAlternatives = batches.zipWithIndex.map { case (g, i) =>
-        val ids = g.qs.collect { case EntityQ(id) => id }
-        s"""(b = $i AND (entity_id IN ${inList(ids)}
-           |         OR other_entity_id IN ${inList(ids)}
-           |         OR part_entity_id IN ${inList(ids)}))""".stripMargin
-      }.mkString("\n      OR ")
-      val simTokens = Sim.tokens.map(t =>
-        s"CASE WHEN contains(lower(text), '$t') THEN 1.0 ELSE 0.0 END")
-        .mkString("(", "\n       + ", s")\n      / ${Sim.tokens.size}.0")
       s"""WITH ${Oracle.chunkCte},
-         |searched AS (
-         |  SELECT *, unnest(list_filter([${batches.indices.mkString(", ")}], b ->
-         |      $batchAlternatives)) AS batch_id
-         |  FROM chunk
-         |  WHERE $simTokens >= ${Sim.minScore}
-         |    AND document_type IN ('news', 'transcripts')
-         |    AND timestamp_utc >= TIMESTAMP '1995-01-01 00:00:00'
-         |    AND timestamp_utc <= TIMESTAMP '1996-12-31 23:59:59'
-         |),
-         |deduped AS (
-         |  SELECT sentence_id, entity_id,
-         |         min(timestamp_utc) AS timestamp_utc,
-         |         min(headline) AS headline,
-         |         min(entity_name) AS entity_name,
-         |         min(entity_sector) AS entity_sector,
-         |         min(text) AS text
-         |  FROM searched GROUP BY 1, 2
-         |),
-         |masked AS (
-         |  SELECT *,
-         |    CASE WHEN strpos(text, 'customer') > 0
-         |         THEN substr(text, 1, strpos(text, 'customer') - 1)
-         |              || '$Placeholder'
-         |              || substr(text, strpos(text, 'customer') + 8)
-         |         ELSE text END AS masked_text
-         |  FROM deduped
-         |),
-         |labeled AS (
-         |  SELECT *,
-         |    CASE WHEN motivation IS NULL OR motivation = 'unclear'
-         |         THEN 'U' ELSE raw_label END AS label
-         |  FROM (
-         |    SELECT *,
-         |      ${Oracle.labelCaseOn("masked_text")} AS raw_label,
-         |      ${Oracle.motivationCaseOn("masked_text")} AS motivation
-         |    FROM masked)
-         |),
+         |$labeledSearchSql,
          |basket AS (
          |  SELECT entity_name, entity_sector,
          |         positive_exp + negative_exp AS basket_total,

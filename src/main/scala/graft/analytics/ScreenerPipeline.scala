@@ -100,16 +100,24 @@ object ScreenerPipeline {
       val parentOf = ThemeTree.labelToParent(tree)
       val leafThemes = ThemeTree.leaves(tree).map(n => n.label -> parentOf(n.label))
       val themes = leafThemes.map(_._2).distinct
+      // tree labels/themes reach the SQL as escaped literals and QUOTED
+      // identifiers (Oracle.sqlLit/sqlIdent): the parse path is
+      // load-bearing and the tree swappable, so a leaf label carrying a
+      // quote, space, or reserved word must not produce invalid — or
+      // silently wrong — oracle SQL far from the tree definition
       val leafValues = leafThemes
-        .map { case (l, t) => s"('$l', '$t')" }.mkString(", ")
+        .map { case (l, t) => s"(${Oracle.sqlLit(l)}, ${Oracle.sqlLit(t)})" }
+        .mkString(", ")
       val reporting = Watchlist
-        .map(id => s"(entity_id = '$id' AND is_reporting_entity)")
+        .map(id => s"(entity_id = ${Oracle.sqlLit(id)} AND is_reporting_entity)")
         .mkString("(", "\n      OR ", ")")
       val leafCols = leafThemes.map { case (l, _) =>
-        s"CAST(sum(CASE WHEN label = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS $l"
+        s"CAST(sum(CASE WHEN label = ${Oracle.sqlLit(l)} THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS ${Oracle.sqlIdent(l)}"
       }
       val themeCols = themes.map(t =>
-        s"CAST(sum(CASE WHEN theme = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS ${t}_score")
+        s"CAST(sum(CASE WHEN theme = ${Oracle.sqlLit(t)} THEN 1 ELSE 0 END) " +
+          s"AS BIGINT) AS ${Oracle.sqlIdent(s"${t}_score")}")
       s"""WITH ${Oracle.chunkCte},
          |searched AS (
          |  SELECT * FROM chunk

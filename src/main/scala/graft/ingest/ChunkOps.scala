@@ -215,32 +215,56 @@ object ChunkOps {
     * (`search.py:430-448, 634-677`), not just at property-test scale.
     * (Overlap skipping remains property-tested in MaskingSpec — the planted
     * tokens cannot overlap each other in text.) */
+  /** Stable per-key numbering of the two non-target span keys ('part' /
+    * 'order') in order of FIRST span appearance — every span of a key
+    * shares its number, however many occurrences it has. Returns
+    * (partNum, orderNum) as 1/2 int columns. ONE definition shared by the
+    * q_mask_multi verification twin and the market pipeline's production
+    * mask stage. */
+  private[graft] def otherSpanNums(text: Column): (Column, Column) = {
+    val pP = instr(text, "part")
+    val pO = instr(text, "order")
+    (when(pO > 0 && pO < pP, lit(2)).otherwise(lit(1)),
+      when(pP > 0 && pP < pO, lit(2)).otherwise(lit(1)))
+  }
+
+  /** P3's full multi-span mask as a pure Column expression over the
+    * synthetic three-token span model (every 'customer' occurrence →
+    * `Target Company`, every 'part'/'order' occurrence → `Other Company_i`
+    * with [[otherSpanNums]]'s first-appearance numbering, spliced
+    * right-to-left so earlier offsets stay valid — the reference algorithm
+    * of `search.py:611-677`). Proven ≡ [[Masking.maskUdf]] over the real
+    * span arrays ROW-BY-ROW by `q_mask_multi`'s zero-mismatch gate, which
+    * is what licenses composed pipelines to run THIS codegen-friendly form
+    * in their hot path instead of the boxing UDF. DuckDB twin:
+    * [[graft.Oracle.maskedTextSqlOn]]. */
+  private[graft] def multiSpanMaskCol(text: Column): Column = {
+    val (partNum, orderNum) = otherSpanNums(text)
+    def occ(token: String, ph: Column): Column =
+      transform(Tables.tokenStarts(text, token), p =>
+        struct(p.as("start"), (p + token.length).cast("int").as("end"),
+          ph.as("ph")))
+    val spansArr = concat(
+      occ("customer", lit(Masking.TargetPlaceholder)),
+      occ("part", concat(lit(Masking.OtherPrefix), partNum)),
+      occ("order", concat(lit(Masking.OtherPrefix), orderNum)))
+    aggregate(reverse(array_sort(spansArr)), text,
+      (acc, sp) => concat(
+        substring(acc, lit(1), sp.getField("start")),
+        sp.getField("ph"),
+        substring(acc, sp.getField("end") + 1, length(acc))))
+  }
+
   private val qMaskMulti = Q(
     "q_mask_multi",
     (s, d) => {
       val pP = instr(col("text"), "part")
       val pO = instr(col("text"), "order")
-      // stable numbering: per distinct non-target KEY in order of first span
-      // appearance ('part' vs 'order' FIRST-occurrence order) — every span of
-      // a key shares its number, however many occurrences it has
-      val partNum = when(pO > 0 && pO < pP, lit(2)).otherwise(lit(1))
-      val orderNum = when(pP > 0 && pP < pO, lit(2)).otherwise(lit(1))
-      // every occurrence of each token (same enumeration as chunkRowsFull)
-      def occ(token: String, ph: Column): Column =
-        transform(Tables.tokenStarts(col("text"), token), p =>
-          struct(p.as("start"), (p + token.length).cast("int").as("end"),
-            ph.as("ph")))
-      val spansArr = concat(
-        occ("customer", lit(Masking.TargetPlaceholder)),
-        occ("part", concat(lit(Masking.OtherPrefix), partNum)),
-        occ("order", concat(lit(Masking.OtherPrefix), orderNum)))
-      // right-to-left splice keeps earlier offsets valid (same order the UDF
-      // applies replacements)
-      val expectedMasked = aggregate(reverse(array_sort(spansArr)), col("text"),
-        (acc, sp) => concat(
-          substring(acc, lit(1), sp.getField("start")),
-          sp.getField("ph"),
-          substring(acc, sp.getField("end") + 1, length(acc))))
+      val (partNum, orderNum) = otherSpanNums(col("text"))
+      // the expression twin under test: every token occurrence, stable
+      // numbering, right-to-left splice (same order the UDF applies
+      // replacements) — the shared production builder
+      val expectedMasked = multiSpanMaskCol(col("text"))
       val phArr = array_sort(filter(
         array(
           struct(partNum.cast("int").as("idx"), col("part_entity_id").as("name"),

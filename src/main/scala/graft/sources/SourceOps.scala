@@ -367,12 +367,21 @@ object SourceOps {
     // earlier reads keep their still-valid backing (no overwrite race)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(bodyTxt.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val bodyFile = sheetBodyCache.computeIfAbsent(digest, _ => {
-      val f = sheetTmpDir.resolve(s"body-$digest.csv")
-      java.nio.file.Files.writeString(f, bodyTxt)
-      f.toFile.deleteOnExit()
-      f
-    })
+    // compute(), not computeIfAbsent(): a hit must revalidate that the
+    // backing file still EXISTS — in a long-lived driver an external tmp
+    // cleaner (systemd-tmpfiles etc.) can reap /tmp under the JVM, and a
+    // stale cache entry would hand out a DataFrame over a missing file
+    // that fails at action time with an opaque FileNotFoundException.
+    // Recreating at the same digest-keyed path is idempotent and safe:
+    // the content is identical by construction of the key.
+    val bodyFile = sheetBodyCache.compute(digest, (_, cached) =>
+      if (cached != null && java.nio.file.Files.exists(cached)) cached
+      else {
+        val f = sheetTmpDir.resolve(s"body-$digest.csv")
+        java.nio.file.Files.writeString(f, bodyTxt)
+        f.toFile.deleteOnExit()
+        f
+      })
     val parsed = spark.read.option("inferSchema", "true")
       .option("multiLine", "true").csv(bodyFile.toString)
     val kept = names.zipWithIndex.filter { case (n, _) =>

@@ -69,6 +69,23 @@ class MarketPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("watchlist ids occupy only the entity_id role (batch fan-out = 1)") {
+    // The stage-1 docstring's "explode fans out exactly 1" claim is
+    // data-shape-dependent: EntityQ matches the entity/other/part roles, so
+    // it holds only while watchlist ids ('s…') never appear in the other
+    // ('c…') or part ('p…') roles. Pin the shape here so a generator or
+    // id-scheme change surfaces as THIS failure, not as a silent
+    // multiplicity drift inside the hash gate.
+    import org.apache.spark.sql.functions.col
+    val wl = graft.analytics.MarketPipeline.Watchlist
+    val offRole = graft.model.Tables.chunkRows(spark, dir)
+      .filter(col("other_entity_id").isin(wl: _*) ||
+        col("part_entity_id").isin(wl: _*))
+      .count()
+    assert(offRole === 0L, "a watchlist id appeared outside the entity_id " +
+      "role — the batch-explode multiplicity-1 property no longer holds")
+  }
+
   test("panel merges stay broadcast on the ADAPTIVE-final plan") {
     assert(rows.nonEmpty)
     // basket cross join + counts left merge: both sides are
