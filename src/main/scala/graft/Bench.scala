@@ -73,11 +73,19 @@ object Bench {
     "q_report_pipeline")   // §3.3 composed search→label→score→coalesce chain
 
   /** Composed lifecycles born in round 14 — same frozen-set protocol
-    * (`extras_r14` in the JSON, own calibration samples, run LAST so the
-    * older sets stay round-over-round comparable). */
+    * (`extras_r14` in the JSON, own calibration samples, run after the
+    * older sets so those stay round-over-round comparable). */
   val extraR14: Seq[String] = Seq(
     "q_market_pipeline",   // §3.1 search→dedup→mask→label→basket→panel chain
     "q_screener_pipeline") // §3.2 tree→search→label→score-matrix chain
+
+  /** Composed lifecycles born in round 15 — same frozen-set protocol
+    * (`extras_r15` in the JSON, own calibration samples, run LAST). */
+  val extraR15: Seq[String] = Seq(
+    "q_narrative_pipeline", // cross-source pivot→z→smooth→align→peaks chain
+    "q_election_pipeline",  // topics explode→scaffold→bipartite-degree chain
+    "q_board_pipeline",     // search modes→first-wins dedup→quarterly chain
+    "q_network_pipeline")   // §3.1 graph arm: roles→co-mention→layout chain
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,41 +128,35 @@ object Bench {
     val extras10 = extraR10.filter(qs0.contains)
     val extras13 = extraR13.filter(qs0.contains)
     val extras14 = extraR14.filter(qs0.contains)
+    val extras15 = extraR15.filter(qs0.contains)
     val passes = 3
     // times(name) accumulates one entry per pass; -1 marks a failed rep
     val times = scala.collection.mutable.Map(
-      (present ++ extras ++ extras10 ++ extras13 ++ extras14)
+      (present ++ extras ++ extras10 ++ extras13 ++ extras14 ++ extras15)
         .map(_ -> List.empty[Double]): _*)
     // headline passes run FIRST and alone — extras must not perturb the
     // page-cache/GC conditions of headline reps 2-3, or `total` stops being
     // comparable to rounds benched before extras existed; each later block
     // repeats the same interleaved protocol (with its own calibration
     // samples) after the previous block completes
-    val calib = (1 to passes).map { _ =>
-      val c = calibrate()
-      present.foreach { name => times(name) :+= once(name, qs0(name)) }
-      c
-    }
-    val calibExtras = (1 to passes).map { _ =>
-      val c = calibrate()
-      extras.foreach { name => times(name) :+= once(name, qs0(name)) }
-      c
-    }
-    val calibExtras10 = (1 to passes).map { _ =>
-      val c = calibrate()
-      extras10.foreach { name => times(name) :+= once(name, qs0(name)) }
-      c
-    }
-    val calibExtras13 = (1 to passes).map { _ =>
-      val c = calibrate()
-      extras13.foreach { name => times(name) :+= once(name, qs0(name)) }
-      c
-    }
-    val calibExtras14 = (1 to passes).map { _ =>
-      val c = calibrate()
-      extras14.foreach { name => times(name) :+= once(name, qs0(name)) }
-      c
-    }
+    // one frozen set's interleaved passes; an EMPTY set (a registry-subset
+    // run that filtered it away) skips its calibration samples entirely —
+    // three constant-work probes guarding zero queries are pure overhead
+    // that grows with every new frozen set — and emits an empty
+    // calibration list in the JSON
+    def runBlock(names: Seq[String]): Seq[Double] =
+      if (names.isEmpty) Seq.empty
+      else (1 to passes).map { _ =>
+        val c = calibrate()
+        names.foreach { name => times(name) :+= once(name, qs0(name)) }
+        c
+      }
+    val calib = runBlock(present)
+    val calibExtras = runBlock(extras)
+    val calibExtras10 = runBlock(extras10)
+    val calibExtras13 = runBlock(extras13)
+    val calibExtras14 = runBlock(extras14)
+    val calibExtras15 = runBlock(extras15)
     def minOf(name: String): Double = {
       val ok = times(name).filter(_ >= 0)
       if (ok.isEmpty) -1.0 else ok.min
@@ -170,6 +172,8 @@ object Bench {
       .mkString("{", ",", "}")
     val extras14Json = extras14.map(name => "\"" + name + "\":" + minOf(name))
       .mkString("{", ",", "}")
+    val extras15Json = extras15.map(name => "\"" + name + "\":" + minOf(name))
+      .mkString("{", ",", "}")
     // extras participate in failure gating exactly like headline queries —
     // a broken or unregistered showcase operator must not exit 0. The rep
     // gate is ANY failed rep, not all-reps-failed: a query that succeeds
@@ -177,9 +181,10 @@ object Bench {
     // ≥ 0), and gating on minOf alone would ship the intermittent crash
     // with failures:[] and exit 0
     val failed =
-      (headline ++ extraHeadline ++ extraR10 ++ extraR13 ++ extraR14)
+      (headline ++ extraHeadline ++ extraR10 ++ extraR13 ++ extraR14 ++
+        extraR15)
         .filterNot(qs0.contains) ++
-      (present ++ extras ++ extras10 ++ extras13 ++ extras14)
+      (present ++ extras ++ extras10 ++ extras13 ++ extras14 ++ extras15)
         .filter(n => times(n).exists(_ < 0))
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Locale.ROOT: the f-interpolator is locale-sensitive and would emit
@@ -192,6 +197,7 @@ object Bench {
     val calibExtras10Json = fmtCalib(calibExtras10)
     val calibExtras13Json = fmtCalib(calibExtras13)
     val calibExtras14Json = fmtCalib(calibExtras14)
+    val calibExtras15Json = fmtCalib(calibExtras15)
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // ---- machine-readable drift verdicts --------------------------------
@@ -225,7 +231,8 @@ object Bench {
     // "run_ratio" so readers see the contention the verdicts discounted.
     val blocks: Seq[(Seq[String], Seq[Double])] =
       Seq(present -> calib, extras -> calibExtras,
-        extras10 -> calibExtras10, extras13 -> calibExtras13)
+        extras10 -> calibExtras10, extras13 -> calibExtras13,
+        extras14 -> calibExtras14, extras15 -> calibExtras15)
     val runRatio = BenchDrift.runRatio(blocks.flatMap { case (names, cs) =>
       names.flatMap(n => BenchDrift.cleanBestRatio(steady.get(n), times(n), cs))
     })
@@ -252,7 +259,8 @@ object Bench {
         extras.map(n => n -> driftOf(n, calibExtras)) ++
         extras10.map(n => n -> driftOf(n, calibExtras10)) ++
         extras13.map(n => n -> driftOf(n, calibExtras13)) ++
-        extras14.map(n => n -> driftOf(n, calibExtras14))
+        extras14.map(n => n -> driftOf(n, calibExtras14)) ++
+        extras15.map(n => n -> driftOf(n, calibExtras15))
     val driftJson = drift.map(_._2._2).mkString("{", ",", "}")
     val structural = drift.collect { case (n, ("structural", _)) => n }
     val structuralJson = structural.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -277,7 +285,7 @@ object Bench {
     } catch { case _: Throwable => None }
     val envVerdict = BenchDrift.environmentVerdict(prevRatio, runRatio)
 
-    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"extras_r13":$extras13Json,"extras_r14":$extras14Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"calibration_extras_r13":$calibExtras13Json,"calibration_extras_r14":$calibExtras14Json,"drift":$driftJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","boot_id":"$bootId","drift_baseline":"$baselineTag","sf":"$sfDir"}"""
+    val record = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"extras":$extrasJson,"extras_r10":$extras10Json,"extras_r13":$extras13Json,"extras_r14":$extras14Json,"extras_r15":$extras15Json,"failures":$failedJson,"passes":$passes,"calibration":$calibJson,"calibration_extras":$calibExtrasJson,"calibration_extras_r10":$calibExtras10Json,"calibration_extras_r13":$calibExtras13Json,"calibration_extras_r14":$calibExtras14Json,"calibration_extras_r15":$calibExtras15Json,"drift":$driftJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","boot_id":"$bootId","drift_baseline":"$baselineTag","sf":"$sfDir"}"""
     // Persist the full record: the driver's tail capture keeps only the
     // compact trailing line, so per-query history would otherwise live
     // only in prose. A write failure (read-only checkout, container FS)

@@ -19,10 +19,14 @@ object Registry {
       graft.analytics.Baskets.queries ++
       graft.analytics.MarketPipeline.queries ++
       graft.analytics.ScreenerPipeline.queries ++
+      graft.analytics.NarrativePipeline.queries ++
+      graft.analytics.ElectionPipeline.queries ++
+      graft.analytics.BoardPipeline.queries ++
       graft.analytics.Sessions.queries ++
       graft.analytics.AsOf.queries ++
       graft.ingest.ChunkOps.queries ++
       graft.graph.GraphOps.queries ++
+      graft.graph.NetworkPipeline.queries ++
       graft.text.TextOps.queries ++
       graft.text.CorpusOps.queries ++
       graft.sim.SimilarityOps.queries ++

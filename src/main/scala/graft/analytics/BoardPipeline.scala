@@ -1,0 +1,167 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Oracle, Q}
+import graft.model.Tables
+
+/** Board/management-monitoring lifecycle
+  * (`Board_Management_Monitoring/src/tool.py`, traced in SURVEY.md §3)
+  * composed as ONE gated DataFrame pipeline — the search-mode-comparison
+  * sibling of the other composed lifecycles. Every stage is individually
+  * hash-gated (`q_search_modes`, `q_doc_dedup_first`, `q_quarter_counts`
+  * shapes); this query gates the COMPOSITION — the three mode streams'
+  * membership, the per-mode first-wins document dedup (including WHICH row
+  * wins), and the common quarterly axis the mode comparison is plotted on —
+  * so cross-stage contract drift surfaces as a red CORRECTNESS row.
+  *
+  * Stage map (reference line → gated building block → here):
+  *  1. strict / relaxed / relaxed_post search modes (`tool.py:121-157,
+  *     267-288`; `q_search_modes` semantics): strict = primary ∧ secondary
+  *     at chunk level, relaxed = primary only, relaxed_post = primary at
+  *     chunk level ∧ secondary anywhere in the document → ONE pass over the
+  *     primary-filtered scan with a mode-membership array explode (a row
+  *     fans out to every mode it satisfies — the reference runs the three
+  *     searches separately, and the exploded stream is exactly their
+  *     concatenation), plus one doc-grain semi-side for the post-filter;
+  *  2. ordered first-wins document dedup per mode (`deduplicate_results`,
+  *     `tool.py:291-310`; `q_doc_dedup_first`'s D3 shape) → one min_by hash
+  *     aggregate per (mode, document) over the stream's total order — the
+  *     kept row's ENTITY feeds the output (distinct kept entities per
+  *     quarter), so a dedup that keeps the wrong row re-hashes the result,
+  *     not just the row count;
+  *  3. quarterly scaffold + counts (`convert_quarter_to_date` /
+  *     `get_common_quarter_ticks` / `prepare_quarterly_counts`,
+  *     `tool.py:357-384, 400-402`; `q_quarter_counts` shape) → common
+  *     quarter axis from the union of modes (the reference's shared ticks),
+  *     dense quarter × mode scaffold, zero-filled per-quarter document
+  *     counts with the pandas `to_period('Q')` label and quarter-start
+  *     date.
+  *
+  * Scale shape: the primary conjunct filters the one scan (pushed to the
+  * parquet reader); the mode explode fans out ≤ 3. The doc-grain
+  * 'has-secondary' side is the only second pass, and the only shuffles are
+  * its doc-id join and the (mode, document) dedup aggregate. Everything
+  * after the dedup is dimension-bounded (≤ |quarters|·3 rows at any corpus
+  * size): the quarterly counts frame's exchange is reused by the
+  * zero-fill join and the common quarter axis (ReusedExchange within the
+  * one action) and the scaffold merges broadcast explicitly, so the dedup
+  * shuffle executes exactly once.
+  */
+object BoardPipeline {
+
+  private[graft] val Modes = Seq("relaxed", "relaxed_post", "strict")
+
+  private val qBoardPipeline = Q(
+    "q_board_pipeline",
+    (s, d) => {
+      import s.implicits._
+      val c = Tables.chunkRows(s, d)
+      // stage 1: one primary-filtered pass, mode membership exploded; the
+      // doc-grain secondary flag arrives via a distinct-doc semi side
+      val docPart = c.filter(col("text").contains("part"))
+        .select(col("document_id")).distinct()
+        .withColumn("doc_has_part", lit(true))
+      val none = array().cast("array<string>")
+      val stream = c.filter(col("text").contains("customer"))
+        .join(docPart, Seq("document_id"), "left")
+        .withColumn("mode", explode(concat(
+          array(lit("relaxed")),
+          when(col("text").contains("part"), array(lit("strict")))
+            .otherwise(none),
+          when(col("doc_has_part"), array(lit("relaxed_post")))
+            .otherwise(none))))
+      // stage 2: first-wins doc dedup per mode — D3's stream order
+      val kept = stream.groupBy(col("mode"), col("document_id"))
+        .agg(min_by(
+          struct(col("timestamp_utc").as("ts"),
+            col("entity_id").as("kept_entity")),
+          struct(col("timestamp_utc"), col("sentence_id"), col("entity_id"),
+            col("part_entity_id"))).as("k"))
+        .select(col("mode"), col("document_id"),
+          col("k.ts").as("ts"), col("k.kept_entity").as("kept_entity"))
+      // stage 3: common quarter axis across modes, dense × 3 modes,
+      // zero-filled counts. All merge sides are dimension-bounded
+      // aggregates — broadcast explicitly.
+      // the zero-fill join and the quarter axis both re-read this frame
+      // (≤ |quarters|·3 rows at any corpus size); its shuffle exchange is
+      // deduplicated across the two readers by ReusedExchange within the
+      // one action (measured at sf0.1 — an explicit cut is a wash at best
+      // here). The axis derives from counts, not kept: min/max quarter is
+      // the same either way (every kept row lands in some counts cell)
+      // and it keeps the corpus traversal at exactly one.
+      val counts = kept
+        .groupBy(col("mode"), date_trunc("quarter", col("ts")).as("qd"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("kept_entity")).as("n_entities"))
+      val quarters = counts
+        .agg(min(col("qd")).as("mn"), max(col("qd")).as("mx"))
+        .select(explode(sequence(col("mn"), col("mx"),
+          expr("INTERVAL 3 MONTH"))).as("qd"))
+      val modes = Modes.toDF("mode")
+      quarters.crossJoin(broadcast(modes))
+        .join(broadcast(counts), Seq("mode", "qd"), "left")
+        .na.fill(0L, Seq("n_docs", "n_entities"))
+        .select(
+          concat(year(col("qd")).cast("string"), lit("Q"),
+            quarter(col("qd")).cast("string")).as("quarter"),
+          date_format(col("qd"), "yyyy-MM-dd").as("quarter_date"),
+          col("mode"), col("n_docs"), col("n_entities"))
+        .orderBy(col("mode"), col("quarter"))
+    },
+    Some {
+      val modesList = Modes.map(Oracle.sqlLit).mkString(", ")
+      s"""WITH ${Oracle.chunkCte},
+         |stream AS (
+         |  SELECT *, 'strict' AS mode FROM chunk
+         |  WHERE contains(text, 'customer') AND contains(text, 'part')
+         |  UNION ALL
+         |  SELECT *, 'relaxed' FROM chunk WHERE contains(text, 'customer')
+         |  UNION ALL
+         |  SELECT *, 'relaxed_post' FROM chunk
+         |  WHERE contains(text, 'customer') AND document_id IN (
+         |    SELECT DISTINCT document_id FROM chunk
+         |    WHERE contains(text, 'part'))
+         |),
+         |ranked AS (
+         |  SELECT mode, document_id, timestamp_utc AS ts, entity_id,
+         |         row_number() OVER (PARTITION BY mode, document_id
+         |           ORDER BY timestamp_utc, sentence_id, entity_id,
+         |                    part_entity_id) AS rn
+         |  FROM stream
+         |),
+         |kept AS (
+         |  SELECT mode, document_id, ts, entity_id AS kept_entity
+         |  FROM ranked WHERE rn = 1
+         |),
+         |counts AS (
+         |  SELECT mode, date_trunc('quarter', ts) AS qd,
+         |         count(*) AS n_docs,
+         |         count(DISTINCT kept_entity) AS n_entities
+         |  FROM kept GROUP BY 1, 2
+         |),
+         |bounds AS (
+         |  SELECT min(date_trunc('quarter', ts)) AS mn,
+         |         max(date_trunc('quarter', ts)) AS mx
+         |  FROM kept
+         |),
+         |quarters AS (
+         |  SELECT unnest(generate_series(mn, mx, INTERVAL 3 MONTH)) AS qd
+         |  FROM bounds
+         |),
+         |modes AS (SELECT unnest([$modesList]) AS mode)
+         |SELECT CAST(year(q.qd) AS VARCHAR) || 'Q' ||
+         |         CAST(quarter(q.qd) AS VARCHAR) AS quarter,
+         |       strftime(q.qd, '%Y-%m-%d') AS quarter_date,
+         |       m.mode,
+         |       COALESCE(c.n_docs, 0) AS n_docs,
+         |       COALESCE(c.n_entities, 0) AS n_entities
+         |FROM quarters q
+         |CROSS JOIN modes m
+         |LEFT JOIN counts c ON c.mode = m.mode AND c.qd = q.qd
+         |ORDER BY m.mode, quarter""".stripMargin
+    })
+
+  def queries: Seq[Q] = Seq(qBoardPipeline)
+}

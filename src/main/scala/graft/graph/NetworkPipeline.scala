@@ -1,0 +1,143 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Oracle, Q}
+import graft.analytics.MarketPipeline
+
+/** §3.1's step-6 graph arm (`AI_Cost_Cutting_Market_Analysis/src/
+  * network_analysis.py`, traced in SURVEY.md §3.1) composed as ONE gated
+  * pipeline that CONTINUES from [[MarketPipeline.labeledSearch]] — the
+  * market lifecycle's weekly panel and this network are two arms of the
+  * same labeled search frame, and sharing the stage-1-4 builder (and its
+  * SQL twin) is what makes that visible to the gate. Every stage is
+  * individually gated (`q_comention_edges`' G1-G3, `q_spring_layout`'s G6
+  * protocol); this query gates the COMPOSITION — role suffixing, the
+  * min-occurrence company filter, the per-DOCUMENT pair counting, and the
+  * node set the layout receives.
+  *
+  * Stage map (reference line → here):
+  *  1. labeled search (ipynb cells 18-27) → [[MarketPipeline.labeledSearch]]
+  *     verbatim — search fan-out, (sentence, entity) dedup, multi-span
+  *     mask, label+guard;
+  *  2. role tagging + suffix union (`network_analysis.py:110-127`):
+  *     adopters = label A → `name_user`, providers = label P →
+  *     `name_provider` — the suffixes keep a company acting in both roles
+  *     as two nodes, the reference's `_without_common` trick;
+  *  3. min-occurrence filter (`:97-107`): companies with ≥ 2 rows in their
+  *     role frame survive (`value_counts() >= min_occurrences`);
+  *  4. co-mention pairing (`:154-196`): provider × adopter within one
+  *     document group, counted ONCE per group however many row pairs
+  *     carry it (`group['Company'].unique()` — distinct-document weight,
+  *     not the row product), threshold count ≥ 1;
+  *  5. spring layout (`:206`: `nx.spring_layout(G, k=0.1, seed=42,
+  *     dim=3)`) → [[GraphOps.springLayout]] with the same parameters,
+  *     weighted by the pair count (nx's default `weight='weight'`).
+  *
+  * Gate protocol (G6's partial oracle): the iterated force loop has no SQL
+  * rendering, so the gate projects what IS SQL-checkable about the chain —
+  * the node SET (derived independently by the oracle from the SAME chained
+  * SQL: labeled search → roles → min-occurrence → document pairs) and the
+  * rescale invariants as booleans the oracle pins TRUE (every |coordinate|
+  * ≤ 1 on all three axes, global max exactly 1). Coordinates themselves
+  * stay spec-pinned in SpringLayoutSpec.
+  *
+  * Scale shape: stages 1-4 are the market pipeline's one-scan chain plus
+  * two dimension-bounded hash aggregates (role counts ≤ |entities|, edges ≤
+  * |providers|·|adopters| post-filter) — the min-occurrence sides broadcast.
+  * The layout is the established presentation boundary: a bounded collect
+  * with loud maxNodes/maxEdges guards (GraphOps.springLayout's contract).
+  */
+object NetworkPipeline {
+
+  private val MinOccurrences = 2
+
+  /** Stages 2-4: suffixed role frames → min-occurrence filter →
+    * distinct-document co-mention edges. */
+  private def comentionEdges(s: SparkSession, d: String): DataFrame = {
+    // the SAME lineage cut the market pipeline takes on this frame: each
+    // role arm reads it twice (rows + the min-occurrence counts), so
+    // without the cut the search scan + dedup shuffle execute four times
+    // in one plan (measured 5.2 s → ~1.5 s at sf0.1). The frame is the
+    // tiny watchlist × date-range slice; plan-only sweeps skip the cut.
+    val labeled = graft.PlanProbe.cut(MarketPipeline.labeledSearch(s, d))
+    def role(label: String, suffix: String): DataFrame = {
+      val rows = labeled.filter(col("label") === label)
+        .select(col("document_id"),
+          concat(col("entity_name"), lit(suffix)).as("company"))
+      // min-occurrence: value_counts() >= MinOccurrences on the role frame
+      val keep = rows.groupBy(col("company"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= MinOccurrences)
+        .select(col("company"))
+      rows.join(broadcast(keep), Seq("company"), "left_semi")
+    }
+    val providers = role("P", "_provider")
+      .withColumnRenamed("company", "src")
+    val adopters = role("A", "_user")
+      .withColumnRenamed("company", "dst")
+    providers.join(adopters, Seq("document_id"))
+      .groupBy(col("src"), col("dst"))
+      // ONCE per document group, not once per row pair (`unique()`)
+      .agg(countDistinct(col("document_id")).as("weight"))
+      .filter(col("weight") >= 1)
+  }
+
+  private val qNetworkPipeline = Q(
+    "q_network_pipeline",
+    (s, d) => {
+      if (graft.PlanProbe.planOnly.value) {
+        // plan-only sweeps must not pay the layout's driver collect (the
+        // G6 protocol, same as q_spring_layout): expose the distributed
+        // upstream — the part with a plan worth guarding — shaped to the
+        // gate's output schema
+        val e = comentionEdges(s, d)
+        e.select(col("src").as("node")).union(e.select(col("dst")))
+          .distinct()
+          .withColumn("in_range", lit(true))
+          .withColumn("axis_max_ok", lit(true))
+          .orderBy(col("node"))
+      } else {
+        val layout = GraphOps.springLayout(s, comentionEdges(s, d),
+          dim = 3, k = 0.1, iterations = 50, seed = 42L,
+          weightCol = Some("weight"))
+        val cmax = greatest(abs(col("x")), abs(col("y")), abs(col("z")))
+        // global window is fine here: the layout is bounded by maxNodes
+        val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        layout
+          .withColumn("in_range", cmax <= lit(1.0 + 1e-9))
+          .withColumn("axis_max_ok",
+            abs(max(cmax).over(all) - 1.0) <= lit(1e-9))
+          .select(col("node"), col("in_range"), col("axis_max_ok"))
+          .orderBy(col("node"))
+      }
+    },
+    Some(
+      s"""WITH ${Oracle.chunkCte},
+         |${MarketPipeline.labeledSearchSql},
+         |providers AS (
+         |  SELECT document_id, entity_name || '_provider' AS company
+         |  FROM labeled WHERE label = 'P'
+         |  QUALIFY count(*) OVER (PARTITION BY company) >= $MinOccurrences
+         |),
+         |adopters AS (
+         |  SELECT document_id, entity_name || '_user' AS company
+         |  FROM labeled WHERE label = 'A'
+         |  QUALIFY count(*) OVER (PARTITION BY company) >= $MinOccurrences
+         |),
+         |edges AS (
+         |  SELECT p.company AS src, a.company AS dst,
+         |         count(DISTINCT p.document_id) AS weight
+         |  FROM providers p JOIN adopters a
+         |    ON p.document_id = a.document_id
+         |  GROUP BY 1, 2
+         |  HAVING count(DISTINCT p.document_id) >= 1
+         |),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges)
+         |SELECT node, TRUE AS in_range, TRUE AS axis_max_ok
+         |FROM nodes ORDER BY node""".stripMargin))
+
+  def queries: Seq[Q] = Seq(qNetworkPipeline)
+}

@@ -54,7 +54,28 @@ object InvariantCheck {
     ("q_semantic_dedup",
       "count(DISTINCT cluster) - sum(cast(keep as long))",
       v => v == 0L,
-      "exactly one keep-min survivor per semantic cluster"))
+      "exactly one keep-min survivor per semantic cluster"),
+    // composed-lifecycle invariants (round 15) — each gate emits its own
+    // self-verifying column(s), pinned TRUE by the oracle at sf0.01 and
+    // re-asserted here at scale:
+    // narrative: per-source z-scores sum to ~0 over the dense range (the
+    // true sum is identically 0; 1e-3 absorbs per-point 1e-6 rounding)
+    ("q_narrative_pipeline", "min(cast(z_sum_ok as int))", v => v == 1,
+      "per-source narrative z-scores sum to ~0 over the dense week range"),
+    // election: a dense zero-filled daily panel's per-entity peak must be
+    // positive (every edge entity has ≥1 kept row) — an overzealous
+    // zero-fill or a scaffold that misses the active days trips it
+    ("q_election_pipeline", "min(cast(peak_volume > 0 as int))", v => v == 1,
+      "every election-panel entity has a positive daily volume peak"),
+    // board: first-wins dedup keeps ONE row per document, so distinct kept
+    // entities can never exceed kept documents in any (mode, quarter) cell
+    ("q_board_pipeline", "min(cast(n_docs >= n_entities as int))",
+      v => v == 1,
+      "board dedup keeps ≤ one entity per document per quarter cell"),
+    // network: the layout's rescale invariants hold on the composed chain
+    ("q_network_pipeline", "min(cast(in_range and axis_max_ok as int))",
+      v => v == 1,
+      "network layout coordinates rescaled to [-1, 1] with max exactly 1"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Composition invariants of the cross-source narrative pipeline
+  * (`q_narrative_pipeline`) the row-hash gate can't state row-locally:
+  * alignment density, per-source ride-along constancy, ffill totality, the
+  * z-sum release invariant, and the broadcast shape of the panel merges on
+  * the ADAPTIVE-final plan — plus the S6→S7 workbook round-trip of the
+  * stage-1 input shape (`load_results`, `Narrative_Miners/src/tool.py:10-26`
+  * reads Excel with header=1/Unnamed-drop/Date-parse/Source_Type-stamp),
+  * pinned HERE as frame equality so the gate itself stays parquet-driven
+  * and side-effect-free. */
+class NarrativePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def pipeline = Registry.all.find(_.name == "q_narrative_pipeline").get
+
+  private lazy val (rows, plan) =
+    PlanCheck.executedFinalPlan(pipeline.run(spark, dir))
+
+  test("panel is a dense union-week × source scaffold of Mondays") {
+    assert(rows.nonEmpty)
+    val weeks = rows.map(_.getAs[String]("week")).distinct.sorted
+    val sources = rows.map(_.getAs[String]("source_type")).distinct
+    assert(sources.sorted ===
+      Seq("Earnings Calls", "News Media", "SEC Filings"))
+    assert(rows.length === weeks.length * sources.length,
+      "every (week, source) cell must exist exactly once")
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    weeks.sliding(2).filter(_.length == 2).foreach { pair =>
+      assert(java.time.LocalDate.parse(pair(0), fmt).plusDays(7) ===
+        java.time.LocalDate.parse(pair(1), fmt),
+        s"week gap between ${pair(0)} and ${pair(1)}")
+    }
+    weeks.foreach(w => assert(
+      java.time.LocalDate.parse(w, fmt).getDayOfWeek ===
+        java.time.DayOfWeek.MONDAY, s"$w is not an ISO week start"))
+  }
+
+  test("aligned scores are total (ffill + leading zeros leave no nulls)") {
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("score")),
+        "alignment must ffill/zero-fill every cell")
+    }
+  }
+
+  test("per-source ride-alongs are constant and the lag is global") {
+    rows.groupBy(_.getAs[String]("source_type")).foreach { case (_, rs) =>
+      assert(rs.map(r => (r.getAs[String]("top_label"),
+        r.getAs[Long]("total_mentions"),
+        r.getAs[Boolean]("z_sum_ok"))).distinct.length === 1,
+        "stage-7 summary columns must ride along unchanged per source")
+      assert(rs.head.getAs[Long]("total_mentions") > 0)
+    }
+    assert(rows.map(_.getAs[Double]("avg_news_filing_lag_days"))
+      .distinct.length === 1,
+      "the news→filing mean lag is one global scalar")
+  }
+
+  test("z-scores sum to ~0 per source (the release invariant)") {
+    rows.foreach(r => assert(r.getAs[Boolean]("z_sum_ok"),
+      "per-source z-scores must sum to ~0 over the dense range"))
+  }
+
+  test("panel merges stay broadcast on the ADAPTIVE-final plan") {
+    assert(rows.nonEmpty)
+    // every join side is a dimension-bounded aggregate of the one pivot —
+    // the corpus shuffles only for that groupBy, never for a merge
+    assert(!plan.contains("SortMergeJoin"),
+      s"a panel merge fell back to a shuffle join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast panel merges:\n$plan")
+  }
+
+  test("stage-1 input round-trips through the S6 xlsx sink and S7 source") {
+    // the reference's input stage is pd.read_excel(header=1) over mining
+    // workbooks; the pipeline gate reads parquet instead, so pin the
+    // equivalence of the two input paths: project the stage-1 frame to the
+    // sheet shape, write a real .xlsx, read it back through the workbook
+    // source, and demand frame equality (dates, labels, counts intact)
+    import graft.sources.Xlsx
+    val input = graft.label.Labeler.labeledChunks(spark, dir)
+      .select(col("timestamp_utc").cast("date").as("Date"),
+        col("label").as("Label"), col("headline").as("Headline"))
+      .orderBy(col("Date"), col("Headline"), col("Label"))
+      .limit(300)
+    val path = java.nio.file.Files.createTempDirectory("narr_wb")
+      .resolve("mining.xlsx").toString
+    Xlsx.saveWorkbook(Seq((input, "Results", (0, 0))), path)
+    val back = Xlsx.readWorkbook(spark, path, sourceType = Some("News Media"))
+    assert(back.columns.toSeq ===
+      Seq("Date", "Label", "Headline", "Source_Type"))
+    assert(back.schema("Date").dataType.typeName === "date")
+    assert(back.filter(col("Source_Type") =!= "News Media").isEmpty)
+    val a = input.select(col("Date"), col("Label"), col("Headline"))
+    val b = back.select(col("Date"), col("Label"), col("Headline"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "workbook round-trip must preserve the stage-1 frame exactly")
+  }
+}

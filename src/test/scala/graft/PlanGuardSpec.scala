@@ -48,6 +48,12 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q_market_pipeline",       // weeks × top-6 basket scaffold (stage 6 —
                                // both sides dimension-bounded aggregates,
                                // see MarketPipeline scale notes)
+    "q_narrative_pipeline",    // union-weeks × 3 sources scaffold + the
+                               // 1-row lag ride-along (all dimension-
+                               // bounded aggregates of the label pivot)
+    "q_election_pipeline",     // days × entities daily-volume scaffold
+                               // (both tiny dims; edges merge is equi)
+    "q_board_pipeline",        // quarters × 3 modes scaffold
     "q_index_align_ffill",     // dense date spine × series ids
     "q_smooth_kernel",         // finite kernel offsets (≤ 9 rows)
     "q_ml_kmeans_ivf",         // k≈n/16 broadcast centroids (scale-adaptive)
