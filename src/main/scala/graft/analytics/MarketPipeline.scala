@@ -87,16 +87,24 @@ object MarketPipeline {
 
   private val BasketK = 6
 
-  private def batches: Seq[AnyQ] =
-    QueryAlgebra.autoBatchEntities(Seq("COMP" -> Watchlist), BatchSize)
+  private def batchesOf(watchlist: Seq[String]): Seq[AnyQ] =
+    QueryAlgebra.autoBatchEntities(Seq("COMP" -> watchlist), BatchSize)
+
+  private def batches: Seq[AnyQ] = batchesOf(Watchlist)
 
   /** Stages 1-4 as one scan: search fan-out → dedup → mask → label+guard.
-    * Shared with [[NetworkPipeline]] (§3.1's step-6 graph arm continues
-    * from exactly this frame); its SQL twin is [[labeledSearchSql]].
+    * Shared with [[graft.graph.NetworkPipeline]] (§3.1's step-6 graph arm
+    * continues from exactly this frame); its SQL twin is
+    * [[labeledSearchSql]]. The watchlist is a parameter — the reference
+    * runs the same search machinery over whatever company list the
+    * analyst supplies, and the graph arm monitors a wider universe than
+    * the market study's demo batch (see NetworkPipeline's sparsity note).
     * `document_id` rides through the dedup because the graph arm groups
     * co-mentions by document. */
-  private[graft] def labeledSearch(s: SparkSession, d: String): DataFrame = {
-    val batchArr = array(batches.zipWithIndex.map { case (g, i) =>
+  private[graft] def labeledSearch(s: SparkSession, d: String,
+      watchlist: Seq[String] = Watchlist): DataFrame = {
+    val bs = batchesOf(watchlist)
+    val batchArr = array(bs.zipWithIndex.map { case (g, i) =>
       struct(lit(i).as("batch_id"), g.toColumn.as("hit")) }: _*)
     // the AnyQ conjunct is REDUNDANT with the batch explode below (a row
     // explodes to ≥1 batch iff it matches the union of the batches) but
@@ -107,7 +115,7 @@ object MarketPipeline {
     // joining the watchlist's ~|watchlist|/|entities| share of it
     val searched = Tables.chunkRows(s, d)
       .filter(Sim.toColumn && Scope.toColumn && Dates.toColumn &&
-        AnyQ(Watchlist.map(EntityQ(_)): _*).toColumn)
+        AnyQ(watchlist.map(EntityQ(_)): _*).toColumn)
       .withColumn("__b", explode(filter(batchArr, b => b.getField("hit"))))
       .drop("__b")
     val deduped = searched
@@ -133,10 +141,12 @@ object MarketPipeline {
     * definition shared by this gate and [[NetworkPipeline]]'s, so the two
     * §3.1 gates can never disagree about what "the labeled search frame"
     * means. */
-  private[graft] def labeledSearchSql: String = {
+  private[graft] def labeledSearchSql(
+      watchlist: Seq[String] = Watchlist): String = {
+    val bs = batchesOf(watchlist)
     def inList(ids: Seq[String]): String =
       ids.map(Oracle.sqlLit).mkString("(", ", ", ")")
-    val batchAlternatives = batches.zipWithIndex.map { case (g, i) =>
+    val batchAlternatives = bs.zipWithIndex.map { case (g, i) =>
       val ids = g.qs.collect { case EntityQ(id) => id }
       s"""(b = $i AND (entity_id IN ${inList(ids)}
          |         OR other_entity_id IN ${inList(ids)}
@@ -146,7 +156,7 @@ object MarketPipeline {
       s"CASE WHEN contains(lower(text), ${Oracle.sqlLit(t)}) THEN 1.0 ELSE 0.0 END")
       .mkString("(", "\n       + ", s")\n      / ${Sim.tokens.size}.0")
     s"""searched AS (
-       |  SELECT *, unnest(list_filter([${batches.indices.mkString(", ")}], b ->
+       |  SELECT *, unnest(list_filter([${bs.indices.mkString(", ")}], b ->
        |      $batchAlternatives)) AS batch_id
        |  FROM chunk
        |  WHERE $simTokens >= ${Sim.minScore}
@@ -224,7 +234,7 @@ object MarketPipeline {
     },
     Some {
       s"""WITH ${Oracle.chunkCte},
-         |$labeledSearchSql,
+         |${labeledSearchSql()},
          |basket AS (
          |  SELECT entity_name, entity_sector,
          |         positive_exp + negative_exp AS basket_total,

@@ -53,6 +53,19 @@ object NetworkPipeline {
 
   private val MinOccurrences = 2
 
+  /** The graph study's monitored universe — WIDER than the market demo's
+    * 8-company batch, via the same parameterized search builder (the
+    * reference runs the network notebook over whatever watchlist the
+    * analyst searched). Width matters for non-degeneracy at scale: a
+    * co-mention needs TWO monitored companies in one document, so the
+    * qualifying-document rate falls with the square of the watchlist's
+    * share of the entity universe — with the 8-company demo batch the
+    * synthetic corpus yields ZERO provider×adopter document pairs at
+    * sf0.1 (measured), while 80 companies give 36/392/48 edges at
+    * sf0.001/sf0.01/sf0.1. Ids beyond the corpus's supplier range simply
+    * match nothing, so the list is SF-portable. */
+  private[graft] val NetworkWatchlist: Seq[String] = (1 to 80).map(i => s"s$i")
+
   /** Stages 2-4: suffixed role frames → min-occurrence filter →
     * distinct-document co-mention edges. */
   private def comentionEdges(s: SparkSession, d: String): DataFrame = {
@@ -61,7 +74,8 @@ object NetworkPipeline {
     // without the cut the search scan + dedup shuffle execute four times
     // in one plan (measured 5.2 s → ~1.5 s at sf0.1). The frame is the
     // tiny watchlist × date-range slice; plan-only sweeps skip the cut.
-    val labeled = graft.PlanProbe.cut(MarketPipeline.labeledSearch(s, d))
+    val labeled = graft.PlanProbe.cut(
+      MarketPipeline.labeledSearch(s, d, NetworkWatchlist))
     def role(label: String, suffix: String): DataFrame = {
       val rows = labeled.filter(col("label") === label)
         .select(col("document_id"),
@@ -115,7 +129,7 @@ object NetworkPipeline {
     },
     Some(
       s"""WITH ${Oracle.chunkCte},
-         |${MarketPipeline.labeledSearchSql},
+         |${MarketPipeline.labeledSearchSql(NetworkWatchlist)},
          |providers AS (
          |  SELECT document_id, entity_name || '_provider' AS company
          |  FROM labeled WHERE label = 'P'
