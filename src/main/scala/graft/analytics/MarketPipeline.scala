@@ -106,16 +106,17 @@ object MarketPipeline {
     val bs = batchesOf(watchlist)
     val batchArr = array(bs.zipWithIndex.map { case (g, i) =>
       struct(lit(i).as("batch_id"), g.toColumn.as("hit")) }: _*)
-    // the AnyQ conjunct is REDUNDANT with the batch explode below (a row
-    // explodes to ≥1 batch iff it matches the union of the batches) but
-    // sargable: as a plain disjunctive predicate Catalyst pushes it below
+    // the EntityAnyQ conjunct is REDUNDANT with the batch explode below (a
+    // row explodes to ≥1 batch iff it matches the union of the batches) but
+    // sargable: as a plain membership predicate (InSet — see EntityAnyQ's
+    // Or-tree measurement) Catalyst pushes it below
     // the star joins next to the fact scan, where the explode's
     // empty-array row drop could only ever run after them — at 100 TB
     // that is the difference between joining the whole date slice and
     // joining the watchlist's ~|watchlist|/|entities| share of it
     val searched = Tables.chunkRows(s, d)
       .filter(Sim.toColumn && Scope.toColumn && Dates.toColumn &&
-        AnyQ(watchlist.map(EntityQ(_)): _*).toColumn)
+        EntityAnyQ(watchlist).toColumn)
       .withColumn("__b", explode(filter(batchArr, b => b.getField("hit"))))
       .drop("__b")
     val deduped = searched
