@@ -126,7 +126,7 @@ object Oracle {
       val tl = token.length
       s"""list_transform(
          |      list_filter(generate_series(1, greatest(len(text) - ${tl - 1}, 0)),
-         |        i -> substr(text, i, $tl) = '$token'),
+         |        i -> substr(text, i, $tl) = ${sqlLit(token)}),
          |      i -> struct_pack(s := i, e := i + $tl, ph := $ph))""".stripMargin
     }
     val partNum =

@@ -1,7 +1,5 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Oracle, Q}

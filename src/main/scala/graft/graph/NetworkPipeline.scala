@@ -72,7 +72,8 @@ object NetworkPipeline {
     // the SAME lineage cut the market pipeline takes on this frame: each
     // role arm reads it twice (rows + the min-occurrence counts), so
     // without the cut the search scan + dedup shuffle execute four times
-    // in one plan (measured 5.2 s → ~1.5 s at sf0.1). The frame is the
+    // in one plan (bench best 5.24 s uncut → 2.03 s cut at sf0.1,
+    // pre-InSet watchlist rendering; both arms cheaper since). The frame is the
     // tiny watchlist × date-range slice; plan-only sweeps skip the cut.
     val labeled = graft.PlanProbe.cut(
       MarketPipeline.labeledSearch(s, d, NetworkWatchlist))

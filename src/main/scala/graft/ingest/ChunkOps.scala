@@ -204,17 +204,6 @@ object ChunkOps {
          |FROM chunk
          |ORDER BY sentence_id, entity_id, part_entity_id""".stripMargin))
 
-  /** P3 (full multi-span path): target + stable-numbered other entities +
-    * placeholder map, SELF-VERIFYING. The UDF's output is compared against an
-    * independent Column-expression twin: span numbering by start order via
-    * when-trees, right-to-left splice via a fold over the desc-sorted span
-    * array — all codegen-free HOFs on the verification side only. The oracle
-    * pins n_rows to the chunk count and n_mismatch to 0. The span array now
-    * carries EVERY occurrence of every token, so repeated-span right-to-left
-    * masking with stable per-key numbering is exercised on every corpus row
-    * (`search.py:430-448, 634-677`), not just at property-test scale.
-    * (Overlap skipping remains property-tested in MaskingSpec — the planted
-    * tokens cannot overlap each other in text.) */
   /** Stable per-key numbering of the two non-target span keys ('part' /
     * 'order') in order of FIRST span appearance — every span of a key
     * shares its number, however many occurrences it has. Returns
@@ -237,7 +226,7 @@ object ChunkOps {
     * span arrays ROW-BY-ROW by `q_mask_multi`'s zero-mismatch gate, which
     * is what licenses composed pipelines to run THIS codegen-friendly form
     * in their hot path instead of the boxing UDF. DuckDB twin:
-    * [[graft.Oracle.maskedTextSqlOn]]. */
+    * [[graft.Oracle.maskedCteSql]]. */
   private[graft] def multiSpanMaskCol(text: Column): Column = {
     val (partNum, orderNum) = otherSpanNums(text)
     def occ(token: String, ph: Column): Column =
@@ -255,6 +244,17 @@ object ChunkOps {
         substring(acc, sp.getField("end") + 1, length(acc))))
   }
 
+  /** P3 (full multi-span path): target + stable-numbered other entities +
+    * placeholder map, SELF-VERIFYING. The UDF's output is compared against an
+    * independent Column-expression twin ([[multiSpanMaskCol]]: span numbering
+    * by start order via when-trees, right-to-left splice via a fold over the
+    * desc-sorted span array — all codegen-free HOFs on the verification
+    * side only). The oracle pins n_rows to the chunk count and n_mismatch
+    * to 0. The span array carries EVERY occurrence of every token, so
+    * repeated-span right-to-left masking with stable per-key numbering is
+    * exercised on every corpus row (`search.py:430-448, 634-677`), not just
+    * at property-test scale. (Overlap skipping remains property-tested in
+    * MaskingSpec — the planted tokens cannot overlap each other in text.) */
   private val qMaskMulti = Q(
     "q_mask_multi",
     (s, d) => {

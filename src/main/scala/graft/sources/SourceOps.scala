@@ -291,6 +291,14 @@ object SourceOps {
     d
   }
 
+  /** [[sheetTmpDir]], re-created if an external tmp cleaner reaped it: a
+    * cleaner deletes aged DIRECTORIES, not just files, so every write into
+    * the per-JVM dir must re-ensure the dir itself or the recovery path
+    * dies on NoSuchFileException instead of recovering.
+    * createDirectories is idempotent. */
+  private def ensuredSheetTmpDir: java.nio.file.Path =
+    java.nio.file.Files.createDirectories(sheetTmpDir)
+
   /** Body-slice cache for [[readWorkbookSheet]], keyed by content digest:
     * one backing file (and one deleteOnExit registration) per DISTINCT
     * body, however many times the sheet is re-read. */
@@ -351,7 +359,7 @@ object SourceOps {
     // The header slice is fully consumed by .head() so it is deleted
     // eagerly (unique name: concurrent reads share sheetTmpDir)
     val headerFile = java.nio.file.Files.createTempFile(
-      sheetTmpDir, "header", ".csv")
+      ensuredSheetTmpDir, "header", ".csv")
     java.nio.file.Files.writeString(headerFile,
       raw.substring(e0 + 1, e1).stripSuffix("\r"))
     val names =
@@ -377,7 +385,7 @@ object SourceOps {
     val bodyFile = sheetBodyCache.compute(digest, (_, cached) =>
       if (cached != null && java.nio.file.Files.exists(cached)) cached
       else {
-        val f = sheetTmpDir.resolve(s"body-$digest.csv")
+        val f = ensuredSheetTmpDir.resolve(s"body-$digest.csv")
         java.nio.file.Files.writeString(f, bodyTxt)
         f.toFile.deleteOnExit()
         f

@@ -51,10 +51,32 @@ class BoardPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("timestamps are constant per document (containment-law premise)") {
+    // The per-quarter containment assertion below holds only because every
+    // chunk of a document shares one timestamp: strict's kept row for a
+    // document could otherwise carry a LATER timestamp than relaxed_post's
+    // (strict rows are a subset, so its first-wins winner can differ) and
+    // land the same document in a different quarter. Pin the corpus shape
+    // explicitly — same pattern as MarketPipelineSpec's watchlist-role pin
+    // — so a generator change surfaces HERE, not as a baffling
+    // containment failure.
+    import org.apache.spark.sql.functions._
+    val multiTs = graft.model.Tables.chunkRows(spark, dir)
+      .groupBy(col("document_id"))
+      .agg(countDistinct(col("timestamp_utc")).as("n"))
+      .filter(col("n") > 1)
+      .count()
+    assert(multiTs === 0L,
+      "a document carries more than one timestamp — the per-quarter mode " +
+        "containment law no longer follows from first-wins dedup")
+  }
+
   test("mode containment survives the per-mode dedup") {
     // strict rows ⊆ relaxed_post rows ⊆ relaxed rows at the chunk level,
-    // and first-wins dedup keeps exactly one row per (mode, document) — so
-    // per-quarter DOC counts must preserve the containment order
+    // first-wins dedup keeps exactly one row per (mode, document), and
+    // each document's rows share one timestamp (pinned above) — so a
+    // document lands in the SAME quarter under every mode that admits it,
+    // and per-quarter DOC counts must preserve the containment order
     val byQuarter = rows.groupBy(_.getAs[String]("quarter"))
     byQuarter.foreach { case (q, rs) =>
       val n = rs.map(r => r.getAs[String]("mode") -> r.getAs[Long]("n_docs"))
