@@ -135,6 +135,33 @@ class CutPolicySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("network pipeline is bit-identical under local, reliable, and disk " +
+      "cut policies") {
+    // round 15 put the market pipeline's cut on the graph arm's labeled
+    // search frame too — same policy-invariance obligation (the layout is
+    // seeded and deterministic, so any divergence is the cut's fault)
+    def run(): Seq[String] =
+      Registry.all.find(_.name == "q_network_pipeline").get
+        .run(spark, dir).collect().map(_.toString).toSeq
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_net_ck")
+    try {
+      val base = run()
+      assert(base.nonEmpty)
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      assert(withPolicy("reliable")(run()) == base,
+        "reliable-checkpoint cut changed the layout node set")
+      assert(withPolicy("disk")(run()) == base,
+        "DISK_ONLY-persist cut changed the layout node set")
+    } finally {
+      PlanProbe.releaseCuts()
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(ckDir)
+      try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally w.close()
+    }
+  }
+
   test("a sweep through the persisted assignment index is bit-identical " +
       "to the computed path") {
     val base = sweep()
