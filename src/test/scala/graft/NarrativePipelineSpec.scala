@@ -93,9 +93,15 @@ class NarrativePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // sheet shape, write a real .xlsx, read it back through the workbook
     // source, and demand frame equality (dates, labels, counts intact)
     import graft.sources.Xlsx
+    // distinct BEFORE the ordered limit: the projected triple repeats
+    // across chunk rows, so a bare orderBy+limit would be tie-broken
+    // arbitrarily — and the frame re-executes for the equality check
+    // below, where a different 300-row pick would flake the spec. With
+    // distinct the order is total and the slice deterministic.
     val input = graft.label.Labeler.labeledChunks(spark, dir)
       .select(col("timestamp_utc").cast("date").as("Date"),
         col("label").as("Label"), col("headline").as("Headline"))
+      .distinct()
       .orderBy(col("Date"), col("Headline"), col("Label"))
       .limit(300)
     val path = java.nio.file.Files.createTempDirectory("narr_wb")
