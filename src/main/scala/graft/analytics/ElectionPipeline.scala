@@ -133,8 +133,15 @@ object ElectionPipeline {
         .select(explode(sequence(col("mn"), col("mx"),
           expr("INTERVAL 1 DAY"))).as("day"))
       val ents = daily.select(col("entity_name")).distinct()
-      val panel = days.crossJoin(broadcast(ents))
-        .join(broadcast(daily), Seq("entity_name", "day"), "left")
+      // broadcast the DAY spine (|days| rows — truly bounded), not the
+      // entity-keyed sides: ents is |entities| and daily is
+      // |entities|·|days| — both grow with the corpus's entity universe,
+      // and a forced broadcast there would hit Spark's broadcast hard cap
+      // at large SFs. The daily merge is left UN-hinted: AQE broadcasts it
+      // at gate scale from its actual size, and at a scale where it no
+      // longer fits, a shuffle join on (entity, day) is the right plan.
+      val panel = ents.crossJoin(broadcast(days))
+        .join(daily, Seq("entity_name", "day"), "left")
         .na.fill(0L, Seq("vol"))
       val stats = panel.groupBy(col("entity_name"))
         .agg(

@@ -270,6 +270,46 @@ object GraphOps {
         .toSeq.toDF("node", "x", "y", "z")
   }
 
+  /** G6 gate scaffold shared by `q_spring_layout` and
+    * `q_network_pipeline` — ONE definition of the partial-oracle
+    * protocol, so a change to it (tolerances, invariant columns, the
+    * plan-only shape) reaches every layout gate at once:
+    *
+    *  - plan-only mode: building the gate must cost nothing (PlanProbe's
+    *    registry-sweep contract), but the layout is a driver COLLECT plus
+    *    the O(n²) force loop — expose the distributed upstream instead
+    *    (the part with a plan worth guarding, which the post-collect
+    *    LocalRelation would hide), shaped to the gate's output schema;
+    *  - executed mode: run the seeded weighted layout and project the
+    *    node set plus the rescale invariants as booleans (every
+    *    |coordinate| ≤ 1 on all axes; global max exactly 1) that the
+    *    oracle pins TRUE.
+    *
+    * `edges` is by-name so the plan-only branch builds it lazily under
+    * the sweep's dynamic scope. */
+  private[graft] def layoutGate(s: SparkSession, edges: => DataFrame,
+      dim: Int): DataFrame =
+    if (graft.PlanProbe.planOnly.value) {
+      val e = edges
+      e.select(col("src").as("node")).union(e.select(col("dst")))
+        .distinct()
+        .withColumn("in_range", lit(true))
+        .withColumn("axis_max_ok", lit(true))
+        .orderBy(col("node"))
+    } else {
+      val layout = springLayout(s, edges, dim = dim,
+        k = 0.1, iterations = 50, seed = 42L, weightCol = Some("weight"))
+      val axes = if (dim == 3) Seq("x", "y", "z") else Seq("x", "y")
+      val cmax = greatest(axes.map(a => abs(col(a))): _*)
+      // global window is fine here: the layout is bounded by maxNodes
+      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      layout
+        .withColumn("in_range", cmax <= lit(1.0 + 1e-9))
+        .withColumn("axis_max_ok", abs(max(cmax).over(all) - 1.0) <= lit(1e-9))
+        .select(col("node"), col("in_range"), col("axis_max_ok"))
+        .orderBy(col("node"))
+    }
+
   /** G6 gate — PARTIAL oracle: the iterated float force loop itself has no
     * SQL rendering (the coordinates stay spec-pinned in SpringLayoutSpec:
     * determinism, rescale, clique separation), but two facts about the full
@@ -284,34 +324,7 @@ object GraphOps {
     * reference's `nx.spring_layout` default. */
   private val qSpringLayout = Q(
     "q_spring_layout",
-    (s, d) => {
-      if (graft.PlanProbe.planOnly.value) {
-        // plan-only: building this query must cost nothing (PlanProbe's
-        // contract for the registry-wide sweep), but springLayout is a
-        // driver COLLECT of the co-mention pipeline plus the O(n²) force
-        // loop. Expose the upstream join/aggregate instead — the part
-        // with a distributed plan worth guarding, which the post-collect
-        // LocalRelation would otherwise hide from the sweep — shaped to
-        // the gate's output schema.
-        val e = comentionEdges(s, d)
-        e.select(col("src").as("node")).union(e.select(col("dst")))
-          .distinct()
-          .withColumn("in_range", lit(true))
-          .withColumn("axis_max_ok", lit(true))
-          .orderBy(col("node"))
-      } else {
-      val layout = springLayout(s, comentionEdges(s, d),
-        iterations = 50, seed = 42L, weightCol = Some("weight"))
-      val cmax = greatest(abs(col("x")), abs(col("y")))
-      // global window is fine here: the layout is bounded by maxNodes
-      val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-      layout
-        .withColumn("in_range", cmax <= lit(1.0 + 1e-9))
-        .withColumn("axis_max_ok", abs(max(cmax).over(all) - 1.0) <= lit(1e-9))
-        .select(col("node"), col("in_range"), col("axis_max_ok"))
-        .orderBy(col("node"))
-      }
-    },
+    (s, d) => layoutGate(s, comentionEdges(s, d), dim = 2),
     Some(
       s"""${Oracle.labeledCte},
          |edges AS (

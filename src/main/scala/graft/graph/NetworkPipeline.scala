@@ -101,33 +101,11 @@ object NetworkPipeline {
 
   private val qNetworkPipeline = Q(
     "q_network_pipeline",
-    (s, d) => {
-      if (graft.PlanProbe.planOnly.value) {
-        // plan-only sweeps must not pay the layout's driver collect (the
-        // G6 protocol, same as q_spring_layout): expose the distributed
-        // upstream — the part with a plan worth guarding — shaped to the
-        // gate's output schema
-        val e = comentionEdges(s, d)
-        e.select(col("src").as("node")).union(e.select(col("dst")))
-          .distinct()
-          .withColumn("in_range", lit(true))
-          .withColumn("axis_max_ok", lit(true))
-          .orderBy(col("node"))
-      } else {
-        val layout = GraphOps.springLayout(s, comentionEdges(s, d),
-          dim = 3, k = 0.1, iterations = 50, seed = 42L,
-          weightCol = Some("weight"))
-        val cmax = greatest(abs(col("x")), abs(col("y")), abs(col("z")))
-        // global window is fine here: the layout is bounded by maxNodes
-        val all = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-        layout
-          .withColumn("in_range", cmax <= lit(1.0 + 1e-9))
-          .withColumn("axis_max_ok",
-            abs(max(cmax).over(all) - 1.0) <= lit(1e-9))
-          .select(col("node"), col("in_range"), col("axis_max_ok"))
-          .orderBy(col("node"))
-      }
-    },
+    // the G6 gate scaffold (plan-only upstream exposure + rescale
+    // booleans) lives in ONE place — GraphOps.layoutGate — shared with
+    // q_spring_layout; only the dimensionality differs (the reference's
+    // network_analysis.py:206 lays out in 3-D)
+    (s, d) => GraphOps.layoutGate(s, comentionEdges(s, d), dim = 3),
     Some(
       s"""WITH ${Oracle.chunkCte},
          |${MarketPipeline.labeledSearchSql(NetworkWatchlist)},
