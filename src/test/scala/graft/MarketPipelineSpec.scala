@@ -69,6 +69,31 @@ class MarketPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("EntityAnyQ is boolean-equivalent to the per-entity Or-tree") {
+    // The InSet rendering exists purely for plan/eval economics (see
+    // EntityAnyQ's measurement); if its VALUES ever diverged from
+    // AnyQ(ids.map(EntityQ)) the sargable watchlist conjunct would
+    // silently change the searched slice. Evaluate both over the real
+    // relation for id sets hitting each role, absent ids, and the empty
+    // list (null-safe compare: both sides must agree even where one
+    // renders three-valued logic differently).
+    import graft.query.QueryAlgebra._
+    import org.apache.spark.sql.functions.col
+    val c = graft.model.Tables.chunkRows(spark, dir)
+    val sets = Seq(
+      (1 to 8).map(i => s"s$i"),
+      Seq("c1", "c2", "p3", "s1"),
+      Seq("zz-absent", "s999999"),
+      Seq.empty[String])
+    sets.foreach { idSet =>
+      val a = EntityAnyQ(idSet).toColumn
+      val b = AnyQ(idSet.map(EntityQ(_)): _*).toColumn
+      val mismatches = c.filter(!(a <=> b)).count()
+      assert(mismatches === 0L,
+        s"EntityAnyQ diverged from the Or-tree for ids=$idSet")
+    }
+  }
+
   test("watchlist ids occupy only the entity_id role (batch fan-out = 1)") {
     // The stage-1 docstring's "explode fans out exactly 1" claim is
     // data-shape-dependent: EntityQ matches the entity/other/part roles, so
