@@ -229,6 +229,12 @@ object Bench {
     // false regressions — a real regression is localized and stands out
     // against the median. Computed before adjudication; emitted as
     // "run_ratio" so readers see the contention the verdicts discounted.
+    // COMPOSITION NOTE: when a round ADDS a block here (r15 added
+    // extras_r14/extras_r15), the first run after the change computes
+    // run_ratio over a different query population than the persisted
+    // record it is compared against — environmentVerdict's one boundary
+    // run is a comparability blip, not environment drift (recorded in
+    // BASELINE.md round 16; the two-consecutive-runs rule absorbs it).
     val blocks: Seq[(Seq[String], Seq[Double])] =
       Seq(present -> calib, extras -> calibExtras,
         extras10 -> calibExtras10, extras13 -> calibExtras13,

@@ -83,6 +83,8 @@ object NarrativePipeline {
     "transcripts" -> "Earnings Calls",
     "filings" -> "SEC Filings")
 
+  private val SourceNameOf: Map[String, String] = SourceNames.toMap
+
   private def sourceStamp: Column =
     SourceNames.tail.foldLeft(
       when(col("document_type") === SourceNames.head._1,
@@ -173,9 +175,11 @@ object NarrativePipeline {
         .orderBy(col("score_own").desc, col("wk").asc)
       val peaks = smoothed.withColumn("rk", row_number().over(pw))
         .filter(col("rk") <= 3)
-      val newsPeaks = peaks.filter(col("source_type") === "News Media")
+      val newsPeaks = peaks
+        .filter(col("source_type") === SourceNameOf("news"))
         .select(col("wk").as("news_wk"))
-      val filingPeaks = peaks.filter(col("source_type") === "SEC Filings")
+      val filingPeaks = peaks
+        .filter(col("source_type") === SourceNameOf("filings"))
         .select(col("wk").as("filing_wk"))
       // ≤ 3×3 pairs at any corpus size; global agg yields exactly one row
       // (NULL mean) even when a source has no peaks, so the ride-along
@@ -210,13 +214,20 @@ object NarrativePipeline {
           col("avg_news_filing_lag_days"))
         .orderBy(col("week"), col("source_type"))
     },
-    Some(
+    Some {
+      // every Scala-side name reaches the SQL through sqlLit — the display
+      // names contain spaces today and could contain quotes tomorrow; one
+      // definition (SourceNames) feeds both the Column stamp and the oracle
+      val stampCase = SourceNames.map { case (dt, name) =>
+        s"WHEN document_type = ${Oracle.sqlLit(dt)} " +
+          s"THEN ${Oracle.sqlLit(name)}"
+      }.mkString("CASE ", "\n         ", " END")
+      val newsLit = Oracle.sqlLit(SourceNameOf("news"))
+      val filingsLit = Oracle.sqlLit(SourceNameOf("filings"))
       s"""WITH ${Oracle.chunkCte},
          |stamped AS (
          |  SELECT *,
-         |    CASE WHEN document_type = 'news' THEN 'News Media'
-         |         WHEN document_type = 'transcripts' THEN 'Earnings Calls'
-         |         WHEN document_type = 'filings' THEN 'SEC Filings' END
+         |    $stampCase
          |      AS source_type,
          |    ${Oracle.labelCase} AS label
          |  FROM chunk
@@ -295,8 +306,8 @@ object NarrativePipeline {
          |           abs(date_diff('day', n.wk, f.wk)) AS ad,
          |           f.wk AS fwk
          |    FROM peaks n JOIN peaks f
-         |      ON n.source_type = 'News Media'
-         |     AND f.source_type = 'SEC Filings'
+         |      ON n.source_type = $newsLit
+         |     AND f.source_type = $filingsLit
          |  )
          |  QUALIFY row_number() OVER (PARTITION BY news_wk
          |                             ORDER BY ad, fwk) = 1
@@ -322,7 +333,8 @@ object NarrativePipeline {
          |FROM scored sc
          |JOIN top t ON t.source_type = sc.source_type
          |CROSS JOIN lag_avg la
-         |ORDER BY week, sc.source_type""".stripMargin))
+         |ORDER BY week, sc.source_type""".stripMargin
+    })
 
   def queries: Seq[Q] = Seq(qNarrativePipeline)
 }

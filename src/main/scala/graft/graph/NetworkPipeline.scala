@@ -28,9 +28,14 @@ import graft.analytics.MarketPipeline
   *  3. min-occurrence filter (`:97-107`): companies with ≥ 2 rows in their
   *     role frame survive (`value_counts() >= min_occurrences`);
   *  4. co-mention pairing (`:154-196`): provider × adopter within one
-  *     document group, counted ONCE per group however many row pairs
-  *     carry it (`group['Company'].unique()` — distinct-document weight,
-  *     not the row product), threshold count ≥ 1;
+  *     group, counted ONCE per group however many row pairs carry it
+  *     (`group['Company'].unique()` — distinct-group weight, not the row
+  *     product), threshold count ≥ 1. The REFERENCE groups per sentence
+  *     (`df_filtered.groupby('sentence_id')` — J8/G2's grain); the engine
+  *     deliberately widens the pairing to DOCUMENT grain because each
+  *     synthetic sentence carries exactly one monitored entity, so
+  *     sentence-grain pairing is degenerate on this corpus — the same
+  *     corpus-shape adaptation as the watchlist-width note below;
   *  5. spring layout (`:206`: `nx.spring_layout(G, k=0.1, seed=42,
   *     dim=3)`) → [[GraphOps.springLayout]] with the same parameters,
   *     weighted by the pair count (nx's default `weight='weight'`).
@@ -52,6 +57,15 @@ import graft.analytics.MarketPipeline
 object NetworkPipeline {
 
   private val MinOccurrences = 2
+
+  /** Role suffixes (`network_analysis.py:110-127`'s `_without_common`
+    * node-splitting trick) and the labels that select each role frame —
+    * ONE definition feeding both the Column chain and the oracle (via
+    * [[Oracle.sqlLit]]), so a future rename can't desynchronize them. */
+  private val ProviderSuffix = "_provider"
+  private val AdopterSuffix = "_user"
+  private val ProviderLabel = "P"
+  private val AdopterLabel = "A"
 
   /** The graph study's monitored universe — WIDER than the market demo's
     * 8-company batch, via the same parameterized search builder (the
@@ -88,9 +102,9 @@ object NetworkPipeline {
         .select(col("company"))
       rows.join(broadcast(keep), Seq("company"), "left_semi")
     }
-    val providers = role("P", "_provider")
+    val providers = role(ProviderLabel, ProviderSuffix)
       .withColumnRenamed("company", "src")
-    val adopters = role("A", "_user")
+    val adopters = role(AdopterLabel, AdopterSuffix)
       .withColumnRenamed("company", "dst")
     providers.join(adopters, Seq("document_id"))
       .groupBy(col("src"), col("dst"))
@@ -110,13 +124,15 @@ object NetworkPipeline {
       s"""WITH ${Oracle.chunkCte},
          |${MarketPipeline.labeledSearchSql(NetworkWatchlist)},
          |providers AS (
-         |  SELECT document_id, entity_name || '_provider' AS company
-         |  FROM labeled WHERE label = 'P'
+         |  SELECT document_id,
+         |         entity_name || ${Oracle.sqlLit(ProviderSuffix)} AS company
+         |  FROM labeled WHERE label = ${Oracle.sqlLit(ProviderLabel)}
          |  QUALIFY count(*) OVER (PARTITION BY company) >= $MinOccurrences
          |),
          |adopters AS (
-         |  SELECT document_id, entity_name || '_user' AS company
-         |  FROM labeled WHERE label = 'A'
+         |  SELECT document_id,
+         |         entity_name || ${Oracle.sqlLit(AdopterSuffix)} AS company
+         |  FROM labeled WHERE label = ${Oracle.sqlLit(AdopterLabel)}
          |  QUALIFY count(*) OVER (PARTITION BY company) >= $MinOccurrences
          |),
          |edges AS (

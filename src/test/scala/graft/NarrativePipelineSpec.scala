@@ -39,6 +39,22 @@ class NarrativePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("Earnings Calls", "News Media", "SEC Filings"))
     assert(rows.length === weeks.length * sources.length,
       "every (week, source) cell must exist exactly once")
+    // corpus-shape premise for the contiguity check below (pinned like the
+    // sibling specs' timestamp/watchlist pins): the union of per-source
+    // dense ranges is only gap-free when the source intervals share a
+    // common point — the pipeline (and the reference's union-of-indexes
+    // align) is correct either way, but THIS corpus overlaps, so the
+    // 7-day-step assertion is licensed. If a future corpus breaks the
+    // premise, this assert names it instead of a misleading gap failure.
+    val srcBounds = graft.analytics.NarrativePipeline.labelPivot(spark, dir)
+      .groupBy(col("source_type"))
+      .agg(min(col("wk")).as("mn"), max(col("wk")).as("mx"))
+      .collect()
+      .map(r => (r.getDate(1).toLocalDate.toEpochDay,
+        r.getDate(2).toLocalDate.toEpochDay))
+    assert(srcBounds.map(_._1).max <= srcBounds.map(_._2).min,
+      "corpus premise: the three sources' week ranges must overlap — the " +
+        "union-week contiguity assertion below is only valid under it")
     val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
     weeks.sliding(2).filter(_.length == 2).foreach { pair =>
       assert(java.time.LocalDate.parse(pair(0), fmt).plusDays(7) ===
