@@ -4,7 +4,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
-/** Shared executed-plan inspection for specs that pin physical shapes.
+/** Shared executed-plan inspection for specs that pin physical shapes and
+  * for the release tools that audit executed plans at scale
+  * ([[graft.tools.PipelineScaleStress]]) — main-scope so both can use the
+  * ONE unwrapping definition.
   *
   * `queryExecution.executedPlan.toString` on an UN-executed frame prints
   * AQE's initial plan — a broadcast/exchange pin made there can silently

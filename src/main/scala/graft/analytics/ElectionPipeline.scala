@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Oracle, Q}
@@ -66,12 +67,28 @@ object ElectionPipeline {
     * blacklist stage provably drops rows AND exercises literal escaping. */
   private[graft] val TopicBlacklist = Seq("NATION_3", "MIDDLE EAST")
 
-  private val qElectionPipeline = Q(
-    "q_election_pipeline",
-    (s, d) => {
+  /** The gated pipeline frame. `oneScan = true` selects the S8 knob the
+    * scale notes document: checkpoint the shared kept slice (projected to
+    * the five columns both arms read) and derive BOTH the topics-explode
+    * arm and the daily-volume arm from the materialized cut — the corpus
+    * is scanned once instead of twice, at the price of materializing the
+    * kept slice (a label-filtered fraction of the corpus, NOT
+    * dimension-bounded). Values are identical either way (the daily arm's
+    * columns are the same projections in both relations); the right shape
+    * is a measured trade: at sf0.1 the two-pass form wins (BASELINE.md
+    * round 15: 4.9 s vs 10 s cut — the cut also splits the ReusedExchange
+    * sharing), and PipelineScaleStress re-measures both at its blowup
+    * points to record where (whether) the trade flips. */
+  private[graft] def pipelineFrame(s: SparkSession, d: String,
+      oneScan: Boolean): DataFrame = {
       // stage 1: labeled full-relation scan, monitored labels only
-      val kept = Labeler.withStubLabels(Tables.chunkRowsFull(s, d))
+      val keptRaw = Labeler.withStubLabels(Tables.chunkRowsFull(s, d))
         .filter(col("label").isin(MonitoredLabels: _*))
+      val kept =
+        if (!oneScan) keptRaw
+        else graft.PlanProbe.cut(keptRaw.select(col("entity_name"),
+          col("sentence_id"), col("label"), col("timestamp_utc"),
+          col("topics"), col("topics_type")))
       // stage 2: COMP-filtered, blacklist-filtered topics explode
       val exploded = kept
         .select(col("entity_name"), col("sentence_id"), col("label"),
@@ -121,11 +138,16 @@ object ElectionPipeline {
       // merge sides (post-aggregation sizes are opaque to the planner).
       // the bounds, the entity set, and the panel join all re-read this
       // aggregate (≤ |entities|·|days| rows) — ReusedExchange shares its
-      // shuffle, same argument as etl. The daily arm needs no topic
-      // arrays, so it reads the plain chunk relation rather than relying
-      // on the optimizer to prune the span/topic projections.
-      val daily = Labeler.labeledChunks(s, d)
-        .filter(col("label").isin(MonitoredLabels: _*))
+      // shuffle, same argument as etl. In the two-pass shape the daily arm
+      // needs no topic arrays, so it reads the plain chunk relation rather
+      // than relying on the optimizer to prune the span/topic projections;
+      // in the one-scan shape it reads the SAME materialized kept slice
+      // (identical projections, so identical values).
+      val dailyBase =
+        if (oneScan) kept
+        else Labeler.labeledChunks(s, d)
+          .filter(col("label").isin(MonitoredLabels: _*))
+      val daily = dailyBase
         .groupBy(col("entity_name"),
           date_trunc("day", col("timestamp_utc")).cast("date").as("day"))
         .agg(countDistinct(col("sentence_id")).as("vol"))
@@ -154,7 +176,12 @@ object ElectionPipeline {
           col("major_label"), col("peak_day"), col("peak_volume"),
           col("n_zero_days"))
         .orderBy(col("entity_name"), col("topic"))
-    },
+  }
+
+  private val qElectionPipeline = Q(
+    "q_election_pipeline",
+    // two-pass shape: the measured winner at sf0.1 (see pipelineFrame)
+    (s, d) => pipelineFrame(s, d, oneScan = false),
     Some {
       val labelsIn = MonitoredLabels.map(Oracle.sqlLit).mkString(", ")
       val blacklistIn = TopicBlacklist.map(Oracle.sqlLit).mkString(", ")

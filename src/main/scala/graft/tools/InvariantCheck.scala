@@ -23,8 +23,11 @@ import org.apache.spark.sql.SparkSession
   */
 object InvariantCheck {
 
-  /** query name → (column to read, predicate on its value, description). */
-  private val invariants: Seq[(String, String, Any => Boolean, String)] = Seq(
+  /** query name → (column to read, predicate on its value, description).
+    * Lazy: the initializer references [[pipelineInvariants]], which is
+    * declared below it. */
+  private lazy val invariants: Seq[(String, String, Any => Boolean, String)] =
+    Seq[(String, String, Any => Boolean, String)](
     ("q_mask_multi", "n_mismatch", v => v == 0L,
       "multi-span mask UDF == column-expression twin on every row"),
     ("q_mask_roundtrip", "n_mismatch", v => v == 0L,
@@ -57,7 +60,15 @@ object InvariantCheck {
       "exactly one keep-min survivor per semantic cluster"),
     // composed-lifecycle invariants (round 15) — each gate emits its own
     // self-verifying column(s), pinned TRUE by the oracle at sf0.01 and
-    // re-asserted here at scale:
+    // re-asserted here at scale (and at the PipelineScaleStress blowup
+    // points, which share this list)
+  ) ++ pipelineInvariants
+
+  /** The composed-lifecycle column invariants, shared with
+    * [[PipelineScaleStress]] so the blowup points assert EXACTLY what the
+    * release gate asserts — a re-implementation could silently drift. */
+  private[tools] val pipelineInvariants
+      : Seq[(String, String, Any => Boolean, String)] = Seq(
     // narrative: per-source z-scores sum to ~0 over the dense range (the
     // true sum is identically 0; 1e-3 absorbs per-point 1e-6 rounding)
     ("q_narrative_pipeline", "min(cast(z_sum_ok as int))", v => v == 1,
@@ -298,37 +309,8 @@ object InvariantCheck {
     // identity driver-side — one Spark action per pipeline instead of one
     // per identity, and a 0-row result degrades to a readable diagnostic
     // rather than a null-aggregate surprise.
-    val marketFailure: Option[String] = try {
-      val rows = qs("q_market_pipeline")(spark, sfDir).collect()
-      val weeks = rows.map(_.getAs[String]("week")).distinct
-      val comps = rows.map(_.getAs[String]("entity_name")).distinct
-      // W-MON period labels end on Mondays
-      val mondaysOk = weeks.forall(w =>
-        java.time.LocalDate.parse(w).getDayOfWeek ==
-          java.time.DayOfWeek.MONDAY)
-      val netOk = rows.forall(r => r.getAs[Long]("net_exposure") ==
-        r.getAs[Long]("positive_exp") - r.getAs[Long]("negative_exp"))
-      // the weekly counts and the basket totals are two aggregations of
-      // the SAME labeled frame — they must reconcile per company
-      val unreconciled = rows.groupBy(_.getAs[String]("entity_name"))
-        .count { case (_, rs) =>
-          rs.map(r => r.getAs[Long]("positive_exp") +
-            r.getAs[Long]("negative_exp")).sum !=
-            rs.head.getAs[Long]("basket_total") }
-      if (rows.nonEmpty && rows.length == weeks.length * comps.length &&
-          comps.length <= 6 && mondaysOk && netOk && unreconciled == 0) {
-        println(s"[invariant] OK q_market_pipeline: dense ${weeks.length}×" +
-          s"${comps.length} W-MON panel, weekly counts reconcile to the " +
-          "basket totals")
-        None
-      } else Some(s"q_market_pipeline: rows=${rows.length} " +
-        s"weeks=${weeks.length} companies=${comps.length} " +
-        s"mondays_ok=$mondaysOk net_ok=$netOk unreconciled=$unreconciled " +
-        "— the basket→panel composition broke at scale")
-    } catch {
-      case e: Throwable =>
-        Some(s"q_market_pipeline: failed to run: ${e.getMessage}")
-    } finally graft.PlanProbe.releaseCuts()
+    val marketFailure: Option[String] =
+      marketPanelCheck(spark, sfDir, "[invariant]")
     val screenerFailure: Option[String] = try {
       // expectations derive from the SAME tree the pipeline derives its
       // columns from — a fixture change adapts here instead of dying on an
@@ -365,6 +347,51 @@ object InvariantCheck {
     }
     println(s"[invariant] all ${invariants.size + 8 + recallDirs.size} " +
       s"invariants hold at $sfDir")
+  }
+
+  /** The §3.1 panel's dense-scaffold + reconciliation identities, asserted
+    * driver-side on the collected (dimension-bounded) result — shared with
+    * [[PipelineScaleStress]] exactly like [[pipelineInvariants]]. */
+  private[tools] def marketPanelCheck(spark: SparkSession, sfDir: String,
+      tag: String): Option[String] = try {
+    marketPanelRowsCheck(
+      graft.SparkEntry.queries("q_market_pipeline")(spark, sfDir).collect(),
+      tag)
+  } catch {
+    case e: Throwable =>
+      Some(s"q_market_pipeline: failed to run: ${e.getMessage}")
+  } finally graft.PlanProbe.releaseCuts()
+
+  /** The identity assertions over an already-collected panel — split out so
+    * [[PipelineScaleStress]] can reuse its timed run's rows instead of
+    * executing the pipeline a second time. */
+  private[tools] def marketPanelRowsCheck(
+      rows: Array[org.apache.spark.sql.Row], tag: String): Option[String] = {
+    val weeks = rows.map(_.getAs[String]("week")).distinct
+    val comps = rows.map(_.getAs[String]("entity_name")).distinct
+    // W-MON period labels end on Mondays
+    val mondaysOk = weeks.forall(w =>
+      java.time.LocalDate.parse(w).getDayOfWeek ==
+        java.time.DayOfWeek.MONDAY)
+    val netOk = rows.forall(r => r.getAs[Long]("net_exposure") ==
+      r.getAs[Long]("positive_exp") - r.getAs[Long]("negative_exp"))
+    // the weekly counts and the basket totals are two aggregations of
+    // the SAME labeled frame — they must reconcile per company
+    val unreconciled = rows.groupBy(_.getAs[String]("entity_name"))
+      .count { case (_, rs) =>
+        rs.map(r => r.getAs[Long]("positive_exp") +
+          r.getAs[Long]("negative_exp")).sum !=
+          rs.head.getAs[Long]("basket_total") }
+    if (rows.nonEmpty && rows.length == weeks.length * comps.length &&
+        comps.length <= 6 && mondaysOk && netOk && unreconciled == 0) {
+      println(s"$tag OK q_market_pipeline: dense ${weeks.length}×" +
+        s"${comps.length} W-MON panel, weekly counts reconcile to the " +
+        "basket totals")
+      None
+    } else Some(s"q_market_pipeline: rows=${rows.length} " +
+      s"weeks=${weeks.length} companies=${comps.length} " +
+      s"mondays_ok=$mondaysOk net_ok=$netOk unreconciled=$unreconciled " +
+      "— the basket→panel composition broke at scale")
   }
 
   // ---- IVF scale pins, shared with graft.tools.ScaleStress (which runs

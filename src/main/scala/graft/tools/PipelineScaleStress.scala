@@ -1,0 +1,215 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third-operating-point stress for the COMPOSED-LIFECYCLE gates — the
+  * pipeline twin of [[ScaleStress]] (IVF family) and [[TextScaleStress]]
+  * (shingle family). The release gate pins the five end-to-end pipelines
+  * (`q_market_pipeline`, `q_narrative_pipeline`, `q_election_pipeline`,
+  * `q_board_pipeline`, `q_network_pipeline`) at sf0.01/sf0.1 with values
+  * (DuckDB hash), identities (InvariantCheck), and AQE-final plan audits;
+  * their 100×-scale claims rested on those sf0.1 plan audits plus design
+  * notes. This tool manufactures a corpus `factor`× larger and re-pins
+  * three things THERE, turning the scale argument into a measured curve:
+  *
+  *  - '''identities still hold''': the EXACT release-gate invariants
+  *    ([[InvariantCheck.pipelineInvariants]] — z-sum, positive peaks,
+  *    dedup cardinality, layout rescale — plus
+  *    [[InvariantCheck.marketPanelRowsCheck]]'s panel reconciliation),
+  *    evaluated on the blowup run's own result rows;
+  *  - '''plans keep their shape''': SortMergeJoin = 0 and
+  *    CartesianProduct = 0 on the ADAPTIVE-FINAL executed plans
+  *    ([[graft.PlanCheck.render]]), including the pre-cut `labeledSearch`
+  *    arms that the market/network lineage cuts would otherwise hide from
+  *    a final-frame audit;
+  *  - '''wall time stays ~linear''': each pipeline is timed at the source
+  *    SF and at the blowup in the same session (warm JVM, best-of-2), and
+  *    t_blowup ≤ t_base · factor · 3 — a quadratic candidate/join blowup
+  *    lands at ~factor² and trips the bound immediately, while the 3×
+  *    slack absorbs VM noise and per-stage constants.
+  *
+  * Blowup construction (pure function of (orderkey, copy) — no RNG,
+  * bit-for-bit reproducible): the corpus FACTS replicate — copy k of
+  * orders/lineitem remaps `o_orderkey → o_orderkey·factor + k` (copy 0 is
+  * the source verbatim under the same remap) — while every dimension
+  * (region/nation/customer/supplier/part/documents) ships verbatim. That
+  * is the 100 TB shape: document volume grows `factor`×, the entity
+  * universe, date range, and text corpus stay fixed, so scaffold
+  * dimensions are constant and per-entity/per-week densities rise. Chunk
+  * text assignment (`pmod(okey·7 + line, |docs|)`) lands each copy on a
+  * different document, so labels and topics vary per copy instead of
+  * shipping `factor` identical shards.
+  *
+  * Also measured (recorded, not gated): the ElectionPipeline S8 one-scan
+  * knob ([[graft.analytics.ElectionPipeline.pipelineFrame]] `oneScan`) at
+  * both operating points, with a driver-side row-equality pin against the
+  * two-pass shape — the documented 100 TB trade (checkpoint the kept
+  * slice vs scan twice) becomes a measurement instead of a note.
+  *
+  * {{{
+  * spark-submit --master 'local[32]' --driver-memory 16g \
+  *   --class graft.tools.PipelineScaleStress <jar> [srcDir] [factor] [outDir]
+  * }}}
+  */
+object PipelineScaleStress {
+
+  private val Dims =
+    Seq("region", "nation", "customer", "supplier", "part", "documents")
+
+  private val Pipelines = Seq("q_market_pipeline", "q_narrative_pipeline",
+    "q_election_pipeline", "q_board_pipeline", "q_network_pipeline")
+
+  /** Deterministic fact blowup of `srcDir` into `outDir`: orders/lineitem
+    * ×`factor` with the orderkey remap, dimensions verbatim. */
+  def blowUpFacts(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    def copies(src: DataFrame, key: String): DataFrame =
+      (0 until factor).map(k =>
+        src.withColumn(key, col(key) * factor + k)).reduce(_ union _)
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    copies(orders, "o_orderkey")
+      .repartition(col("o_orderkey"))
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    copies(lineitem, "l_orderkey")
+      .repartition(col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    Dims.foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  /** Best-of-2 wall time of a full collect+render run; returns the LAST
+    * run's (rows, plan, schema) so identity/plan checks read what was
+    * timed — re-building some pipelines just for `.schema` would re-pay
+    * their eager construction stages (cuts, the layout collect). */
+  private def timed(mk: => DataFrame)
+      : (Double, Array[Row], String, org.apache.spark.sql.types.StructType) = {
+    def once(): (Double, Array[Row], String,
+        org.apache.spark.sql.types.StructType) = {
+      val t0 = System.nanoTime()
+      val df = mk
+      val (rows, plan) = graft.PlanCheck.executedFinalPlan(df)
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.PlanProbe.releaseCuts()
+      (dt, rows, plan, df.schema)
+    }
+    val a = once(); val b = once()
+    (math.min(a._1, b._1), b._2, b._3, b._4)
+  }
+
+  private def countNode(plan: String, node: String): Int =
+    plan.linesIterator.count(_.trim.startsWith(node))
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outDir = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_pipe_stress").toString)
+    val spark = SparkSession.builder()
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    blowUpFacts(spark, srcDir, outDir, factor)
+    val n = spark.read.parquet(s"$outDir/lineitem.parquet").count()
+    val nBase = spark.read.parquet(s"$srcDir/lineitem.parquet").count()
+    println(s"[pipestress] blowup ready: $srcDir ×$factor → $outDir " +
+      s"(chunks $nBase → $n)")
+
+    val qs = graft.SparkEntry.queries
+    // JVM/codegen warm-up so the first timed base run isn't charged for it
+    qs(Pipelines.head)(spark, srcDir).count()
+    graft.PlanProbe.releaseCuts()
+
+    val invByName = InvariantCheck.pipelineInvariants
+      .map(i => i._1 -> i).toMap
+
+    val failures = Pipelines.flatMap { name =>
+      val (tBase, _, _, _) = timed(qs(name)(spark, srcDir))
+      val (tBig, rows, plan, schema) = timed(qs(name)(spark, outDir))
+      val smj = countNode(plan, "SortMergeJoin")
+      val cart = countNode(plan, "CartesianProduct")
+      val bound = tBase * factor * 3
+      println(f"[pipestress] $name%-22s base=$tBase%7.2fs ×$factor=" +
+        f"$tBig%7.2fs (bound ${bound}%.2f) rows=${rows.length} " +
+        s"SMJ=$smj CART=$cart")
+      // identities: re-assert the release gate's own invariant expression
+      // over the timed run's rows (a local frame — no recompute)
+      val invFail: Seq[String] = invByName.get(name).toSeq.flatMap {
+        case (_, column, ok, desc) =>
+          val local = spark.createDataFrame(
+            new java.util.ArrayList[Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+            schema)
+          val v = local.selectExpr(column).head().get(0)
+          if (ok(v)) { println(s"[pipestress] OK $name invariant: $desc"); Nil }
+          else Seq(s"$name: $column = $v VIOLATES '$desc' at ×$factor")
+      } ++ (if (name == "q_market_pipeline")
+        InvariantCheck.marketPanelRowsCheck(rows, "[pipestress]").toSeq
+      else Nil)
+      val planFail =
+        if (smj == 0 && cart == 0) Nil
+        else Seq(s"$name: AQE-final plan at ×$factor has SMJ=$smj " +
+          s"CART=$cart (expected 0/0)\n$plan")
+      val timeFail =
+        if (rows.isEmpty) Seq(s"$name: empty result at ×$factor")
+        else if (tBig <= bound) Nil
+        else Seq(f"$name: $tBig%.2fs at ×$factor exceeds ~linear bound " +
+          f"$bound%.2fs (base $tBase%.2fs) — superlinear blowup")
+      invFail ++ planFail ++ timeFail
+    }
+
+    // the lineage cuts hide the labeledSearch arms from the final-frame
+    // audit above — audit both arms' executed plans directly at the blowup
+    val armFailures = Seq(
+      "labeledSearch(market)" ->
+        (() => graft.analytics.MarketPipeline.labeledSearch(spark, outDir)),
+      "labeledSearch(network)" ->
+        (() => graft.analytics.MarketPipeline.labeledSearch(spark, outDir,
+          graft.graph.NetworkPipeline.NetworkWatchlist))
+    ).flatMap { case (label, mk) =>
+      val (rows, plan) = graft.PlanCheck.executedFinalPlan(mk())
+      val smj = countNode(plan, "SortMergeJoin")
+      val cart = countNode(plan, "CartesianProduct")
+      println(s"[pipestress] $label rows=${rows.length} SMJ=$smj CART=$cart")
+      if (smj == 0 && cart == 0 && rows.nonEmpty) Nil
+      else Seq(s"$label: rows=${rows.length} SMJ=$smj CART=$cart at " +
+        s"×$factor (expected nonempty, 0/0)\n$plan")
+    }
+
+    // S8 one-scan knob measurement (recorded, not gated on time): the
+    // equality pin IS gated — the knob must never change values
+    val electionKnobFailures: Seq[String] = {
+      def sortKey(r: Row) = r.toSeq.map(String.valueOf).mkString("|")
+      val (t1Base, _, _, _) = timed(
+        graft.analytics.ElectionPipeline.pipelineFrame(spark, srcDir,
+          oneScan = true))
+      val (t1Big, oneRows, _, _) = timed(
+        graft.analytics.ElectionPipeline.pipelineFrame(spark, outDir,
+          oneScan = true))
+      val twoRows = qs("q_election_pipeline")(spark, outDir).collect()
+      println(f"[pipestress] election S8 one-scan: base=$t1Base%7.2fs " +
+        f"×$factor=$t1Big%7.2fs (two-pass times above)")
+      if (oneRows.map(sortKey).sorted.sameElements(
+          twoRows.map(sortKey).sorted)) Nil
+      else Seq(s"election one-scan knob changed VALUES at ×$factor " +
+        s"(${oneRows.length} vs ${twoRows.length} rows)")
+    }
+
+    val allFailures = failures ++ armFailures ++ electionKnobFailures
+    spark.stop()
+    if (allFailures.nonEmpty) {
+      allFailures.foreach(f => System.err.println(s"[pipestress] FAIL $f"))
+      sys.exit(1)
+    }
+    println(s"[pipestress] all ${Pipelines.size} composed-lifecycle scale " +
+      s"pins hold at ×$factor (n=$n chunks)")
+  }
+}

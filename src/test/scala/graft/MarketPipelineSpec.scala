@@ -111,6 +111,40 @@ class MarketPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "role — the batch-explode multiplicity-1 property no longer holds")
   }
 
+  test("step-7 outputs round-trip through the S6 xlsx sink and S7 source") {
+    // the reference's closing step (AI_Cost_Cutting_Market_Analysis.ipynb
+    // cell 41) writes the basket and the weekly panel through
+    // ExcelManager.save_workbook; pin the engine's equivalent — the
+    // pipeline result through Xlsx.saveWorkbook, back through
+    // Xlsx.readWorkbook — as frame equality, so the sink arm is composed
+    // WITHOUT making the hash gate itself side-effecting (the
+    // NarrativePipelineSpec stage-1 round-trip pattern).
+    import graft.sources.Xlsx
+    import org.apache.spark.sql.functions.col
+    val panel = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+      pipeline.run(spark, dir).schema)
+    val basket = panel.select("entity_name", "entity_sector", "basket_total",
+      "basket_positive_pct", "basket_net").distinct()
+    val path = java.nio.file.Files.createTempDirectory("mkt_wb")
+      .resolve("market.xlsx").toString
+    Xlsx.saveWorkbook(
+      Seq((basket, "Basket", (0, 0)), (panel, "Panel", (0, 0))), path)
+    for ((df, sheet) <- Seq(basket -> "Basket", panel -> "Panel")) {
+      val back = Xlsx.readWorkbook(spark, path, sheet = Some(sheet))
+      // the S7 source parses all-ISO-date string columns as dates (the
+      // reference's pandas reading) — project the writer side to match
+      val a = df.columns.foldLeft(df) { case (acc, c) =>
+        if (c == "week") acc.withColumn(c, col(c).cast("date")) else acc
+      }
+      assert(back.columns.toSeq === df.columns.toSeq,
+        s"sheet $sheet column drift through the workbook round-trip")
+      assert(a.exceptAll(back).isEmpty && back.exceptAll(a).isEmpty,
+        s"sheet $sheet must round-trip through the workbook exactly")
+    }
+  }
+
   test("panel merges stay broadcast on the ADAPTIVE-final plan") {
     assert(rows.nonEmpty)
     // basket cross join + counts left merge: both sides are
