@@ -49,12 +49,14 @@ import graft.model.Tables
   * dimension-bounded frames (≤ |entities|·|topics|·|labels| and
   * ≤ |entities|·|days| rows at any corpus size), and each frame's shuffle
   * exchange is deduplicated across its readers by ReusedExchange within
-  * the single action — measured at sf0.1, this beats both separate
-  * per-derivation aggregates and an explicit localCheckpoint cut (which
-  * splits the plan into jobs that cannot share the exchange). The summary
-  * merge and the degree semi-join broadcast explicitly — the fact table
-  * never shuffles past the two groupBys. At 100 TB, checkpoint the shared
-  * kept slice (S8) to collapse the two passes into one scan.
+  * the single action — measured at sf0.1, this beats separate
+  * per-derivation aggregates. The S8 one-scan alternative (materialize
+  * the projected kept slice once, derive both arms from it) is one flag
+  * away in [[pipelineFrame]]: it wins ~15% at sf0.1 but LOSES at the ×25
+  * blowup — the measured crossover is documented there, and two-pass is
+  * the shape that holds at 100 TB. The summary merge and the degree
+  * semi-join broadcast explicitly — the fact table never shuffles past
+  * the two groupBys.
   */
 object ElectionPipeline {
 
@@ -67,18 +69,24 @@ object ElectionPipeline {
     * blacklist stage provably drops rows AND exercises literal escaping. */
   private[graft] val TopicBlacklist = Seq("NATION_3", "MIDDLE EAST")
 
-  /** The gated pipeline frame. `oneScan = true` selects the S8 knob the
-    * scale notes document: checkpoint the shared kept slice (projected to
-    * the five columns both arms read) and derive BOTH the topics-explode
+  /** The gated pipeline frame. `oneScan = true` selects the S8 shape the
+    * scale notes document: checkpoint the shared kept slice PROJECTED to
+    * the six columns both arms read and derive BOTH the topics-explode
     * arm and the daily-volume arm from the materialized cut — the corpus
     * is scanned once instead of twice, at the price of materializing the
-    * kept slice (a label-filtered fraction of the corpus, NOT
-    * dimension-bounded). Values are identical either way (the daily arm's
-    * columns are the same projections in both relations); the right shape
-    * is a measured trade: at sf0.1 the two-pass form wins (BASELINE.md
-    * round 15: 4.9 s vs 10 s cut — the cut also splits the ReusedExchange
-    * sharing), and PipelineScaleStress re-measures both at its blowup
-    * points to record where (whether) the trade flips. */
+    * projected kept slice (a label-filtered fraction of the corpus, NOT
+    * dimension-bounded — but narrow: no text, no span arrays). Values are
+    * identical either way (the daily arm's columns are the same
+    * projections in both relations; ElectionCutProbe pins row equality).
+    * The shape is a measured, CORPUS-SIZE-DEPENDENT trade: r15 measured a
+    * FULL-WIDTH cut at 10 s vs 4.9 s two-pass and rejected it; r16's
+    * projected cut wins at sf0.1 (ElectionCutProbe interleaved: 8.5-10.5 s
+    * vs 10.0-11.3 s), is a wash at the ×10 blowup, and LOSES at ×25
+    * (PipelineScaleStress: 37.5 s vs 26.2 s — the cut materializes a
+    * constant fraction of the corpus while the saved pass is a pruned
+    * parquet re-scan that parallelizes better). The registered gate keeps
+    * the two-pass shape (the side that holds at 100 TB); this knob plus
+    * the probe keep the A/B re-runnable at any operating point. */
   private[graft] def pipelineFrame(s: SparkSession, d: String,
       oneScan: Boolean): DataFrame = {
       // stage 1: labeled full-relation scan, monitored labels only
@@ -180,7 +188,17 @@ object ElectionPipeline {
 
   private val qElectionPipeline = Q(
     "q_election_pipeline",
-    // two-pass shape: the measured winner at sf0.1 (see pipelineFrame)
+    // two-pass shape: the SCALE-SAFE side of a measured corpus-size-
+    // dependent trade (round 16). The projected one-scan cut WINS at
+    // sf0.1 (ElectionCutProbe interleaved: 8.5-10.5 s vs 10.0-11.3 s), is
+    // a wash at the ×10 blowup, and LOSES at ×25 (PipelineScaleStress:
+    // one-scan 37.5 s vs two-pass 26.2 s) — the cut's materialization
+    // grows with the corpus while the "saved" second pass is a cheap
+    // column-pruned parquet re-scan, so at 100 TB the two-pass shape is
+    // the right default and the ~1 s sf0.1 win is not worth shipping the
+    // shape that inverts at scale. pipelineFrame(oneScan = true) keeps
+    // the A/B one flag away; values identical (probe + stress pin row
+    // equality).
     (s, d) => pipelineFrame(s, d, oneScan = false),
     Some {
       val labelsIn = MonitoredLabels.map(Oracle.sqlLit).mkString(", ")
