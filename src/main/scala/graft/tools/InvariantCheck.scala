@@ -312,41 +312,90 @@ object InvariantCheck {
     val marketFailure: Option[String] =
       marketPanelCheck(spark, sfDir, "[invariant]")
     val screenerFailure: Option[String] = try {
-      // expectations derive from the SAME tree the pipeline derives its
-      // columns from — a fixture change adapts here instead of dying on an
-      // unresolved hard-coded column
-      val tree = graft.model.ThemeTree.fixture
-      val parentOf = graft.model.ThemeTree.labelToParent(tree)
-      val leaves = graft.model.ThemeTree.leaves(tree).map(_.label)
-      val parents = leaves.map(parentOf).distinct
-      val rows = qs("q_screener_pipeline")(spark, sfDir).collect()
-      val bad = rows.count { r =>
-        val comp = r.getAs[Long]("composite_score")
-        leaves.map(l => r.getAs[Long](l)).sum != comp ||
-          parents.map(p => r.getAs[Long](s"${p}_score")).sum != comp }
-      val names = rows.map(_.getAs[String]("entity_name"))
-      val dup = names.length - names.distinct.length
-      if (bad == 0 && dup == 0 && rows.nonEmpty) {
-        println(s"[invariant] OK q_screener_pipeline: ${rows.length} " +
-          "companies, leaf and parent rollups both sum to the composite")
-        None
-      } else Some(s"q_screener_pipeline: n=${rows.length} " +
-        s"bad_accounting=$bad dup_companies=$dup — the tree→matrix " +
-        "composition broke at scale")
+      screenerRowsCheck(qs("q_screener_pipeline")(spark, sfDir).collect(),
+        "[invariant]")
     } catch {
       case e: Throwable =>
         Some(s"q_screener_pipeline: failed to run: ${e.getMessage}")
     } finally graft.PlanProbe.releaseCuts()
+    // §3.3 report pipeline (round 16): the mean-normalization and
+    // magnitude-banding identities on the collected (dimension-bounded)
+    // result — the same driver-side pattern as the market/screener checks
+    val reportFailure: Option[String] = try {
+      reportRowsCheck(qs("q_report_pipeline")(spark, sfDir).collect(),
+        "[invariant]")
+    } catch {
+      case e: Throwable =>
+        Some(s"q_report_pipeline: failed to run: ${e.getMessage}")
+    } finally graft.PlanProbe.releaseCuts()
     val failures = tableFailures ++ ccFailure ++ packFailure ++ ffdFailure ++
       ivfShapeFailure ++ ivfSuperFailure ++ ivfRecallFailures ++
-      ivfLifecycleFailure ++ marketFailure ++ screenerFailure
+      ivfLifecycleFailure ++ marketFailure ++ screenerFailure ++ reportFailure
     spark.stop()
     if (failures.nonEmpty) {
       failures.foreach(f => System.err.println(s"[invariant] FAIL $f"))
       sys.exit(1)
     }
-    println(s"[invariant] all ${invariants.size + 8 + recallDirs.size} " +
+    println(s"[invariant] all ${invariants.size + 9 + recallDirs.size} " +
       s"invariants hold at $sfDir")
+  }
+
+  /** The §3.2 score matrix's accounting identities on an already-collected
+    * result: leaf counts and parent rollups both sum to the composite, one
+    * row per company. Expectations derive from the SAME tree the pipeline
+    * derives its columns from — a fixture change adapts here instead of
+    * dying on an unresolved hard-coded column. Shared with
+    * [[PipelineScaleStress]]. */
+  private[tools] def screenerRowsCheck(
+      rows: Array[org.apache.spark.sql.Row], tag: String): Option[String] = {
+    val tree = graft.model.ThemeTree.fixture
+    val parentOf = graft.model.ThemeTree.labelToParent(tree)
+    val leaves = graft.model.ThemeTree.leaves(tree).map(_.label)
+    val parents = leaves.map(parentOf).distinct
+    val bad = rows.count { r =>
+      val comp = r.getAs[Long]("composite_score")
+      leaves.map(l => r.getAs[Long](l)).sum != comp ||
+        parents.map(p => r.getAs[Long](s"${p}_score")).sum != comp }
+    val names = rows.map(_.getAs[String]("entity_name"))
+    val dup = names.length - names.distinct.length
+    if (bad == 0 && dup == 0 && rows.nonEmpty) {
+      println(s"$tag OK q_screener_pipeline: ${rows.length} " +
+        "companies, leaf and parent rollups both sum to the composite")
+      None
+    } else Some(s"q_screener_pipeline: n=${rows.length} " +
+      s"bad_accounting=$bad dup_companies=$dup — the tree→matrix " +
+      "composition broke at scale")
+  }
+
+  /** The §3.3 report panel's identities on an already-collected result:
+    * per-theme attention scores are MEAN-NORMALIZED (they average to ~1
+    * within every theme — `attention = n_docs / avg(n_docs) over theme`,
+    * so the mean is identically 1; 1e-3 absorbs the per-row 1e-6
+    * rounding), the magnitude band is the pure n_docs function
+    * (High ≥ 100 > Medium ≥ 30 > Low), and the response fallback is total
+    * (never null). Shared with [[PipelineScaleStress]]. */
+  private[tools] def reportRowsCheck(
+      rows: Array[org.apache.spark.sql.Row], tag: String): Option[String] = {
+    val badMean = rows.groupBy(_.getAs[String]("theme")).count {
+      case (_, rs) =>
+        math.abs(rs.map(_.getAs[Double]("attention_score")).sum /
+          rs.length - 1.0) > 1e-3
+    }
+    val badBand = rows.count { r =>
+      val n = r.getAs[Long]("n_docs")
+      val expected = if (n >= 100) "High" else if (n >= 30) "Medium"
+        else "Low"
+      r.getAs[String]("magnitude") != expected
+    }
+    val nullResp = rows.count(r => r.isNullAt(r.fieldIndex("response")))
+    if (rows.nonEmpty && badMean == 0 && badBand == 0 && nullResp == 0) {
+      println(s"$tag OK q_report_pipeline: ${rows.length} rows, " +
+        "per-theme attention means ≈ 1, magnitude bands consistent, " +
+        "responses total")
+      None
+    } else Some(s"q_report_pipeline: n=${rows.length} " +
+      s"themes_off_mean=$badMean bad_magnitude=$badBand " +
+      s"null_responses=$nullResp — the report composition broke at scale")
   }
 
   /** The §3.1 panel's dense-scaffold + reconciliation identities, asserted

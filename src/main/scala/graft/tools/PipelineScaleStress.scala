@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Third-operating-point stress for the COMPOSED-LIFECYCLE gates — the
   * pipeline twin of [[ScaleStress]] (IVF family) and [[TextScaleStress]]
-  * (shingle family). The release gate pins the five end-to-end pipelines
-  * (`q_market_pipeline`, `q_narrative_pipeline`, `q_election_pipeline`,
-  * `q_board_pipeline`, `q_network_pipeline`) at sf0.01/sf0.1 with values
+  * (shingle family). The release gate pins the seven end-to-end pipelines
+  * (`q_market_pipeline`, `q_screener_pipeline`, `q_report_pipeline`,
+  * `q_narrative_pipeline`, `q_election_pipeline`, `q_board_pipeline`,
+  * `q_network_pipeline`) at sf0.01/sf0.1 with values
   * (DuckDB hash), identities (InvariantCheck), and AQE-final plan audits;
   * their 100×-scale claims rested on those sf0.1 plan audits plus design
   * notes. This tool manufactures a corpus `factor`× larger and re-pins
@@ -65,8 +66,9 @@ object PipelineScaleStress {
   private val Dims =
     Seq("region", "nation", "customer", "supplier", "part", "documents")
 
-  private val Pipelines = Seq("q_market_pipeline", "q_narrative_pipeline",
-    "q_election_pipeline", "q_board_pipeline", "q_network_pipeline")
+  private val Pipelines = Seq("q_market_pipeline", "q_screener_pipeline",
+    "q_report_pipeline", "q_narrative_pipeline", "q_election_pipeline",
+    "q_board_pipeline", "q_network_pipeline")
 
   /** Deterministic fact blowup of `srcDir` into `outDir`: orders/lineitem
     * ×`factor` with the orderkey remap, dimensions verbatim. */
@@ -128,11 +130,11 @@ object PipelineScaleStress {
     * (entity, day) aggregate legitimately crosses the threshold (more
     * observed cells toward its dense bound) and AQE picks exactly that
     * join. */
-  private val AllowedSmj: Map[String, String => Boolean] = Map(
+  private[graft] val AllowedSmj: Map[String, String => Boolean] = Map(
     "q_election_pipeline" ->
       (l => l.contains("entity_name") && l.contains("day")))
 
-  private def offendingSmjKeys(plan: String,
+  private[graft] def offendingSmjKeys(plan: String,
       extraAllowed: String => Boolean = _ => false): Seq[String] =
     plan.linesIterator.map(_.trim).filter(_.startsWith("SortMergeJoin"))
       .filterNot(l => l.contains("orderkey") || l.contains("document_id") ||
@@ -189,9 +191,18 @@ object PipelineScaleStress {
           val v = local.selectExpr(column).head().get(0)
           if (ok(v)) { println(s"[pipestress] OK $name invariant: $desc"); Nil }
           else Seq(s"$name: $column = $v VIOLATES '$desc' at ×$factor")
-      } ++ (if (name == "q_market_pipeline")
-        InvariantCheck.marketPanelRowsCheck(rows, "[pipestress]").toSeq
-      else Nil)
+      } ++ (name match {
+        // the three gates whose identities live in driver-side row checks
+        // rather than a self-verifying column — same sharing rule: the
+        // blowup asserts EXACTLY what the release gate asserts
+        case "q_market_pipeline" =>
+          InvariantCheck.marketPanelRowsCheck(rows, "[pipestress]").toSeq
+        case "q_screener_pipeline" =>
+          InvariantCheck.screenerRowsCheck(rows, "[pipestress]").toSeq
+        case "q_report_pipeline" =>
+          InvariantCheck.reportRowsCheck(rows, "[pipestress]").toSeq
+        case _ => Nil
+      })
       val planFail =
         if (badSmj.isEmpty && cart == 0) Nil
         else Seq(s"$name: AQE-final plan at ×$factor has CART=$cart, " +

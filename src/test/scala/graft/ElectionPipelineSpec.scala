@@ -79,6 +79,18 @@ class ElectionPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "derivation no longer equals the reference's nunique semantics")
   }
 
+  test("the S8 one-scan shape is value-identical to the two-pass gate") {
+    // the corpus-size-dependent trade (pipelineFrame scaladoc) is only a
+    // legal knob while the shapes agree row-for-row — pinned here at
+    // fixture scale on top of the probe/stress runtime pins, so a drift
+    // between the arms' projections fails in the suite first
+    val one = graft.analytics.ElectionPipeline
+      .pipelineFrame(spark, dir, oneScan = true).collect()
+      .map(_.toString).sorted
+    assert(one.sameElements(rows.map(_.toString).sorted),
+      "one-scan and two-pass election shapes must return identical rows")
+  }
+
   test("merges stay broadcast on the ADAPTIVE-final plan") {
     assert(rows.nonEmpty)
     // edges/hubs/stats are all dimension-bounded aggregates; the corpus
