@@ -52,10 +52,10 @@ import graft.model.Tables
   * the single action — measured at sf0.1, this beats separate
   * per-derivation aggregates. The S8 one-scan alternative (materialize
   * the projected kept slice once, derive both arms from it) is one flag
-  * away in [[pipelineFrame]]: it wins ~15% at sf0.1 but the win does not
-  * reproduce at the ×10/×25 blowups — the measurements are documented
-  * there, and two-pass is the shape that holds at 100 TB (no
-  * corpus-sized materialization). The summary merge and the degree
+  * away in [[pipelineFrame]]: it wins ~15% at sf0.1 but loses 1.5× at
+  * the ×50 blowup — a measured crossover, documented there; two-pass is
+  * the shape that holds at 100 TB (no corpus-sized materialization).
+  * The summary merge and the degree
   * semi-join broadcast explicitly — the fact table never shuffles past
   * the two groupBys.
   */
@@ -79,15 +79,15 @@ object ElectionPipeline {
     * dimension-bounded — but narrow: no text, no span arrays). Values are
     * identical either way (the daily arm's columns are the same
     * projections in both relations; ElectionCutProbe pins row equality).
-    * The shape is a measured trade: r15 measured a FULL-WIDTH cut at 10 s
-    * vs 4.9 s two-pass and rejected it; r16's projected cut wins at sf0.1
-    * (ElectionCutProbe interleaved: 8.5-10.5 s vs 10.0-11.3 s) but shows
-    * NO reproducible winner at the ×10/×25 blowups (PipelineScaleStress
-    * A/B, five sessions — the cut materializes a constant fraction of
-    * the corpus, which cancels the saved pruned re-scan). The registered
-    * gate keeps the two-pass shape (no corpus-sized materialization at
-    * 100 TB); this knob plus the probe keep the A/B re-runnable at any
-    * operating point. */
+    * The shape is a measured CROSSOVER: r15 measured a FULL-WIDTH cut at
+    * 10 s vs 4.9 s two-pass and rejected it; r16's projected cut wins at
+    * sf0.1 (ElectionCutProbe interleaved: 8.5-10.5 s vs 10.0-11.3 s), is
+    * noise-dominated at ×10/×25, and loses 1.5× at the ×50 blowup
+    * (PipelineScaleStress A/B: 58.7 s vs 39.2 s — the cut materializes a
+    * constant fraction of the corpus, which overtakes the saved pruned
+    * re-scan). The registered gate keeps the two-pass shape (the winner
+    * at 100 TB); this knob plus the probe keep the A/B re-runnable at
+    * any operating point. */
   private[graft] def pipelineFrame(s: SparkSession, d: String,
       oneScan: Boolean): DataFrame = {
       // stage 1: labeled full-relation scan, monitored labels only
@@ -189,16 +189,16 @@ object ElectionPipeline {
 
   private val qElectionPipeline = Q(
     "q_election_pipeline",
-    // two-pass shape: the SCALE-SAFE side of a measured trade (round 16,
+    // two-pass shape: the winning side of a MEASURED CROSSOVER (round 16,
     // BASELINE.md). The projected one-scan cut wins consistently at sf0.1
-    // (ElectionCutProbe interleaved: 8.5-10.5 s vs 10.0-11.3 s) but the
-    // win does NOT reproduce at the ×10/×25 blowups (PipelineScaleStress
-    // A/B across five sessions: noise-dominated, no stable winner — the
-    // cut's corpus-fraction materialization cancels the saved
-    // column-pruned re-scan). Two-pass is the default because it carries
-    // no corpus-sized materialization (block-store footprint; an
+    // (ElectionCutProbe interleaved: 8.5-10.5 s vs 10.0-11.3 s), is
+    // noise-dominated at the ×10/×25 blowups, and LOSES decisively at
+    // ×50 (PipelineScaleStress: 58.7 s vs 39.2 s) — the cut's
+    // corpus-fraction materialization overtakes the saved column-pruned
+    // re-scan as the corpus grows. Two-pass is the default: no
+    // corpus-sized materialization (block-store footprint; an
     // executor-loss liability under the local cut policy) for a ~1 s
-    // gate-scale win that vanishes at scale. pipelineFrame(oneScan =
+    // gate-scale win that inverts at scale. pipelineFrame(oneScan =
     // true) keeps the A/B one flag away; values identical (spec + probe +
     // stress pin row equality).
     (s, d) => pipelineFrame(s, d, oneScan = false),
