@@ -39,15 +39,21 @@ import graft.model.Tables
   *     counts with the pandas `to_period('Q')` label and quarter-start
   *     date.
   *
-  * Scale shape: the primary conjunct filters the one scan (pushed to the
-  * parquet reader); the mode explode fans out ≤ 3. The doc-grain
-  * 'has-secondary' side is the only second pass, and the only shuffles are
-  * its doc-id join and the (mode, document) dedup aggregate. Everything
-  * after the dedup is dimension-bounded (≤ |quarters|·3 rows at any corpus
-  * size): the quarterly counts frame's exchange is reused by the
-  * zero-fill join and the common quarter axis (ReusedExchange within the
-  * one action) and the scaffold merges broadcast explicitly, so the dedup
-  * shuffle executes exactly once.
+  * Scale shape (round 16): the primary conjunct filters the one scan
+  * (pushed to the parquet reader), and the per-(mode, document) first-wins
+  * winners are computed as DOC-GRAIN aggregates on that scan — one
+  * groupBy(document_id) carrying two 4-field ordering structs with
+  * map-side partial min, so no text column ever crosses a shuffle. The
+  * doc-grain 'has-secondary' side is the only second pass, and its join
+  * is doc-grain × doc-grain (it used to land on the full chunk-grain
+  * stream — the ×50 blowup measured that shape at 9.6× wall per 50× data;
+  * the doc-grain form roughly halves the ×25/×50 points). The ≤3-way
+  * mode explode happens
+  * AFTER aggregation on |documents| rows. Everything downstream is
+  * dimension-bounded (≤ |quarters|·3 rows at any corpus size): the
+  * quarterly counts frame's exchange is reused by the zero-fill join and
+  * the common quarter axis (ReusedExchange within the one action) and the
+  * scaffold merges broadcast explicitly.
   */
 object BoardPipeline {
 
@@ -58,29 +64,50 @@ object BoardPipeline {
     (s, d) => {
       import s.implicits._
       val c = Tables.chunkRows(s, d)
-      // stage 1: one primary-filtered pass, mode membership exploded; the
-      // doc-grain secondary flag arrives via a distinct-doc semi side
+      // stages 1+2 fused at DOCUMENT grain (round 16, PipelineScaleStress
+      // finding: board was the worst blowup scaler at 9.6× wall per 50×
+      // data because the previous shape joined the doc-grain
+      // 'has-secondary' flag onto the FULL chunk-grain stream — every
+      // customer-filtered chunk row, text column included, crossed that
+      // join's shuffle before the mode explode and the dedup. The
+      // first-wins winner per (mode, document) is a pure function of
+      // doc-grain aggregates, so aggregate FIRST: per document, the
+      // relaxed winner = min ordering-struct over all its customer rows,
+      // the strict winner = min over its customer∧part rows (min ignores
+      // the when()'s nulls), both computed with map-side partial
+      // aggregation on the one primary-filtered pass — no text ever
+      // crosses a shuffle, and the flag join moves to doc grain. Measured
+      // at ×25: 22.4-31.8 s → 12.4-15.1 s (×50: 40.1 → 25.8 s; base
+      // unchanged at its 3.4 steady); values bit-identical (same gate,
+      // same oracle, BoardPipelineSpec's containment/dedup laws
+      // unchanged).
+      val ord = struct(col("timestamp_utc"), col("sentence_id"),
+        col("entity_id"), col("part_entity_id"))
+      val perDoc = c.filter(col("text").contains("customer"))
+        .groupBy(col("document_id"))
+        .agg(min(ord).as("r"),
+          min(when(col("text").contains("part"), ord)).as("st"))
+      // doc-grain 'secondary anywhere in the document' flag (tool.py's
+      // relaxed_post post-filter) — the one remaining second pass
       val docPart = c.filter(col("text").contains("part"))
         .select(col("document_id")).distinct()
         .withColumn("doc_has_part", lit(true))
-      val none = array().cast("array<string>")
-      val stream = c.filter(col("text").contains("customer"))
-        .join(docPart, Seq("document_id"), "left")
-        .withColumn("mode", explode(concat(
-          array(lit("relaxed")),
-          when(col("text").contains("part"), array(lit("strict")))
-            .otherwise(none),
-          when(col("doc_has_part"), array(lit("relaxed_post")))
-            .otherwise(none))))
-      // stage 2: first-wins doc dedup per mode — D3's stream order
-      val kept = stream.groupBy(col("mode"), col("document_id"))
-        .agg(min_by(
-          struct(col("timestamp_utc").as("ts"),
-            col("entity_id").as("kept_entity")),
-          struct(col("timestamp_utc"), col("sentence_id"), col("entity_id"),
-            col("part_entity_id"))).as("k"))
-        .select(col("mode"), col("document_id"),
-          col("k.ts").as("ts"), col("k.kept_entity").as("kept_entity"))
+      // mode membership at doc grain: a document contributes its relaxed
+      // winner to 'relaxed' always, its strict winner to 'strict' when one
+      // exists, and its relaxed winner to 'relaxed_post' when the doc-level
+      // flag holds — exactly the reference's three searches deduped
+      val kept = perDoc.join(docPart, Seq("document_id"), "left")
+        .withColumn("k", explode(filter(array(
+          struct(lit("relaxed").as("mode"), col("r").as("w"),
+            lit(true).as("keep")),
+          struct(lit("strict").as("mode"), col("st").as("w"),
+            col("st").isNotNull.as("keep")),
+          struct(lit("relaxed_post").as("mode"), col("r").as("w"),
+            coalesce(col("doc_has_part"), lit(false)).as("keep"))),
+          x => x.getField("keep"))))
+        .select(col("k.mode").as("mode"), col("document_id"),
+          col("k.w.timestamp_utc").as("ts"),
+          col("k.w.entity_id").as("kept_entity"))
       // stage 3: common quarter axis across modes, dense × 3 modes,
       // zero-filled counts. All merge sides are dimension-bounded
       // aggregates — broadcast explicitly.
