@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 
 /** Third-operating-point stress for the COMPOSED-LIFECYCLE gates — the
   * pipeline twin of [[ScaleStress]] (IVF family) and [[TextScaleStress]]
@@ -50,6 +51,35 @@ import org.apache.spark.sql.functions._
   * different document, so labels and topics vary per copy instead of
   * shipping `factor` identical shards.
   *
+  * '''Hot-key SKEW mode''' (round 17 — the one scale-killer class the
+  * uniform remap cannot exhibit): with `skewPct = p > 0`, a deterministic
+  * p% slice of the multiplied fact rows (selected per (orderkey, copy) by
+  * `pmod(okey·7919 + copy, 100) < p` — whole orders route together, so
+  * sentence grouping stays coherent) is re-keyed onto ONE hot orderkey
+  * (= ONE hot `document_id`, since `document_id = o_orderkey`), and a
+  * DISJOINT p% slice keeps its orderkey but routes `l_suppkey` onto ONE
+  * hot supplier (= ONE hot `entity_name` spread across the full date
+  * range). The orders side keeps every remapped copy (orphaned orders are
+  * invisible to the inner fact join) and gains exactly one hot order row,
+  * so the lineitem⋈orders join stays 1:N — the corpus concentrates on a
+  * hot key WITHOUT a quadratic join blowup, which is precisely the 100 TB
+  * failure shape (one viral document / one mega-entity holding a double-
+  * digit corpus fraction). The skew sweep re-pins, per skew-sensitive
+  * lifecycle (market, election, board, network — the doc-grain flag join,
+  * the (mode, document) winners, the un-hinted (entity, day) merge, and
+  * both labeledSearch arms):
+  *
+  *  - identities green (same shared invariant list as the release gate);
+  *  - plan shape clean (CART=0, no off-fact-key SMJ — same parser);
+  *  - mitigation engaged or unnecessary: either AQE's OptimizeSkewedJoin
+  *    split the hot partitions (`skew=true` on an executed SMJ) or the
+  *    measured straggler ratio (max/median task duration over stages with
+  *    ≥ 8 tasks) stays ≤ [[StragglerBound]] — partial aggregation is the
+  *    designed first line of defense, and when it holds there is nothing
+  *    for AQE to mitigate;
+  *  - wall time within [[SkewWallFactor]]× of the UNIFORM blowup at the
+  *    same n, timed in the same session.
+  *
   * Also measured (recorded, not gated): the ElectionPipeline S8 one-scan
   * knob ([[graft.analytics.ElectionPipeline.pipelineFrame]] `oneScan`) at
   * both operating points, with a driver-side row-equality pin against the
@@ -58,8 +88,12 @@ import org.apache.spark.sql.functions._
   *
   * {{{
   * spark-submit --master 'local[32]' --driver-memory 16g \
-  *   --class graft.tools.PipelineScaleStress <jar> [srcDir] [factor] [outDir]
+  *   --class graft.tools.PipelineScaleStress <jar> \
+  *   [srcDir] [factor] [outDir] [skewPct]
   * }}}
+  * `skewPct = 0` (default) runs the uniform sweep over all seven
+  * lifecycles; `skewPct > 0` runs the skew sweep over the four
+  * skew-sensitive ones.
   */
 object PipelineScaleStress {
 
@@ -70,15 +104,77 @@ object PipelineScaleStress {
     "q_report_pipeline", "q_narrative_pipeline", "q_election_pipeline",
     "q_board_pipeline", "q_network_pipeline")
 
+  /** The lifecycles whose shuffles key on the skewed columns (document_id
+    * via orderkey; entity_name via suppkey). */
+  private val SkewPipelines = Seq("q_market_pipeline", "q_election_pipeline",
+    "q_board_pipeline", "q_network_pipeline")
+
+  /** Skew-run wall-time bound, relative to the uniform blowup at the same
+    * n in the same session. 2× is the design target (the brief's "within
+    * ~2× of the uniform blowup"); 2.5 is the pinned gate — election's
+    * blowup walls have swung ±30% across clean sessions (BASELINE.md r16
+    * A/B table), so a 2.0 pin would flake on noise the design can't
+    * remove. A hot key that actually serializes a stage lands at ≥ 4-8×
+    * and trips 2.5 just as decisively. */
+  val SkewWallFactor = 2.5
+
+  /** Max/median task-duration bound per stage (stages with ≥ 8 tasks) when
+    * AQE skew mitigation did NOT fire. An unmitigated 25%-hot shuffle
+    * partition at 32 partitions is ~8× the median task by construction
+    * (25% of rows vs ~3.1% median), so 6 separates "partial aggregation
+    * absorbed the skew upstream" from "one reducer ate the hot key".
+    * Stages dominated by sub-second tasks are noise, not stragglers —
+    * ratios only count when the stage's max task is ≥ 1 s. */
+  val StragglerBound = 6.0
+
   /** Deterministic fact blowup of `srcDir` into `outDir`: orders/lineitem
-    * ×`factor` with the orderkey remap, dimensions verbatim. */
+    * ×`factor` with the orderkey remap, dimensions verbatim. With
+    * `skewPct > 0`, additionally routes a skewPct% slice of the multiplied
+    * lineitem rows onto hot orderkey 1 (one hot document) and a disjoint
+    * skewPct% slice onto hot suppkey 1 (one hot entity); orders gains the
+    * single hot order row (scaladoc above). Hot key 1 cannot collide with
+    * the remap image (`k·factor + j ≥ factor ≥ 2` for source keys ≥ 1). */
   def blowUpFacts(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, skewPct: Int = 0): Unit = {
+    require(skewPct >= 0 && skewPct <= 50, "skewPct ∈ [0, 50] (two slices)")
+    val HotOrder = 1L
+    val HotSupp = 1L
+    def sel(key: String, k: Int) = pmod(col(key) * 7919 + lit(k), lit(100))
     def copies(src: DataFrame, key: String): DataFrame =
-      (0 until factor).map(k =>
-        src.withColumn(key, col(key) * factor + k)).reduce(_ union _)
+      (0 until factor).map { k =>
+        val remapped = src.withColumn(key, col(key) * factor + k)
+        if (skewPct == 0) remapped
+        else {
+          // selection reads the REMAPPED key, which both fact tables derive
+          // identically from (source key, copy) — so an order and all of its
+          // lineitems route together, and the two tables always agree
+          val s = sel(key, k)
+          val docSkewed = remapped.withColumn(key,
+            when(s < skewPct, lit(HotOrder)).otherwise(col(key)))
+          if (key == "l_orderkey")
+            docSkewed.withColumn("l_suppkey",
+              when(s >= skewPct && s < 2 * skewPct, lit(HotSupp))
+                .otherwise(col("l_suppkey")))
+          else docSkewed
+        }
+      }.reduce(_ union _)
     val orders = spark.read.parquet(s"$srcDir/orders.parquet")
-    copies(orders, "o_orderkey")
+    val ordersOut =
+      if (skewPct == 0) copies(orders, "o_orderkey")
+      else {
+        // the copies whose children routed hot are dropped (a whole
+        // (order, copy) routes together, so no children are orphaned) and
+        // replaced by exactly ONE hot order row, built from the smallest
+        // source order (deterministic) — the doc-skewed lineitem slice must
+        // join 1:N, never N:M
+        val minKey = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+        val hot = orders.filter(col("o_orderkey") === minKey)
+          .withColumn("o_orderkey", lit(1L))
+        copies(orders, "o_orderkey")
+          .filter(col("o_orderkey") =!= 1L) // drop the hot-routed copies
+          .union(hot)
+      }
+    ordersOut
       .repartition(col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
@@ -113,38 +209,90 @@ object PipelineScaleStress {
   private def countNode(plan: String, node: String): Int =
     plan.linesIterator.count(_.trim.startsWith(node))
 
-  /** SortMergeJoin lines whose join keys are NOT the designed fact-fact
-    * keys. The chunk relation's lineitem⋈orders join and board's doc-grain
-    * secondary-flag join are SUPPOSED to shuffle once the orders/doc side
-    * outgrows the broadcast threshold (exactly what the blowup exercises);
-    * a dimension join (suppkey/custkey/nationkey/…) or a dimension-bounded
-    * panel merge (entity_name/week/…) appearing as a shuffle join is the
-    * actual scale regression. The same physical join can render several
-    * times through AQE stage-reuse paths — offenders are reported
-    * distinct. */
-  /** Per-pipeline additional allowed shuffle-join key shapes, each backed
-    * by a design note at the join site. Election: the panel's daily merge
-    * is DELIBERATELY un-hinted (ElectionPipeline stage-3 comment — "at a
+  /** Join-key ATTRIBUTE NAMES of a rendered SortMergeJoin line: the union
+    * of both `[leftKeys], [rightKeys]` groups' `name#exprId` attributes,
+    * with exprIds and any wrapping expressions (casts, NaN-normalizers)
+    * stripped. None when the line doesn't parse — callers must treat that
+    * as offending (fail loud), never as allowed. */
+  private val SmjLine =
+    """^SortMergeJoin(?:\(skew=true\))?\s+\[([^\]]*)\],\s*\[([^\]]*)\].*""".r
+  private val AttrRef = """([A-Za-z_][A-Za-z0-9_]*)#\d+""".r
+
+  private[graft] def smjJoinKeyNames(line: String): Option[Set[String]] =
+    line match {
+      case SmjLine(l, r) =>
+        Some((AttrRef.findAllMatchIn(l) ++ AttrRef.findAllMatchIn(r))
+          .map(_.group(1)).toSet)
+      case _ => None
+    }
+
+  /** A shuffle join is DESIGNED iff its parsed key list contains a
+    * fact-fact key (the chunk relation's orderkey or the doc-grain
+    * document id — composite keys like (mode, document_id) distribute by
+    * the fact key and belong here too). Substring-matching the whole
+    * rendered line is NOT equivalent: a dimension join whose post-join
+    * condition merely mentions orderkey, or an entity_name-only join whose
+    * line happens to contain `peak_day`, must stay offending. */
+  private val FactKeys =
+    Set("l_orderkey", "o_orderkey", "orderkey", "document_id", "doc_id")
+
+  /** Per-pipeline additional allowed shuffle-join KEY SETS, each backed by
+    * a design note at the join site. Election: the panel's daily merge is
+    * DELIBERATELY un-hinted (ElectionPipeline stage-3 comment — "at a
     * scale where it no longer fits [the broadcast threshold], a shuffle
     * join on (entity, day) is the right plan"); at ×10 the sparse
     * (entity, day) aggregate legitimately crosses the threshold (more
     * observed cells toward its dense bound) and AQE picks exactly that
-    * join. */
-  private[graft] val AllowedSmj: Map[String, String => Boolean] = Map(
+    * join. The allowance is the EXACT (entity_name, day) key pair — an
+    * entity_name-only join (a different, skew-unsafe shape) stays
+    * offending. */
+  private[graft] val AllowedSmj: Map[String, Set[String] => Boolean] = Map(
     "q_election_pipeline" ->
-      (l => l.contains("entity_name") && l.contains("day")))
+      (keys => keys == Set("entity_name", "day")))
 
   private[graft] def offendingSmjKeys(plan: String,
-      extraAllowed: String => Boolean = _ => false): Seq[String] =
+      extraAllowed: Set[String] => Boolean = _ => false): Seq[String] =
     plan.linesIterator.map(_.trim).filter(_.startsWith("SortMergeJoin"))
-      .filterNot(l => l.contains("orderkey") || l.contains("document_id") ||
-        l.contains("doc_id") || extraAllowed(l))
+      .filterNot { l =>
+        smjJoinKeyNames(l).exists(keys =>
+          keys.exists(FactKeys) || extraAllowed(keys))
+      }
       .toSeq.distinct
+
+  /** Task-duration listener for the straggler pin: per-stage max/median
+    * over completed tasks. Spark's listener bus is async — callers sleep
+    * briefly after the job before reading (tool-grade flush). */
+  private final class TaskStats extends SparkListener {
+    private val durs =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+      synchronized { durs += ((e.stageId, e.taskInfo.duration)) }
+    def reset(): Unit = synchronized { durs.clear() }
+    /** (worst max/median ratio, its stageId, max task ms) over stages with
+      * ≥ `minTasks` tasks AND a max task ≥ 1 s (sub-second stages are
+      * scheduling noise, not stragglers); (1.0, -1, 0) when none qualify. */
+    def worstStageRatio(minTasks: Int = 8): (Double, Int, Long) =
+      synchronized {
+        val qualifying = durs.groupBy(_._1).iterator.flatMap {
+          case (stage, ts) if ts.size >= minTasks =>
+            val sorted = ts.map(_._2).sorted
+            val max = sorted.last
+            val med = sorted(sorted.size / 2).max(1L)
+            if (max >= 1000L) Some((max.toDouble / med, stage, max))
+            else None
+          case _ => None
+        }.toSeq
+        if (qualifying.isEmpty) (1.0, -1, 0L)
+        else qualifying.maxBy(_._1)
+      }
+  }
 
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val outDir = args.lift(2).getOrElse(
+    val givenOut = args.lift(2)
+    val skewPct = args.lift(3).map(_.toInt).getOrElse(0)
+    val outDir = givenOut.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_pipe_stress").toString)
     val spark = SparkSession.builder()
       .config("spark.sql.shuffle.partitions",
@@ -155,6 +303,29 @@ object PipelineScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val allFailures =
+      try {
+        if (skewPct > 0) runSkewSweep(spark, srcDir, outDir, factor, skewPct)
+        else runUniformSweep(spark, srcDir, outDir, factor)
+      } finally {
+        spark.stop()
+        // a blowup at ×25/×50 is multiple GB — never leave it behind when
+        // the tool owns the directory (caller-supplied dirs are theirs)
+        if (givenOut.isEmpty) {
+          import scala.sys.process._
+          Seq("rm", "-rf", outDir).!
+          println(s"[pipestress] cleaned generated blowup dir $outDir")
+        }
+      }
+    if (allFailures.nonEmpty) {
+      allFailures.foreach(f => System.err.println(s"[pipestress] FAIL $f"))
+      sys.exit(1)
+    }
+  }
+
+  /** The release sweep: all seven lifecycles at base + uniform blowup. */
+  private def runUniformSweep(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int): Seq[String] = {
     blowUpFacts(spark, srcDir, outDir, factor)
     val n = spark.read.parquet(s"$outDir/lineitem.parquet").count()
     val nBase = spark.read.parquet(s"$srcDir/lineitem.parquet").count()
@@ -165,9 +336,6 @@ object PipelineScaleStress {
     // JVM/codegen warm-up so the first timed base run isn't charged for it
     qs(Pipelines.head)(spark, srcDir).count()
     graft.PlanProbe.releaseCuts()
-
-    val invByName = InvariantCheck.pipelineInvariants
-      .map(i => i._1 -> i).toMap
 
     val failures = Pipelines.flatMap { name =>
       val (tBase, _, _, _) = timed(qs(name)(spark, srcDir))
@@ -180,29 +348,8 @@ object PipelineScaleStress {
       println(f"[pipestress] $name%-22s base=$tBase%7.2fs ×$factor=" +
         f"$tBig%7.2fs (bound ${bound}%.2f) rows=${rows.length} " +
         s"SMJ=$smj (off-key ${badSmj.size}) CART=$cart")
-      // identities: re-assert the release gate's own invariant expression
-      // over the timed run's rows (a local frame — no recompute)
-      val invFail: Seq[String] = invByName.get(name).toSeq.flatMap {
-        case (_, column, ok, desc) =>
-          val local = spark.createDataFrame(
-            new java.util.ArrayList[Row](
-              scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
-            schema)
-          val v = local.selectExpr(column).head().get(0)
-          if (ok(v)) { println(s"[pipestress] OK $name invariant: $desc"); Nil }
-          else Seq(s"$name: $column = $v VIOLATES '$desc' at ×$factor")
-      } ++ (name match {
-        // the three gates whose identities live in driver-side row checks
-        // rather than a self-verifying column — same sharing rule: the
-        // blowup asserts EXACTLY what the release gate asserts
-        case "q_market_pipeline" =>
-          InvariantCheck.marketPanelRowsCheck(rows, "[pipestress]").toSeq
-        case "q_screener_pipeline" =>
-          InvariantCheck.screenerRowsCheck(rows, "[pipestress]").toSeq
-        case "q_report_pipeline" =>
-          InvariantCheck.reportRowsCheck(rows, "[pipestress]").toSeq
-        case _ => Nil
-      })
+      val invFail = invariantFailures(spark, name, rows, schema,
+        s"at ×$factor")
       val planFail =
         if (badSmj.isEmpty && cart == 0) Nil
         else Seq(s"$name: AQE-final plan at ×$factor has CART=$cart, " +
@@ -215,27 +362,7 @@ object PipelineScaleStress {
       invFail ++ planFail ++ timeFail
     }
 
-    // the lineage cuts hide the labeledSearch arms from the final-frame
-    // audit above — audit both arms' executed plans directly at the blowup
-    val armFailures = Seq(
-      "labeledSearch(market)" ->
-        (() => graft.analytics.MarketPipeline.labeledSearch(spark, outDir)),
-      "labeledSearch(network)" ->
-        (() => graft.analytics.MarketPipeline.labeledSearch(spark, outDir,
-          graft.graph.NetworkPipeline.NetworkWatchlist))
-    ).flatMap { case (label, mk) =>
-      val (rows, plan) = graft.PlanCheck.executedFinalPlan(mk())
-      graft.PlanProbe.releaseCuts()
-      val smj = countNode(plan, "SortMergeJoin")
-      val badSmj = offendingSmjKeys(plan)
-      val cart = countNode(plan, "CartesianProduct")
-      println(s"[pipestress] $label rows=${rows.length} SMJ=$smj " +
-        s"(off-key ${badSmj.size}) CART=$cart")
-      if (badSmj.isEmpty && cart == 0 && rows.nonEmpty) Nil
-      else Seq(s"$label: rows=${rows.length} CART=$cart at ×$factor " +
-        s"(expected nonempty, no cartesian, no off-fact-key shuffle " +
-        s"joins):\n${badSmj.mkString("\n")}\n$plan")
-    }
+    val armFailures = auditSearchArms(spark, outDir, s"×$factor")
 
     // S8 shape A/B (recorded, not gated on time — ElectionCutProbe owns
     // the interleaved decision measurement): time BOTH pipelineFrame
@@ -261,13 +388,133 @@ object PipelineScaleStress {
         s"(${oneRows.length} vs ${twoRows.length} rows)")
     }
 
-    val allFailures = failures ++ armFailures ++ electionKnobFailures
-    spark.stop()
-    if (allFailures.nonEmpty) {
-      allFailures.foreach(f => System.err.println(s"[pipestress] FAIL $f"))
-      sys.exit(1)
+    val out = failures ++ armFailures ++ electionKnobFailures
+    if (out.isEmpty)
+      println(s"[pipestress] all ${Pipelines.size} composed-lifecycle " +
+        s"scale pins hold at ×$factor (n=$n chunks)")
+    out
+  }
+
+  /** The skew sweep: the four skew-sensitive lifecycles at uniform vs
+    * hot-key blowup, same n, same session (scaladoc above). */
+  private def runSkewSweep(spark: SparkSession, srcDir: String,
+      outDir: String, factor: Int, skewPct: Int): Seq[String] = {
+    val uniDir = s"$outDir/uniform"
+    val skewDir = s"$outDir/skew"
+    blowUpFacts(spark, srcDir, uniDir, factor)
+    blowUpFacts(spark, srcDir, skewDir, factor, skewPct)
+    val n = spark.read.parquet(s"$skewDir/lineitem.parquet").count()
+    val hot = spark.read.parquet(s"$skewDir/lineitem.parquet")
+      .filter(col("l_orderkey") === 1L).count()
+    val hotEnt = spark.read.parquet(s"$skewDir/lineitem.parquet")
+      .filter(col("l_suppkey") === 1L).count()
+    println(f"[pipestress] skew blowup ready: ×$factor skew=$skewPct%% → " +
+      f"$skewDir (n=$n, hot-doc rows=$hot = ${100.0 * hot / n}%.1f%%, " +
+      f"hot-entity rows=$hotEnt = ${100.0 * hotEnt / n}%.1f%%)")
+
+    val stats = new TaskStats
+    spark.sparkContext.addSparkListener(stats)
+    val qs = graft.SparkEntry.queries
+    qs(SkewPipelines.head)(spark, srcDir).count() // warm-up
+    graft.PlanProbe.releaseCuts()
+
+    val failures = SkewPipelines.flatMap { name =>
+      val (tUni, _, _, _) = timed(qs(name)(spark, uniDir))
+      stats.reset()
+      val (tSkew, rows, plan, schema) = timed(qs(name)(spark, skewDir))
+      Thread.sleep(500) // listener-bus flush (async events)
+      val (ratio, stage, maxMs) = stats.worstStageRatio()
+      val skewSplit = plan.contains("skew=true")
+      val badSmj =
+        offendingSmjKeys(plan, AllowedSmj.getOrElse(name, _ => false))
+      val cart = countNode(plan, "CartesianProduct")
+      val bound = tUni * SkewWallFactor
+      println(f"[pipestress] $name%-22s uni=$tUni%7.2fs skew=$tSkew%7.2fs " +
+        f"(bound $bound%.2f) rows=${rows.length} skewJoin=$skewSplit " +
+        f"straggler=$ratio%.1f× (stage $stage, max ${maxMs}ms) " +
+        s"off-key ${badSmj.size} CART=$cart")
+      val invFail = invariantFailures(spark, name, rows, schema,
+        s"at ×$factor skew=$skewPct%")
+      val planFail =
+        if (badSmj.isEmpty && cart == 0) Nil
+        else Seq(s"$name: skewed AQE-final plan has CART=$cart, " +
+          s"off-fact-key shuffle joins:\n${badSmj.mkString("\n")}\n$plan")
+      val mitigationFail =
+        if (skewSplit || ratio <= StragglerBound) Nil
+        else Seq(f"$name: no AQE skew split AND straggler ratio " +
+          f"$ratio%.1f× > $StragglerBound (stage $stage, max task " +
+          f"${maxMs}ms) — one reducer ate the hot key")
+      val timeFail =
+        if (rows.isEmpty) Seq(s"$name: empty result under skew")
+        else if (tSkew <= bound) Nil
+        else Seq(f"$name: skew wall $tSkew%.2fs exceeds " +
+          f"$SkewWallFactor× uniform ($tUni%.2fs) at the same n")
+      invFail ++ planFail ++ mitigationFail ++ timeFail
     }
-    println(s"[pipestress] all ${Pipelines.size} composed-lifecycle scale " +
-      s"pins hold at ×$factor (n=$n chunks)")
+
+    val armFailures =
+      auditSearchArms(spark, skewDir, s"×$factor skew=$skewPct%")
+
+    val out = failures ++ armFailures
+    if (out.isEmpty)
+      println(s"[pipestress] all ${SkewPipelines.size} skew-sensitive " +
+        s"lifecycles hold at ×$factor with $skewPct% hot-key skew " +
+        s"(n=$n chunks)")
+    out
+  }
+
+  /** Re-assert the release gate's own identities over a timed run's rows
+    * (a local frame — no recompute). ALL invariants registered for the
+    * pipeline run (a pipeline may pin several — `groupBy`, not a
+    * last-wins map). */
+  private def invariantFailures(spark: SparkSession, name: String,
+      rows: Array[Row], schema: org.apache.spark.sql.types.StructType,
+      ctx: String): Seq[String] = {
+    val byName = InvariantCheck.pipelineInvariants.groupBy(_._1)
+    val columnFails = byName.getOrElse(name, Nil).flatMap {
+      case (_, column, ok, desc) =>
+        val local = spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+          schema)
+        val v = local.selectExpr(column).head().get(0)
+        if (ok(v)) { println(s"[pipestress] OK $name invariant: $desc"); Nil }
+        else Seq(s"$name: $column = $v VIOLATES '$desc' $ctx")
+    }
+    columnFails ++ (name match {
+      // the three gates whose identities live in driver-side row checks
+      // rather than a self-verifying column — same sharing rule: the
+      // blowup asserts EXACTLY what the release gate asserts
+      case "q_market_pipeline" =>
+        InvariantCheck.marketPanelRowsCheck(rows, "[pipestress]").toSeq
+      case "q_screener_pipeline" =>
+        InvariantCheck.screenerRowsCheck(rows, "[pipestress]").toSeq
+      case "q_report_pipeline" =>
+        InvariantCheck.reportRowsCheck(rows, "[pipestress]").toSeq
+      case _ => Nil
+    })
+  }
+
+  /** The lineage cuts hide the labeledSearch arms from the final-frame
+    * audits — audit both arms' executed plans directly at the blowup. */
+  private def auditSearchArms(spark: SparkSession, dir: String,
+      ctx: String): Seq[String] = Seq(
+    "labeledSearch(market)" ->
+      (() => graft.analytics.MarketPipeline.labeledSearch(spark, dir)),
+    "labeledSearch(network)" ->
+      (() => graft.analytics.MarketPipeline.labeledSearch(spark, dir,
+        graft.graph.NetworkPipeline.NetworkWatchlist))
+  ).flatMap { case (label, mk) =>
+    val (rows, plan) = graft.PlanCheck.executedFinalPlan(mk())
+    graft.PlanProbe.releaseCuts()
+    val smj = countNode(plan, "SortMergeJoin")
+    val badSmj = offendingSmjKeys(plan)
+    val cart = countNode(plan, "CartesianProduct")
+    println(s"[pipestress] $label rows=${rows.length} SMJ=$smj " +
+      s"(off-key ${badSmj.size}) CART=$cart")
+    if (badSmj.isEmpty && cart == 0 && rows.nonEmpty) Nil
+    else Seq(s"$label: rows=${rows.length} CART=$cart $ctx " +
+      s"(expected nonempty, no cartesian, no off-fact-key shuffle " +
+      s"joins):\n${badSmj.mkString("\n")}\n$plan")
   }
 }

@@ -84,9 +84,14 @@ class ElectionPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // legal knob while the shapes agree row-for-row — pinned here at
     // fixture scale on top of the probe/stress runtime pins, so a drift
     // between the arms' projections fails in the suite first
-    val one = graft.analytics.ElectionPipeline
-      .pipelineFrame(spark, dir, oneScan = true).collect()
-      .map(_.toString).sorted
+    // the one-scan shape registers a PlanProbe cut (localCheckpoint) —
+    // release it even on assertion failure, or the checkpoint blocks leak
+    // into the suite's shared session for every remaining test
+    val one =
+      try graft.analytics.ElectionPipeline
+        .pipelineFrame(spark, dir, oneScan = true).collect()
+        .map(_.toString).sorted
+      finally graft.PlanProbe.releaseCuts()
     assert(one.sameElements(rows.map(_.toString).sorted),
       "one-scan and two-pass election shapes must return identical rows")
   }
