@@ -44,8 +44,11 @@ import graft.model.Tables
   *
   * Scale shape: exactly TWO corpus passes — one (entity, topic, label)
   * hash aggregate for the edge arm (the topics explode fans out ≤ 2 per
-  * row, the non-COMP topic arity) and one (entity, day) aggregate for the
-  * panel arm. Every downstream stage re-reads one of those two
+  * row, the non-COMP topic arity; the arm reads the ORDERS-FREE sentence
+  * projection [[Tables.sentenceTopicRows]], so it is map-only up to its
+  * dedup exchange — see the stage-2 note in [[pipelineFrame]]) and one
+  * (entity, day) aggregate for the panel arm. Every downstream stage
+  * re-reads one of those two
   * dimension-bounded frames (≤ |entities|·|topics|·|labels| and
   * ≤ |entities|·|days| rows at any corpus size), and each frame's shuffle
   * exchange is deduplicated across its readers by ReusedExchange within
@@ -90,24 +93,47 @@ object ElectionPipeline {
     * any operating point. */
   private[graft] def pipelineFrame(s: SparkSession, d: String,
       oneScan: Boolean): DataFrame = {
-      // stage 1: labeled full-relation scan, monitored labels only
-      val keptRaw = Labeler.withStubLabels(Tables.chunkRowsFull(s, d))
-        .filter(col("label").isin(MonitoredLabels: _*))
-      val kept =
-        if (!oneScan) keptRaw
-        else graft.PlanProbe.cut(keptRaw.select(col("entity_name"),
-          col("sentence_id"), col("label"), col("timestamp_utc"),
-          col("topics"), col("topics_type")))
-      // stage 2: COMP-filtered, blacklist-filtered topics explode
-      val exploded = kept
-        .select(col("entity_name"), col("sentence_id"), col("label"),
-          explode(filter(
-            zip_with(col("topics_type"), col("topics"),
-              (tt, t) => struct(tt.as("tt"), t.as("topic"))),
-            x => x.getField("tt") =!= "COMP")).as("t"))
-        .select(col("entity_name"), col("sentence_id"), col("label"),
-          col("t.topic").as("topic"))
-        .filter(!col("topic").isin(TopicBlacklist: _*))
+      // stage 1 (one-scan shape only): labeled full-relation scan,
+      // monitored labels only, cut to the projected kept slice. The
+      // two-pass shape never touches this frame — its topics arm builds
+      // from the orders-free projection below, and its daily arm reads the
+      // plain chunk relation.
+      lazy val kept = graft.PlanProbe.cut(
+        Labeler.withStubLabels(Tables.chunkRowsFull(s, d))
+          .filter(col("label").isin(MonitoredLabels: _*))
+          .select(col("entity_name"), col("sentence_id"), col("label"),
+            col("timestamp_utc"), col("topics"), col("topics_type")))
+      // stage 2: COMP-filtered, blacklist-filtered topics explode. The
+      // two-pass arm derives it from [[Tables.sentenceTopicRows]] — the
+      // orders join is ELIMINATED (its scaladoc: every column this arm
+      // reads is header-free; COMP, the one orders-derived topic, is
+      // exactly what this stage filters OUT in both shapes, and SECT/REGI
+      // are broadcast-dim columns). That makes the arm MAP-ONLY up to the
+      // dedup exchange, so a hot document's rows spread across scan splits
+      // instead of serializing in one hash(orderkey) join partition — the
+      // ×25 hot-key probe measured the joined shape at a 14.8 s single
+      // task (29% of wall, 4.6× the uniform control) that AQE cannot
+      // split (multi-consumer reused fact exchange). Values are identical
+      // either way: the one-scan row-equality pin (spec + probe + stress)
+      // and the unchanged DuckDB oracle both gate it.
+      val exploded =
+        if (oneScan)
+          kept
+            .select(col("entity_name"), col("sentence_id"), col("label"),
+              explode(filter(
+                zip_with(col("topics_type"), col("topics"),
+                  (tt, t) => struct(tt.as("tt"), t.as("topic"))),
+                x => x.getField("tt") =!= "COMP")).as("t"))
+            .select(col("entity_name"), col("sentence_id"), col("label"),
+              col("t.topic").as("topic"))
+            .filter(!col("topic").isin(TopicBlacklist: _*))
+        else
+          Labeler.withStubLabels(Tables.sentenceTopicRows(s, d))
+            .filter(col("label").isin(MonitoredLabels: _*))
+            .select(col("entity_name"), col("sentence_id"), col("label"),
+              explode(array(col("entity_sector"), col("entity_industry")))
+                .as("topic"))
+            .filter(!col("topic").isin(TopicBlacklist: _*))
       // stage 4: ONE corpus pass at (entity, topic, label) grain — weight
       // and majority label both derive from it, and the shared aggregate's
       // shuffle exchange is deduplicated across the two derivations (and

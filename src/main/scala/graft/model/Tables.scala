@@ -273,6 +273,46 @@ object Tables {
       .withColumn("topics_type", array(lit("SECT"), lit("REGI"), lit("COMP")))
   }
 
+  /** Orders-free sentence projection: (sentence_id, entity_name,
+    * entity_sector, entity_industry, text). Semantically equal to selecting
+    * these columns from [[chunkRows]]: every orders-derived column is
+    * pruned, and the lineitem⋈orders INNER join preserves rows exactly
+    * (referential integrity holds by construction of the corpus — every
+    * chunk belongs to a document header). Spark carries no FK metadata, so
+    * the join elimination an RI-aware optimizer would perform is encoded
+    * here for consumers that read none of the header columns.
+    *
+    * The payoff is structural, not one shuffle less: this projection is
+    * MAP-ONLY (lineitem scan + broadcast dims), so per-row work — however
+    * hot one document is — rides byte-split scan parallelism instead of a
+    * hash(orderkey) shuffle partition. The round-17 skew probe measured the
+    * joined shape serializing a 25%-hot document into one ~15 s task at
+    * ×25, and AQE's OptimizeSkewedJoin cannot split it there: the fact
+    * exchanges are multi-consumer (ReusedExchange) and the rule only
+    * applies to a fragment containing exactly the join's two shuffle
+    * stages. */
+  def sentenceTopicRows(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val sup = supplier(s, d)
+    val n = nation(s, d)
+    val r = region(s, d)
+    val doc = documents(s, d)
+    l.join(sup.select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .join(doc.select(col("doc_id"), col("text")),
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(docCount(s, d)))
+          === col("doc_id"))
+      .select(
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("sentence_id"),
+        col("s_name").as("entity_name"),
+        col("n_name").as("entity_sector"),
+        col("r_name").as("entity_industry"),
+        col("text"))
+  }
+
   /** Corpus size for the deterministic text-assignment key; an eager tiny
     * aggregate (single-column scan of a dimension table), memoized per sfDir
     * so repeated query construction doesn't re-run the job. */
