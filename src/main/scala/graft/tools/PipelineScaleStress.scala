@@ -65,9 +65,10 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   * hot key WITHOUT a quadratic join blowup, which is precisely the 100 TB
   * failure shape (one viral document / one mega-entity holding a double-
   * digit corpus fraction). The skew sweep re-pins, per skew-sensitive
-  * lifecycle (market, election, board, network — the doc-grain flag join,
-  * the (mode, document) winners, the un-hinted (entity, day) merge, and
-  * both labeledSearch arms):
+  * lifecycle (market, election, board, network, report — the doc-grain
+  * flag join, the (mode, document) winners, the un-hinted (entity, day)
+  * merge, both labeledSearch arms, and report's entity-keyed
+  * countDistinct aggregates):
   *
   *  - identities green (same shared invariant list as the release gate);
   *  - plan shape clean (CART=0, no off-fact-key SMJ — same parser);
@@ -92,7 +93,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   *   [srcDir] [factor] [outDir] [skewPct]
   * }}}
   * `skewPct = 0` (default) runs the uniform sweep over all seven
-  * lifecycles; `skewPct > 0` runs the skew sweep over the four
+  * lifecycles; `skewPct > 0` runs the skew sweep over the five
   * skew-sensitive ones.
   */
 object PipelineScaleStress {
@@ -105,9 +106,14 @@ object PipelineScaleStress {
     "q_board_pipeline", "q_network_pipeline")
 
   /** The lifecycles whose shuffles key on the skewed columns (document_id
-    * via orderkey; entity_name via suppkey). */
+    * via orderkey; entity_name via suppkey). Report joined the list in
+    * round 17: its three corpus-frame aggregates are
+    * countDistinct(document_id) grouped by ENTITY-keyed group keys — the
+    * same exchange shape (group keys alone partition the distinct stream)
+    * that serialized election's hot entity before its dedup-then-count
+    * spread, so it must be measured, not presumed absorbed. */
   private val SkewPipelines = Seq("q_market_pipeline", "q_election_pipeline",
-    "q_board_pipeline", "q_network_pipeline")
+    "q_board_pipeline", "q_network_pipeline", "q_report_pipeline")
 
   /** Optional sweep subset (comma-separated pipeline names) — lets a very
     * expensive operating point (×100) target just the steepest scalers
@@ -469,8 +475,8 @@ object PipelineScaleStress {
     out
   }
 
-  /** The skew sweep: the four skew-sensitive lifecycles at uniform vs
-    * hot-key blowup, same n, same session (scaladoc above). */
+  /** The skew sweep: the skew-sensitive lifecycles ([[SkewPipelines]]) at
+    * uniform vs hot-key blowup, same n, same session (scaladoc above). */
   private def runSkewSweep(spark: SparkSession, srcDir: String,
       outDir: String, factor: Int, skewPct: Int): Seq[String] = {
     // Scale AQE's skew-split trigger to the PROBE's data size: the hot

@@ -91,4 +91,27 @@ class TableContractSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"  got      $got\n  expected $cols")
     }
   }
+
+  // sentenceTopicRows encodes a join elimination (drop lineitem⋈orders for
+  // header-free consumers) whose correctness rests on referential integrity
+  // of the generated corpus: every lineitem row must have a matching order
+  // header. The election gate pins it transitively (one-scan ≡ two-pass);
+  // this pins the projection identity DIRECTLY, so an RI break in a future
+  // testdata vintage (orphan lineitems) names its root cause in-suite.
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test("sentenceTopicRows equals the chunkRows projection at " +
+        dir.split('/').last) {
+      val pcols = Seq("sentence_id", "entity_name", "entity_sector",
+        "entity_industry", "text")
+      def canon(df: DataFrame): Array[String] =
+        df.select(pcols.map(org.apache.spark.sql.functions.col): _*)
+          .collect().map(_.toString).sorted
+      val viaJoin = canon(Tables.chunkRows(spark, dir))
+      val ordersFree = canon(Tables.sentenceTopicRows(spark, dir))
+      assert(ordersFree.sameElements(viaJoin),
+        "the orders-free sentence projection diverged from the joined " +
+          s"relation at $dir — referential integrity no longer licenses " +
+          "the join elimination")
+    }
+  }
 }
