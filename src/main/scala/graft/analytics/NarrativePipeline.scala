@@ -62,12 +62,16 @@ import graft.label.Labeler
   *
   * Scale shape: ONE corpus scan feeds ONE (source × week × label) hash
   * aggregate (map-side partial, ≤ |sources|·|weeks|·|labels| rows at any
-  * corpus size); every later stage operates on that dimension-bounded
-  * frame through Spark's ReusedExchange (the pivot's shuffle is identical
-  * on every downstream path, so it executes once per action), and
-  * windows, scaffolds, peak sets, and the lag cross join are all
-  * driver-negligible with broadcast merges. Nothing shuffles the corpus
-  * but the one groupBy.
+  * corpus size); the pivot is LINEAGE-CUT (round 17) so every later stage
+  * reads the materialized ~1k-row frame — the r15 assumption that
+  * ReusedExchange would dedup the pivot across its consumers was refuted
+  * by an executed-plan dump at ×10 (seven distinct lineitem⋈orders
+  * SortMergeJoins in one action; only scan-side exchanges reuse), and the
+  * cut measured 2.5× faster there (`tools/NarrativeCutProbe`, BASELINE.md
+  * round 17). Windows, scaffolds, peak sets, and the lag cross join are
+  * all driver-negligible with broadcast merges. Nothing shuffles the
+  * corpus but the one groupBy — now enforced by the cut rather than
+  * assumed of the optimizer.
   *
   * Release invariant (InvariantCheck + the oracle's TRUE pin): per-source
   * z-scores sum to ~0 over the source's own dense range (|Σz| < 1e-3
@@ -121,17 +125,24 @@ object NarrativePipeline {
     round(taps.map(_._1).reduce(_ + _) / taps.map(_._2).reduce(_ + _), 6)
   }
 
-  private val qNarrativePipeline = Q(
-    "q_narrative_pipeline",
-    (s, d) => {
-      // stage 1+2: one scan → the per-label weekly pivot. NO lineage cut,
-      // deliberately: every downstream stage re-reads this frame, but the
-      // pivot's shuffle EXCHANGE is identical on every path, so Spark's
-      // ReusedExchange dedups it within the one action — measured at
-      // sf0.1, a localCheckpoint cut here is a wash at best (4.9-5.0 s
-      // either way) and adds a materialization job; the same measurement
-      // kept the cut in q_network_pipeline where reuse does NOT engage.
-      val base = labelPivot(s, d)
+  /** The gated pipeline frame. `cut = true` lineage-cuts the (source,
+    * week, label) pivot — a DIMENSION-BOUNDED frame (≤ |sources|·|weeks|·
+    * |labels| ≈ 1k rows at any corpus size), so unlike election's rejected
+    * corpus-fraction cut this materialization cannot grow with the corpus.
+    * The r15 note ("ReusedExchange dedups the pivot, a cut is a wash at
+    * sf0.1") was HALF wrong: a round-17 executed-plan dump at the ×10
+    * blowup shows reuse does NOT engage across the pivot's seven
+    * consumers — SEVEN distinct lineitem⋈orders SortMergeJoins execute in
+    * one action (only the scan-side exchanges dedup). The wash at sf0.1 is
+    * real (fixed costs dominate there); at blowup scale the 7× fact join
+    * dominates and the cut wins — measured crossover in BASELINE.md round
+    * 17, which sets the registered default below. */
+  private[graft] def pipelineFrame(s: SparkSession, d: String,
+      cut: Boolean): DataFrame = {
+      // stage 1+2: one scan → the per-label weekly pivot (knob above).
+      val base =
+        if (cut) graft.PlanProbe.cut(labelPivot(s, d))
+        else labelPivot(s, d)
       // per-source weekly counts = the pivot summed over labels
       val weekly = base.groupBy(col("source_type"), col("wk"))
         .agg(sum(col("lcnt")).as("cnt"))
@@ -213,7 +224,11 @@ object NarrativePipeline {
           col("total_mentions"), col("z_sum_ok"),
           col("avg_news_filing_lag_days"))
         .orderBy(col("week"), col("source_type"))
-    },
+  }
+
+  private val qNarrativePipeline = Q(
+    "q_narrative_pipeline",
+    (s, d) => pipelineFrame(s, d, cut = true),
     Some {
       // every Scala-side name reaches the SQL through sqlLit — the display
       // names contain spaces today and could contain quotes tomorrow; one
