@@ -16,7 +16,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = flagship(spark, "/root/testdata/sf0.001")
 
   def flagship(spark: SparkSession, dir: String): DataFrame = {
-    val monthly = Labeler.labeledChunks(spark, dir)
+    // reads timestamp (orders), entity_name (supplier) and label (text) —
+    // the customer dim is eliminated by RI (Tables.chunkRowsPruned)
+    val monthly = Labeler.withStubLabels(Tables.chunkRowsPruned(spark, dir,
+      withOrders = true, withSupplier = true, withText = true))
       .filter(col("label").isin("P", "A"))
       .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
         col("entity_name"))

@@ -23,7 +23,7 @@ object AsOf {
   private val qAsofJoin = Q(
     "q_asof_join",
     (s, d) => {
-      val c = Tables.chunkRows(s, d)
+      val c = Tables.chunkRowsPruned(s, d, withOrders = true)
       val probes = c.select(
         col("other_entity_id").as("cust"),
         col("l_shipdate").as("ts"),
@@ -79,7 +79,7 @@ object AsOf {
   private val qAsofPlan = Q(
     "q_asof_plan",
     (s, d) => {
-      val probes = Tables.chunkRows(s, d).select(
+      val probes = Tables.chunkRowsPruned(s, d, withOrders = true).select(
         col("other_entity_id").as("cust"),
         col("l_shipdate").as("ts"),
         col("sentence_id"), col("entity_id"), col("part_entity_id"))

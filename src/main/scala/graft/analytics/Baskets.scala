@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,9 +18,6 @@ import graft.model.Tables
   */
 object Baskets {
 
-  private def labeled(s: SparkSession, d: String): DataFrame =
-    Labeler.labeledChunks(s, d)
-
   /** J1+J2+J3+A7+A8+T3: the basket table
     * (`AI_Cost_Cutting_Market_Analysis/src/tool.py:296-363`): positive ⟕
     * negative exposure counts per company, sector info attached from the
@@ -29,22 +26,30 @@ object Baskets {
   private val qBasket = Q(
     "q_basket",
     (s, d) => {
-      val lc = labeled(s, d)
-      val pos = lc.filter(col("label") === "P")
+      // r17: ONE corpus pass instead of three (pos / neg / sectorInfo each
+      // re-scanned the star join; no exchange reuse — the pre-aggregation
+      // filters differ). All three sides are per-entity aggregates over the
+      // P∪N slice, so they fuse into one conditional aggregate:
+      //  - the pos-side INNER membership becomes filter(positive_exp > 0);
+      //  - negative_exp's left-join-then-fill-0 is countOf(label, 'N');
+      //  - sectorInfo's distinct+join collapses to max(entity_sector):
+      //    entity_name determines entity_sector (supplier names are unique
+      //    per corpus construction — pinned in TableContractSpec), so the
+      //    reference's indicator join attaches exactly this one value.
+      // The relation is pruned to the orders/supplier/documents dims the
+      // query reads (customer eliminated by RI). Values pinned unchanged
+      // by the same oracle.
+      val lc = Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
+        withOrders = true, withSupplier = true, withText = true))
+      lc.filter(col("label").isin("P", "N"))
         .groupBy(col("entity_name"))
-        .agg(count(lit(1)).as("positive_exp"),
-          max(col("headline")).as("exemplar_headline"))
-      val neg = lc.filter(col("label") === "N")
-        .groupBy(col("entity_name"))
-        .agg(count(lit(1)).as("negative_exp"))
-      val sectorInfo = lc.filter(col("label") === "P")
-        .select(col("entity_name"), col("entity_sector"))
-        .unionByName(lc.filter(col("label") === "N")
-          .select(col("entity_name"), col("entity_sector")))
-        .distinct()
-      pos.join(neg, Seq("entity_name"), "left")
-        .na.fill(0, Seq("negative_exp"))
-        .join(sectorInfo, Seq("entity_name"))
+        .agg(
+          Labeler.countOf(col("label"), "P").as("positive_exp"),
+          Labeler.countOf(col("label"), "N").as("negative_exp"),
+          max(when(col("label") === "P", col("headline")))
+            .as("exemplar_headline"),
+          max(col("entity_sector")).as("entity_sector"))
+        .filter(col("positive_exp") > 0)
         .withColumn("total_exposure", col("positive_exp") + col("negative_exp"))
         .withColumn("positive_pct",
           round(lit(100.0) * col("positive_exp") / col("total_exposure"), 4))
@@ -97,17 +102,22 @@ object Baskets {
   private val qOuterMerge = Q(
     "q_outer_merge_indicator",
     (s, d) => {
-      val lc = labeled(s, d)
-      val prov = lc.filter(col("label") === "P").groupBy(col("entity_name"))
-        .agg(count(lit(1)).as("provider_cnt"))
-      val adop = lc.filter(col("label") === "A").groupBy(col("entity_name"))
-        .agg(count(lit(1)).as("adopter_cnt"))
-      prov.join(adop, Seq("entity_name"), "outer")
+      // r17: ONE corpus pass instead of two — the outer join of the two
+      // per-label count frames is a conditional aggregate over the P∪A
+      // slice: outer-join membership ≡ "has ≥1 P or A row", the NULL side
+      // of the indicator ≡ "that label's count is 0". Values unchanged
+      // under the same oracle; relation pruned to supplier + documents
+      // (RI join elimination).
+      val lc = Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
+        withSupplier = true, withText = true))
+      lc.filter(col("label").isin("P", "A"))
+        .groupBy(col("entity_name"))
+        .agg(Labeler.countOf(col("label"), "P").as("provider_cnt"),
+          Labeler.countOf(col("label"), "A").as("adopter_cnt"))
         .withColumn("merge_ind",
-          when(col("provider_cnt").isNull, lit("right_only"))
-            .when(col("adopter_cnt").isNull, lit("left_only"))
+          when(col("provider_cnt") === 0, lit("right_only"))
+            .when(col("adopter_cnt") === 0, lit("left_only"))
             .otherwise(lit("both")))
-        .na.fill(0, Seq("provider_cnt", "adopter_cnt"))
         .orderBy(col("entity_name"))
     },
     Some(
@@ -131,18 +141,19 @@ object Baskets {
   private val qCoalesce = Q(
     "q_response_coalesce",
     (s, d) => {
-      val lc = labeled(s, d)
-      val base = lc.select(col("entity_name")).distinct()
-      val filings = lc
-        .filter(col("document_type") === "filings" && col("label") =!= "U")
-        .groupBy(col("entity_name"))
-        .agg(max(col("motivation")).as("filings_response"))
-      val news = lc
-        .filter(col("document_type") === "news" && col("label") =!= "U")
-        .groupBy(col("entity_name"))
-        .agg(max(col("motivation")).as("news_response"))
-      base.join(filings, Seq("entity_name"), "left")
-        .join(news, Seq("entity_name"), "left")
+      // r17: ONE corpus pass instead of three — base (all entities) is the
+      // aggregate's group set, and each source's response is a conditional
+      // max (max ignores the when()'s nulls, reproducing the left joins'
+      // NULL-when-absent). Values unchanged under the same oracle; customer
+      // dim eliminated by RI.
+      val lc = Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
+        withOrders = true, withSupplier = true, withText = true))
+      def resp(dt: String): Column = max(when(
+        col("document_type") === dt && col("label") =!= "U",
+        col("motivation")))
+      lc.groupBy(col("entity_name"))
+        .agg(resp("filings").as("filings_response"),
+          resp("news").as("news_response"))
         .withColumn("response",
           coalesce(col("filings_response"), col("news_response"),
             lit("no response")))
@@ -175,16 +186,19 @@ object Baskets {
   private val qMultiwayOuter = Q(
     "q_multiway_outer",
     (s, d) => {
-      val lc = labeled(s, d)
-      def panel(lbl: String, cname: String): DataFrame = lc
-        .filter(col("label") === lbl)
+      // r17: ONE corpus pass instead of three — the multi-way outer join of
+      // per-label panels is a conditional aggregate over the P∪A∪N slice:
+      // outer membership ≡ "has ≥1 row of some panel label", absent sides'
+      // NULL-then-fill-0 ≡ a conditional count of 0. Values unchanged under
+      // the same oracle; customer dim eliminated by RI.
+      val lc = Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
+        withOrders = true, withSupplier = true, withText = true))
+      lc.filter(col("label").isin("P", "A", "N"))
         .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
           col("entity_sector"))
-        .agg(count(lit(1)).as(cname))
-      val merged = Seq(panel("P", "p_cnt"), panel("A", "a_cnt"),
-        panel("N", "n_cnt"))
-        .reduce((a, b) => a.join(b, Seq("month", "entity_sector"), "outer"))
-      merged.na.fill(0, Seq("p_cnt", "a_cnt", "n_cnt"))
+        .agg(Labeler.countOf(col("label"), "P").as("p_cnt"),
+          Labeler.countOf(col("label"), "A").as("a_cnt"),
+          Labeler.countOf(col("label"), "N").as("n_cnt"))
         .orderBy(col("month"), col("entity_sector"))
     },
     Some(
@@ -210,7 +224,7 @@ object Baskets {
     * score = docs / mean(docs) across companies. */
   private val qMeanNorm = Q(
     "q_mean_normalized",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withSupplier = true)
       .groupBy(col("entity_name"))
       .agg(countDistinct(col("document_id")).as("n_docs"))
       .withColumn("score",
@@ -232,7 +246,8 @@ object Baskets {
     * (`mind_map_tools.py:499-556`, `report_generator.py:112-134`). */
   private val qGroupedCollect = Q(
     "q_grouped_collect",
-    (s, d) => labeled(s, d)
+    (s, d) => Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
+      withOrders = true, withSupplier = true, withText = true))
       .groupBy(col("entity_sector"), col("label"))
       .agg(
         countDistinct(col("sentence_id")).as("n_sentences"),
@@ -255,7 +270,8 @@ object Baskets {
     * tiebreak (`visualization_tools.py:608-612`). */
   private val qMajority = Q(
     "q_majority_label",
-    (s, d) => labeled(s, d)
+    (s, d) => Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
+      withSupplier = true, withText = true))
       .groupBy(col("entity_name"), col("label"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("entity_name"))
@@ -278,10 +294,12 @@ object Baskets {
   private val qUnionDedup = Q(
     "q_union_dedup",
     (s, d) => {
-      val c = Tables.chunkRows(s, d)
-      val a = c.filter(col("text").contains("fast"))
-      val b = c.filter(col("text").contains("join"))
-      a.unionByName(b)
+      // r17: ONE scan — DISTINCT of the two searches' union ≡ DISTINCT of
+      // the OR-filtered scan (the union's only duplicates are rows matching
+      // both keywords, which the distinct collapses either way). The
+      // relation is lineitem⋈documents only (RI join elimination).
+      Tables.chunkRowsPruned(s, d, withText = true)
+        .filter(col("text").contains("fast") || col("text").contains("join"))
         .select(col("document_id"), col("sentence_id"), col("entity_id"))
         .distinct()
         .orderBy(col("document_id"), col("sentence_id"), col("entity_id"))
@@ -302,9 +320,14 @@ object Baskets {
   private val qAnti = Q(
     "q_anti_membership",
     (s, d) => {
-      val m = Tables.chunkRows(s, d)
+      // r17: all three frames (max month, last-month presence, overall
+      // presence) derive from the (month, entity) distinct grain; the
+      // relation is pruned to orders + supplier (RI join elimination).
+      val m = Tables.chunkRowsPruned(s, d, withOrders = true,
+        withSupplier = true)
         .select(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
           col("entity_name"))
+        .distinct()
       val maxM = m.agg(max(col("month")).as("month"))
       val present = m.join(broadcast(maxM), Seq("month"))
         .select(col("entity_name")).distinct()
@@ -326,13 +349,19 @@ object Baskets {
   private val qSemi = Q(
     "q_semi_membership",
     (s, d) => {
-      val c = Tables.chunkRows(s, d)
-      val top5 = c.groupBy(col("entity_name")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("entity_name")).limit(5)
-        .select(col("entity_name"))
-      c.join(broadcast(top5), Seq("entity_name"), "left_semi")
+      // r17: both the top-5 ranking and the recount derive from the
+      // (entity, document_type) count grain (the ranking is its per-entity
+      // sum, the recount a semi-filter of it); the relation is pruned to
+      // orders + supplier (RI join elimination).
+      val g = Tables.chunkRowsPruned(s, d,
+        withOrders = true, withSupplier = true)
         .groupBy(col("entity_name"), col("document_type"))
         .agg(count(lit(1)).as("cnt"))
+      val top5 = g.groupBy(col("entity_name"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("entity_name")).limit(5)
+        .select(col("entity_name"))
+      g.join(broadcast(top5), Seq("entity_name"), "left_semi")
         .orderBy(col("entity_name"), col("document_type"))
     },
     Some(
@@ -357,7 +386,8 @@ object Baskets {
   private val qDedupSplitFfill = Q(
     "q_dedup_split_ffill",
     (s, d) => {
-      val c = Tables.chunkRows(s, d)
+      val c = Tables.chunkRowsPruned(s, d, withOrders = true,
+        withText = true)
         .withColumn("set_id", md5(col("text")))
       // (sentence_id, entity_id, part_entity_id) is the minimal unique key of
       // the chunk table (the synthetic lineitem duplicates (orderkey,
@@ -406,15 +436,18 @@ object Baskets {
   private val qExposurePanel = Q(
     "q_exposure_panel",
     (s, d) => {
-      val lc = labeled(s, d)
-      val months = lc
-        .agg(date_trunc("month", min(col("timestamp_utc"))).as("mn"),
-          date_trunc("month", max(col("timestamp_utc"))).as("mx"))
-        .select(explode(sequence(col("mn"), col("mx"),
-          expr("INTERVAL 1 MONTH"))).as("m"))
-        .select(date_format(col("m"), "yyyy-MM").as("month"))
-      val companies = lc.select(col("entity_name"), col("entity_sector"))
-        .distinct()
+      // r17 (same values, same oracle): the month axis and the company dim
+      // both derive from the counts aggregate (every labeled row lands in
+      // a counts cell, and entity_name determines entity_sector — supplier
+      // names unique, TableContractSpec), so the scaffold sides are
+      // post-aggregation frames. Relation pruned to orders/supplier/
+      // documents (customer eliminated by RI).
+      val lc = Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
+        withOrders = true, withSupplier = true, withText = true))
+      // NOTE: the three consumers prune different columns, so each
+      // re-executes the pruned corpus aggregate (ReusedExchange does not
+      // fire; an explicit cut measured worse at gate scale — see the
+      // q_scaffold_month_entity note).
       val counts = lc
         .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
           col("entity_name"))
@@ -422,9 +455,20 @@ object Baskets {
           Labeler.countOf(col("label"), "P").as("positive_exp"),
           max(when(col("label") === "P", col("headline"))).as("headline_pos"),
           Labeler.countOf(col("label"), "N").as("negative_exp"),
-          max(when(col("label") === "N", col("headline"))).as("headline_neg"))
+          max(when(col("label") === "N", col("headline"))).as("headline_neg"),
+          max(col("entity_sector")).as("entity_sector"))
+      val months = counts
+        .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+        .select(explode(sequence(
+          to_timestamp(col("mn"), "yyyy-MM"),
+          to_timestamp(col("mx"), "yyyy-MM"),
+          expr("INTERVAL 1 MONTH"))).as("m"))
+        .select(date_format(col("m"), "yyyy-MM").as("month"))
+      val companies = counts.groupBy(col("entity_name"))
+        .agg(max(col("entity_sector")).as("entity_sector"))
       months.crossJoin(companies)
-        .join(counts, Seq("month", "entity_name"), "left")
+        .join(counts.drop("entity_sector"), Seq("month", "entity_name"),
+          "left")
         .na.fill(0L, Seq("positive_exp", "negative_exp"))
         .na.fill("", Seq("headline_pos", "headline_neg"))
         .withColumn("total_exposure", col("positive_exp") + col("negative_exp"))
@@ -472,9 +516,12 @@ object Baskets {
   private val qDocDedupFirst = Q(
     "q_doc_dedup_first",
     (s, d) => {
-      val c = Tables.chunkRows(s, d)
-      val stream = c.filter(col("document_type") === "news")
-        .unionByName(c.filter(col("document_type") === "filings"))
+      // r17: ONE scan — the unioned per-type streams are disjoint slices
+      // (a document has exactly one type), so the union ≡ one isin filter;
+      // the min_by winner and count are order-free aggregates either way.
+      // Relation pruned to orders (RI join elimination).
+      val stream = Tables.chunkRowsPruned(s, d, withOrders = true)
+        .filter(col("document_type").isin("news", "filings"))
       stream.groupBy(col("document_id"))
         .agg(
           min_by(col("sentence_id"),
@@ -509,7 +556,7 @@ object Baskets {
     * a row count. */
   private val qApproxDistinct = Q(
     "q_approx_distinct",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withSupplier = true)
       .groupBy(col("entity_sector"))
       .agg(approx_count_distinct(col("document_id"), 0.02).as("approx_docs"),
         countDistinct(col("document_id")).as("exact_docs"),

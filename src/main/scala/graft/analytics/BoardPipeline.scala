@@ -63,47 +63,52 @@ object BoardPipeline {
     "q_board_pipeline",
     (s, d) => {
       import s.implicits._
-      val c = Tables.chunkRows(s, d)
-      // stages 1+2 fused at DOCUMENT grain (round 16, PipelineScaleStress
-      // finding: board was the worst blowup scaler at 9.6× wall per 50×
-      // data because the previous shape joined the doc-grain
-      // 'has-secondary' flag onto the FULL chunk-grain stream — every
-      // customer-filtered chunk row, text column included, crossed that
-      // join's shuffle before the mode explode and the dedup. The
-      // first-wins winner per (mode, document) is a pure function of
-      // doc-grain aggregates, so aggregate FIRST: per document, the
-      // relaxed winner = min ordering-struct over all its customer rows,
-      // the strict winner = min over its customer∧part rows (min ignores
-      // the when()'s nulls), both computed with map-side partial
-      // aggregation on the one primary-filtered pass — no text ever
-      // crosses a shuffle, and the flag join moves to doc grain. Measured
-      // at ×25: 22.4-31.8 s → 12.4-15.1 s (×50: 40.1 → 25.8 s; base
-      // unchanged at its 3.4 steady); values bit-identical (same gate,
-      // same oracle, BoardPipelineSpec's containment/dedup laws
-      // unchanged).
+      // Stages 1+2 fused at DOCUMENT grain (round 16, PipelineScaleStress
+      // finding: the pre-r16 shape joined the doc-grain 'has-secondary'
+      // flag onto the full chunk-grain stream and measured 9.6× wall per
+      // 50× data; the doc-grain aggregate form halved the ×25/×50 points).
+      // r17 rewrite of stages 1+2 — same values (same gate, same oracle):
+      // ONE corpus pass instead of two. The doc-grain 'has-secondary' flag
+      // (the relaxed_post post-filter) rides the SAME aggregate as the
+      // winners — max(contains(text,'part')) over all of a document's rows
+      // — instead of a second scan + distinct + doc-grain join, and the
+      // winners become conditional mins (min ignores the when()'s nulls).
+      // Documents with no customer row (r null) are exactly the docs the
+      // old customer-filtered shape never aggregated; the filter drops
+      // them.
+      // The relation is pruned to orders + documents: the winners need only
+      // timestamp (orders), text (documents) and lineitem-derived keys, so
+      // the supplier/customer dims are eliminated by RI
+      // ([[Tables.chunkRowsPruned]]). The ordering-struct min itself is
+      // KEPT as-is: the tiebreak genuinely reaches the entity_id /
+      // part_entity_id STRING fields ((orderkey, linenumber) repeats in
+      // this corpus), so a fixed-width argmin encoding would have to
+      // reproduce decimal-string lexicographic order — not worth the
+      // contract surface while the aggregate's input is one scan.
+      val c = Tables.chunkRowsPruned(s, d, withOrders = true, withText = true)
       val ord = struct(col("timestamp_utc"), col("sentence_id"),
         col("entity_id"), col("part_entity_id"))
-      val perDoc = c.filter(col("text").contains("customer"))
+      val isCust = col("text").contains("customer")
+      val isPart = col("text").contains("part")
+      val perDoc = c
         .groupBy(col("document_id"))
-        .agg(min(ord).as("r"),
-          min(when(col("text").contains("part"), ord)).as("st"))
-      // doc-grain 'secondary anywhere in the document' flag (tool.py's
-      // relaxed_post post-filter) — the one remaining second pass
-      val docPart = c.filter(col("text").contains("part"))
-        .select(col("document_id")).distinct()
-        .withColumn("doc_has_part", lit(true))
+        .agg(
+          min(when(isCust, ord)).as("r"),
+          min(when(isCust && isPart, ord)).as("st"),
+          max(isPart).as("doc_has_part"))
+        .filter(col("r").isNotNull)
       // mode membership at doc grain: a document contributes its relaxed
       // winner to 'relaxed' always, its strict winner to 'strict' when one
       // exists, and its relaxed winner to 'relaxed_post' when the doc-level
       // flag holds — exactly the reference's three searches deduped
-      val kept = perDoc.join(docPart, Seq("document_id"), "left")
+      val kept = perDoc
         .withColumn("k", explode(filter(array(
           struct(lit("relaxed").as("mode"), col("r").as("w"),
             lit(true).as("keep")),
           struct(lit("strict").as("mode"), col("st").as("w"),
             col("st").isNotNull.as("keep")),
           struct(lit("relaxed_post").as("mode"), col("r").as("w"),
-            coalesce(col("doc_has_part"), lit(false)).as("keep"))),
+            col("doc_has_part").as("keep"))),
           x => x.getField("keep"))))
         .select(col("k.mode").as("mode"), col("document_id"),
           col("k.w.timestamp_utc").as("ts"),
@@ -112,12 +117,17 @@ object BoardPipeline {
       // zero-filled counts. All merge sides are dimension-bounded
       // aggregates — broadcast explicitly.
       // the zero-fill join and the quarter axis both re-read this frame
-      // (≤ |quarters|·3 rows at any corpus size); its shuffle exchange is
-      // deduplicated across the two readers by ReusedExchange within the
-      // one action (measured at sf0.1 — an explicit cut is a wash at best
-      // here). The axis derives from counts, not kept: min/max quarter is
-      // the same either way (every kept row lands in some counts cell)
-      // and it keeps the corpus traversal at exactly one.
+      // (≤ |quarters|·3 rows at any corpus size). r17 correction to the
+      // r16 note: ReusedExchange does NOT dedup the re-read — consumers
+      // prune different columns (the axis reads qd alone), specializing
+      // the aggregate subtrees, so each consumer re-executes the pruned
+      // corpus aggregate. An explicit lineage cut here was MEASURED WORSE
+      // at sf0.1 (best 3.43 s uncut vs 5.09 s cut, same session pair) —
+      // the checkpoint's fixed cost exceeds one pruned corpus pass at
+      // gate scale; at blowup scale the narrative precedent says the cut
+      // wins, so this is a round-18 crossover candidate, not a default.
+      // The axis derives from counts, not kept: min/max quarter is the
+      // same either way (every kept row lands in some counts cell).
       val counts = kept
         .groupBy(col("mode"), date_trunc("quarter", col("ts")).as("qd"))
         .agg(count(lit(1)).as("n_docs"),

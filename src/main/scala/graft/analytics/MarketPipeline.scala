@@ -114,19 +114,30 @@ object MarketPipeline {
     // empty-array row drop could only ever run after them — at 100 TB
     // that is the difference between joining the whole date slice and
     // joining the watchlist's ~|watchlist|/|entities| share of it
-    val searched = Tables.chunkRows(s, d)
+    // reads orders columns (scope/date/headline + the other_entity_id role
+    // key), supplier names and the chunk text — the customer dim is
+    // eliminated by RI (Tables.chunkRowsPruned)
+    val searched = Tables.chunkRowsPruned(s, d, withOrders = true,
+      withSupplier = true, withText = true)
       .filter(Sim.toColumn && Scope.toColumn && Dates.toColumn &&
         EntityAnyQ(watchlist).toColumn)
       .withColumn("__b", explode(filter(batchArr, b => b.getField("hit"))))
       .drop("__b")
+    // r17: the min-per-column aggregate became a key-only DISTINCT — same
+    // values under the same oracle. The batch explode duplicates rows
+    // EXACTLY (every projected column is a function of the dedup key:
+    // document/timestamp/headline ride the orderkey prefix of sentence_id,
+    // the names ride entity_id's suppkey, the text rides the (orderkey,
+    // linenumber) assignment), so min-per-column ≡ distinct. The payoff is
+    // the aggregate buffer: min over STRING columns demotes the aggregate
+    // to Sort+SortAggregate on both sides of the exchange, while a key-only
+    // distinct is a whole-stage-codegen'd HashAggregate with map-side
+    // partials.
     val deduped = searched
-      .groupBy(col("sentence_id"), col("entity_id"))
-      .agg(min(col("document_id")).as("document_id"),
-        min(col("timestamp_utc")).as("timestamp_utc"),
-        min(col("headline")).as("headline"),
-        min(col("entity_name")).as("entity_name"),
-        min(col("entity_sector")).as("entity_sector"),
-        min(col("text")).as("text"))
+      .select(col("sentence_id"), col("entity_id"), col("document_id"),
+        col("timestamp_utc"), col("headline"), col("entity_name"),
+        col("entity_sector"), col("text"))
+      .distinct()
     val masked = deduped.withColumn("masked_text",
       graft.ingest.ChunkOps.multiSpanMaskCol(col("text")))
     Labeler.guarded(masked

@@ -100,7 +100,10 @@ object NarrativePipeline {
     * Week bucket = the engine's ISO Monday-start week label
     * (`q_resample_weekly`'s convention). */
   private[graft] def labelPivot(s: SparkSession, d: String): DataFrame =
-    Labeler.labeledChunks(s, d)
+    // reads document_type/timestamp (orders) and label (text) only — the
+    // supplier/customer dims are eliminated by RI (Tables.chunkRowsPruned)
+    Labeler.withStubLabels(graft.model.Tables.chunkRowsPruned(s, d,
+      withOrders = true, withText = true))
       .withColumn("source_type", sourceStamp)
       .groupBy(col("source_type"),
         date_trunc("week", col("timestamp_utc")).cast("date").as("wk"),

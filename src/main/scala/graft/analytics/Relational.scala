@@ -19,9 +19,6 @@ import graft.model.Tables
   */
 object Relational {
 
-  private def labeled(s: SparkSession, d: String): DataFrame =
-    Labeler.labeledChunks(s, d)
-
   /** A1-family baseline: TPC-H Q1-shaped grouped aggregate on the fact table.
     * Revenue is pre-quantized (per-row floor(x*1e6), exact integer sum,
     * divided back out) — a raw double sum is shuffle-order-dependent and a
@@ -50,10 +47,14 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
-  /** A1: occurrence counts per (sector, company) over the chunk table. */
+  /** A1: occurrence counts per (sector, company) over the chunk table.
+    * Reads only supplier-derived columns, so the pruned relation skips the
+    * lineitem⋈orders fact join and the customer/documents sides entirely
+    * (r17: join elimination by RI, see [[Tables.chunkRowsPruned]]) —
+    * map-only up to the one groupBy exchange at any scale. */
   private val qCounts = Q(
     "q_counts_sector_company",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withSupplier = true)
       .groupBy(col("entity_sector"), col("entity_name"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("entity_sector"), col("entity_name")),
@@ -69,7 +70,7 @@ object Relational {
     * an estimate suffices. */
   private val qDistinct = Q(
     "q_distinct_counts",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withSupplier = true)
       .groupBy(col("entity_sector"))
       .agg(
         countDistinct(col("document_id")).as("n_docs"),
@@ -92,7 +93,8 @@ object Relational {
     * columns, stable at any SF). */
   private val qPivot = Q(
     "q_pivot_scores",
-    (s, d) => labeled(s, d)
+    (s, d) => Labeler.withStubLabels(
+      Tables.chunkRowsPruned(s, d, withSupplier = true, withText = true))
       .groupBy(col("entity_name"))
       .pivot("label", Seq("P", "A", "N", "U"))
       .agg(count(lit(1)))
@@ -118,7 +120,7 @@ object Relational {
   private val qTopkPerGroup = Q(
     "q_topk_per_group",
     (s, d) => {
-      val counts = Tables.chunkRows(s, d)
+      val counts = Tables.chunkRowsPruned(s, d, withSupplier = true)
         .groupBy(col("entity_sector"), col("entity_name"))
         .agg(count(lit(1)).as("cnt"))
       val w = Window.partitionBy(col("entity_sector"))
@@ -147,7 +149,7 @@ object Relational {
   private val qExemplar = Q(
     "q_exemplar_argmax",
     (s, d) => {
-      val daily = Tables.chunkRows(s, d)
+      val daily = Tables.chunkRowsPruned(s, d, withOrders = true)
         .groupBy(col("entity_id"),
           date_format(col("timestamp_utc"), "yyyy-MM-dd").as("day"))
         .agg(count(lit(1)).as("cnt"))
@@ -175,7 +177,9 @@ object Relational {
   private val qLabelDist = Q(
     "q_label_distribution",
     (s, d) => {
-      val counts = labeled(s, d).groupBy(col("label"))
+      val counts = Labeler.withStubLabels(
+        Tables.chunkRowsPruned(s, d, withText = true))
+        .groupBy(col("label"))
         .agg(count(lit(1)).as("cnt"))
       counts
         .withColumn("share",
@@ -193,7 +197,7 @@ object Relational {
   /** A12: summary-stats table per document_type (min/max date, counts). */
   private val qSummaryStats = Q(
     "q_summary_stats",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withOrders = true)
       .groupBy(col("document_type"))
       .agg(
         date_format(min(col("timestamp_utc")), "yyyy-MM-dd").as("min_date"),
@@ -220,12 +224,40 @@ object Relational {
     * difference between shuffling the corpus and shuffling its digest. */
   private val qDedupExact = Q(
     "q_dedup_exact",
-    (s, d) => Tables.chunkRows(s, d)
-      .groupBy(col("timestamp_utc"), col("document_id"),
-        md5(col("text")).as("text_md5"), col("entity_id"))
-      .agg(min(col("sentence_id")).as("sentence_id"))
-      .select(col("document_id"), col("sentence_id"), col("entity_id"))
-      .orderBy(col("document_id"), col("sentence_id"), col("entity_id")),
+    (s, d) => {
+      // r17 shape (values pinned unchanged by the same oracle):
+      //  - the only dimension read is the chunk text, so the relation is
+      //    lineitem ⋈ documents — the lineitem⋈orders fact join and the
+      //    supplier/customer sides are eliminated by RI
+      //    ([[Tables.chunkRowsPruned]] rationale; keys built from lineitem);
+      //  - timestamp_utc leaves the group key: o_orderdate is single-valued
+      //    per o_orderkey (orders PK — pinned in TableContractSpec), and
+      //    document_id is already in the key, so the extra key cannot split
+      //    any group;
+      //  - min(sentence_id) becomes min(l_linenumber): within a group the
+      //    orderkey prefix is constant and l_linenumber is single-digit
+      //    (1..7, pinned in TableContractSpec), so the lexicographic string
+      //    min equals the numeric min. The payoff is the aggregate buffer
+      //    turning fixed-width: a STRING min buffer demotes the aggregate
+      //    to Sort+SortAggregate (twice, around the exchange), while the
+      //    int buffer keeps whole-stage-codegen'd HashAggregate with
+      //    map-side partials — and the shuffle carries (long, 32-char md5,
+      //    long, int) instead of four strings.
+      val l = Tables.lineitem(s, d)
+      val doc = Tables.documents(s, d)
+      l.join(doc.select(col("doc_id"), col("text")),
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"),
+            lit(Tables.docCount(s, d))) === col("doc_id"))
+        .groupBy(col("l_orderkey"), md5(col("text")).as("text_md5"),
+          col("l_suppkey"))
+        .agg(min(col("l_linenumber")).as("min_ln"))
+        .select(
+          col("l_orderkey").cast("string").as("document_id"),
+          concat(col("l_orderkey").cast("string"), lit("-"),
+            col("min_ln").cast("string")).as("sentence_id"),
+          concat(lit("s"), col("l_suppkey")).as("entity_id"))
+        .orderBy(col("document_id"), col("sentence_id"), col("entity_id"))
+    },
     Some(
       s"""WITH ${Oracle.chunkCte}
          |SELECT document_id, min(sentence_id) AS sentence_id, entity_id
@@ -237,7 +269,8 @@ object Relational {
     * doctype counts with subtotal and grand-total rows. */
   private val qRollup = Q(
     "q_rollup_counts",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withOrders = true,
+      withSupplier = true)
       .rollup(col("entity_sector"), col("document_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(coalesce(col("entity_sector"), lit("ALL")).as("sector"),
@@ -266,7 +299,7 @@ object Relational {
       // half-open range, not date_format(ts) === '1998-07': the format
       // wrap defeats parquet min/max pruning on the orders scan; the
       // equivalent range is sargable (same rationale as FiscalYearQ)
-      val c = Tables.chunkRows(s, d)
+      val c = Tables.chunkRowsPruned(s, d, withOrders = true)
         .filter(col("timestamp_utc") >= to_timestamp(lit("1998-07-01")) &&
           col("timestamp_utc") < to_timestamp(lit("1998-08-01")))
       def ents(t: String) = c.filter(col("document_type") === t)

@@ -77,7 +77,10 @@ object ScreenerPipeline {
         AnyQ(Watchlist.map(ReportingEntityQ(_)): _*),
         SourceQ("transcripts"),
         FiscalYearQ(FiscalYear))
-      val searched = Tables.chunkRows(s, d).filter(q.toColumn)
+      // reads orders scope columns, supplier names and the text — the
+      // customer dim is eliminated by RI (Tables.chunkRowsPruned)
+      val searched = Tables.chunkRowsPruned(s, d, withOrders = true,
+        withSupplier = true, withText = true).filter(q.toColumn)
       // stage 3: label, keep the tree's terminal alphabet, attach parents
       val labeled = Labeler.withStubLabels(searched)
         .join(broadcast(leafDim), Seq("label"))

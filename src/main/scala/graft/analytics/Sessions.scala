@@ -55,7 +55,7 @@ object Sessions {
     * key to 1/16). */
   private val qSaltedAgg = Q(
     "q_salted_agg",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d) // lineitem-only keys (RI prune)
       .withColumn("salt", pmod(crc32(col("sentence_id")), lit(16)))
       .groupBy(col("entity_id"), col("salt"))
       .agg(count(lit(1)).as("partial_cnt"))

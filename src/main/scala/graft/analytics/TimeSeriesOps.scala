@@ -33,7 +33,8 @@ object TimeSeriesOps {
   /** W1: monthly chunk counts per sector. */
   private val qMonthly = Q(
     "q_period_buckets_month",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withOrders = true,
+      withSupplier = true)
       .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
         col("entity_sector"))
       .agg(count(lit(1)).as("cnt"))
@@ -48,7 +49,7 @@ object TimeSeriesOps {
     * counts keyed by week-ending-Monday. */
   private val qWmon = Q(
     "q_wmon_weekly",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withOrders = true)
       .groupBy(wMon(col("timestamp_utc")).as("week_end_mon"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("week_end_mon")),
@@ -63,7 +64,7 @@ object TimeSeriesOps {
     * (`Board_Management_Monitoring/src/tool.py:400`). */
   private val qQuarter = Q(
     "q_quarter_counts",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withOrders = true)
       .groupBy(date_format(date_trunc("quarter", col("timestamp_utc")),
         "yyyy-MM-dd").as("quarter"))
       .agg(countDistinct(col("document_id")).as("n_docs"))
@@ -184,18 +185,32 @@ object TimeSeriesOps {
   private val qScaffold = Q(
     "q_scaffold_month_entity",
     (s, d) => {
-      val c = Tables.chunkRows(s, d)
-      val months = c
-        .agg(date_trunc("month", min(col("timestamp_utc"))).as("mn"),
-          date_trunc("month", max(col("timestamp_utc"))).as("mx"))
-        .select(explode(sequence(col("mn"), col("mx"),
+      // r17 (same values, same oracle): the month axis and the entity set
+      // both derive from the counts aggregate — every chunk row lands in
+      // some counts cell, so min/max month and the distinct entity set are
+      // identical to computing them on the raw relation (the BoardPipeline
+      // axis-from-counts pattern).
+      // NOTE: the three consumers prune different columns, which
+      // specializes the aggregate subtrees and disables ReusedExchange
+      // (r17 plan dump) — each consumer re-executes the PRUNED corpus
+      // pass. An explicit lineage cut was measured WORSE at sf0.1 (best
+      // 1.33 s uncut vs 2.29 s cut, same session pair): checkpoint fixed
+      // cost exceeds a pruned pass at gate scale. Round-18 crossover
+      // candidate for blowup scale. The relation is pruned to the
+      // orders + supplier dims the query reads (join elimination by RI).
+      val counts =
+        Tables.chunkRowsPruned(s, d, withOrders = true, withSupplier = true)
+          .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
+            col("entity_name"))
+          .agg(count(lit(1)).as("cnt"))
+      val months = counts
+        .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+        .select(explode(sequence(
+          to_timestamp(col("mn"), "yyyy-MM"),
+          to_timestamp(col("mx"), "yyyy-MM"),
           expr("INTERVAL 1 MONTH"))).as("m"))
         .select(date_format(col("m"), "yyyy-MM").as("month"))
-      val entities = c.select(col("entity_name")).distinct()
-      val counts = c
-        .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
-          col("entity_name"))
-        .agg(count(lit(1)).as("cnt"))
+      val entities = counts.select(col("entity_name")).distinct()
       months.crossJoin(entities)
         .join(counts, Seq("month", "entity_name"), "left")
         .na.fill(0, Seq("cnt"))

@@ -28,7 +28,10 @@ object GraphOps {
     * weight ≥ 2 floor) live in exactly one place: provider (P) × user (A)
     * pairs within a document, weight = pair count, headline exemplar. */
   private def comentionEdges(s: SparkSession, d: String): DataFrame = {
-    val lc = labeled(s, d)
+    // reads headline (orders), entity_name (supplier) and label (text) only
+    // — the customer dim is eliminated by RI (Tables.chunkRowsPruned)
+    val lc = Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
+      withOrders = true, withSupplier = true, withText = true))
     // The reference's weight is the per-document ROW-PAIR product summed
     // over documents (J8's count(*) over the row-grain join). Computing it
     // BY joining row-grain frames is quadratic in a document's row count —
@@ -41,6 +44,15 @@ object GraphOps {
     // way: max over pairs of p.headline = max over qualifying documents of
     // the per-(doc, src) max. Values are bit-identical under the unchanged
     // row-grain oracle SQL.
+    // r17 note: a fused one-pass form (one (document, entity) conditional
+    // aggregate filtered per role) was tried and REVERTED — per-consumer
+    // column pruning specializes the two aggregate subtrees (the provider
+    // side keeps the string max_headline buffer, the adopter side prunes
+    // to counts), so ReusedExchange never fires, the corpus still scans
+    // twice, and the shared isin(P,A) filter makes BOTH sides' aggregate
+    // input larger than the per-label filters here (measured 2.51 s best
+    // vs 2.0 steady at sf0.1). The two-pass shape keeps each side's
+    // pre-aggregation filter tight.
     val prov = lc.filter(col("label") === "P")
       .groupBy(col("document_id"), col("entity_name").as("src"))
       .agg(count(lit(1)).as("n_p"), max(col("headline")).as("max_headline"))

@@ -26,7 +26,7 @@ object ChunkOps {
     * aggregated per role. */
   private val qExplodeRoles = Q(
     "q_explode_roles",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withOrders = true)
       .select(col("sentence_id"), explode(array(
         struct(col("entity_id").as("ent"), lit("supplier").as("role")),
         struct(col("other_entity_id").as("ent"), lit("customer").as("role")),
@@ -123,7 +123,7 @@ object ChunkOps {
     * regex-scrub a token, drop tombstoned rows, account for what survived. */
   private val qScrub = Q(
     "q_scrub_tombstone",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withOrders = true, withText = true)
       .withColumn("clean", regexp_replace(col("text"), "vector", ""))
       .filter(!col("text").contains("dup"))
       .groupBy(col("document_type"))
@@ -142,7 +142,8 @@ object ChunkOps {
     * column names incl. the `'%b %Y'` Time Period. */
   private val qPresentation = Q(
     "q_presentation",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withOrders = true,
+      withSupplier = true, withText = true)
       .select(
         col("entity_sector").as("Sector"),
         col("entity_industry").as("Industry"),
@@ -185,7 +186,8 @@ object ChunkOps {
   private val qMaskTarget = Q(
     "q_mask_target",
     (s, d) => {
-      val c = Tables.chunkRows(s, d)
+      val c = Tables.chunkRowsPruned(s, d, withOrders = true,
+        withCustomer = true, withText = true)
       val (_, ents) = customerSpan
       c.withColumn("m",
         Masking.maskUdf(col("text"), ents, col("other_entity_id")))
@@ -297,7 +299,8 @@ object ChunkOps {
   private val qMaskRoundtrip = Q(
     "q_mask_roundtrip",
     (s, d) => {
-      val c = Tables.chunkRows(s, d)
+      val c = Tables.chunkRowsPruned(s, d, withOrders = true,
+        withCustomer = true, withText = true)
       val (p, ents) = customerSpan
       val expected = when(p > 0,
         concat(substring(col("text"), lit(1), p - 1),
@@ -351,7 +354,8 @@ object ChunkOps {
       val regi = TypedEntityQ("REGI", "EUROPE").toColumn
       val comp = TypedEntityQ("COMP", "Supplier#000000001").toColumn
       val prod = TypedEntityQ("PROD", "p1").toColumn
-      Tables.chunkRows(s, d)
+      Tables.chunkRowsPruned(s, d, withOrders = true, withSupplier = true,
+        withCustomer = true)
         .agg(sum(when(sect, 1L).otherwise(0L)).as("n_sect"),
           sum(when(regi, 1L).otherwise(0L)).as("n_regi"),
           sum(when(comp, 1L).otherwise(0L)).as("n_comp"),
@@ -374,7 +378,7 @@ object ChunkOps {
     * chunk counts inside FY1996, news+filings only. */
   private val qFiscalYear = Q(
     "q_fiscal_year",
-    (s, d) => Tables.chunkRows(s, d)
+    (s, d) => Tables.chunkRowsPruned(s, d, withOrders = true)
       .filter(AllQ(FiscalYearQ(1996), SourceQ("news", "filings")).toColumn)
       .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_chunks"),
@@ -399,7 +403,9 @@ object ChunkOps {
       val sim = Similarity("fast spark merge query", 0.5)
       val qry = AllQ(sim, AnyQ(Keyword("join"), Keyword("window")),
         SourceQ("news", "filings"), DateRange("1995-01-01", "1999-12-31"))
-      Tables.chunkRows(s, d)
+      // reads text, document_type and timestamp only — the supplier and
+      // customer dims are eliminated by RI (Tables.chunkRowsPruned)
+      Tables.chunkRowsPruned(s, d, withOrders = true, withText = true)
         .filter(qry.toColumn)
         .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n_hits"), round(avg(sim.score), 6).as("avg_score"))
@@ -431,7 +437,8 @@ object ChunkOps {
     "q_similarity_topk",
     (s, d) => {
       val sim = Similarity("fast spark merge query", 0.75)
-      Tables.chunkRows(s, d)
+      // reads text + lineitem-derived keys only (RI join elimination)
+      Tables.chunkRowsPruned(s, d, withText = true)
         .withColumn("score", sim.score)
         .filter(col("score") >= 0.75)
         .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
@@ -475,7 +482,9 @@ object ChunkOps {
       val ents = batches.zipWithIndex.flatMap { case (b, i) =>
         b.qs.collect { case EntityQ(id) => (id, i, b.qs.size.toLong) }
       }.toDF("eid", "batch_idx", "n_entities")
-      Tables.chunkRows(s, d)
+      // every role key is lineitem/orders-derived — supplier, customer and
+      // documents joins eliminated by RI (Tables.chunkRowsPruned)
+      Tables.chunkRowsPruned(s, d, withOrders = true)
         .select(col("sentence_id"), col("document_id"),
           explode(array(col("entity_id"), col("other_entity_id"),
             col("part_entity_id"))).as("eid"))
@@ -515,22 +524,50 @@ object ChunkOps {
   private val qSearchModes = Q(
     "q_search_modes",
     (s, d) => {
-      val c = Tables.chunkRows(s, d)
-      def agg(df: DataFrame, mode: String): DataFrame =
-        df.agg(count(lit(1)).as("n_chunks"),
-          countDistinct(col("document_id")).as("n_docs"))
-          .select(lit(mode).as("mode"), col("n_chunks"), col("n_docs"))
-      val strict = agg(
-        c.filter(col("text").contains("customer") && col("text").contains("part")),
-        "strict")
-      val relaxed = agg(c.filter(col("text").contains("customer")), "relaxed")
-      val docsWithPart = c.filter(col("text").contains("part"))
-        .select(col("document_id")).distinct()
-      val relaxedPost = agg(
-        c.filter(col("text").contains("customer"))
-          .join(docsWithPart, Seq("document_id"), "left_semi"),
-        "relaxed_post")
-      strict.unionByName(relaxed).unionByName(relaxedPost).orderBy(col("mode"))
+      // r17: ONE corpus pass instead of four (strict, relaxed, the
+      // docs-with-part distinct, and the semi-joined relaxed_post each
+      // re-ran the scan). All three modes are functions of three doc-grain
+      // conditional aggregates — per document: #customer∧part rows,
+      // #customer rows, and the has-part flag — and every countDistinct
+      // (document_id) becomes a doc-grain count. The relation is
+      // lineitem⋈documents only: the modes read text and document_id, so
+      // the orders/supplier/customer dims are eliminated by RI
+      // (Tables.chunkRowsPruned rationale). Values pinned unchanged by the
+      // same oracle.
+      val isCust = col("text").contains("customer")
+      val isPart = col("text").contains("part")
+      val g = Tables.lineitem(s, d)
+        .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"),
+            lit(Tables.docCount(s, d))) === col("doc_id"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(when(isCust && isPart, 1L).otherwise(0L)).as("n_cp"),
+          sum(when(isCust, 1L).otherwise(0L)).as("n_cu"),
+          max(isPart).as("has_part"))
+      val tot = g.agg(
+        coalesce(sum(col("n_cp")), lit(0L)).as("strict_chunks"),
+        coalesce(sum(when(col("n_cp") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("strict_docs"),
+        coalesce(sum(col("n_cu")), lit(0L)).as("relaxed_chunks"),
+        coalesce(sum(when(col("n_cu") > 0, 1L).otherwise(0L)), lit(0L))
+          .as("relaxed_docs"),
+        coalesce(sum(when(col("has_part"), col("n_cu")).otherwise(0L)),
+          lit(0L)).as("rp_chunks"),
+        coalesce(sum(when(col("has_part") && col("n_cu") > 0, 1L)
+          .otherwise(0L)), lit(0L)).as("rp_docs"))
+      tot.select(explode(array(
+          struct(lit("relaxed").as("mode"),
+            col("relaxed_chunks").as("n_chunks"),
+            col("relaxed_docs").as("n_docs")),
+          struct(lit("relaxed_post").as("mode"),
+            col("rp_chunks").as("n_chunks"), col("rp_docs").as("n_docs")),
+          struct(lit("strict").as("mode"),
+            col("strict_chunks").as("n_chunks"),
+            col("strict_docs").as("n_docs")))).as("m"))
+        .select(col("m.mode").as("mode"), col("m.n_chunks").as("n_chunks"),
+          col("m.n_docs").as("n_docs"))
+        .orderBy(col("mode"))
     },
     Some(
       s"""WITH ${Oracle.chunkCte},

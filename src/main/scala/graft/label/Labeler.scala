@@ -386,7 +386,8 @@ object Labeler {
   private val qLabelBatched = graft.Q(
     "q_label_batched",
     (s, d) => {
-      val base = graft.model.Tables.chunkRows(s, d)
+      // reads keys + text only — header/name dims eliminated by RI
+      val base = graft.model.Tables.chunkRowsPruned(s, d, withText = true)
       val viaBatch = labelBatchedPrompt(base, StubBatchedClassifier)
         .select(col("sentence_id"), col("entity_id"), col("part_entity_id"),
           col("label").as("b_label"), col("motivation").as("b_motivation"))
@@ -419,7 +420,8 @@ object Labeler {
   private val qLabelGuard = graft.Q(
     "q_label_guard",
     (s, d) => {
-      val base = withStubLabels(graft.model.Tables.chunkRows(s, d))
+      val base = withStubLabels(
+        graft.model.Tables.chunkRowsPruned(s, d, withText = true))
         .withColumn("motivation",
           when(substring(col("sentence_id"), -1, 1) === "3", lit("unclear"))
             .otherwise(col("motivation")))

@@ -126,14 +126,44 @@ object Tables {
     * is the fact-fact equi-join; dims stay broadcast (they are tiny at every
     * SF by construction).
     */
-  def chunkRows(s: SparkSession, d: String): DataFrame = {
-    val o = orders(s, d)
+  def chunkRows(s: SparkSession, d: String): DataFrame =
+    chunkRowsPruned(s, d, withOrders = true, withSupplier = true,
+      withCustomer = true, withText = true)
+
+  /** [[chunkRows]] with only the dimension joins a consumer actually reads —
+    * the generalized form of [[sentenceTopicRows]]' join elimination.
+    *
+    * Every dimension join in the chunk relation is an INNER join that
+    * preserves fact rows exactly: each is keyed on a foreign key with
+    * referential integrity by corpus construction (every l_orderkey has its
+    * orders header, every l_suppkey its supplier, every o_custkey its
+    * customer, and the pmod text-assignment key lands in [0, |documents|) by
+    * construction), and each right side is unique on its key, so dropping an
+    * unread dimension changes neither row multiplicity nor any surviving
+    * column. Spark carries no FK metadata, so the join elimination an
+    * RI-aware optimizer would perform is encoded here; TableContractSpec
+    * pins the pruned projections row-equal to the full relation on real
+    * testdata at two SFs.
+    *
+    * The payoff at 100 TB is structural: a consumer that reads no header
+    * column skips the lineitem⋈orders fact-fact join entirely (the round-17
+    * skew probe measured that join serializing a hot document), and every
+    * consumer stops paying broadcast builds for dimensions it never reads.
+    *
+    * Column availability: lineitem alone provides document_id, sentence_id,
+    * entity_id, entity_ticker, part_entity_id and the l_* measures
+    * (document_id ≡ o_orderkey via the join equality, so it is derived from
+    * l_orderkey in every variant); orders adds timestamp_utc, headline,
+    * document_type, is_reporting_entity, other_entity_id; supplier (+ the
+    * broadcast nation/region snowflake) adds entity_name/sector/industry/
+    * country; customer (requires orders for o_custkey) adds
+    * other_entity_name; documents adds text and lang. */
+  def chunkRowsPruned(s: SparkSession, d: String,
+      withOrders: Boolean = false, withSupplier: Boolean = false,
+      withCustomer: Boolean = false, withText: Boolean = false): DataFrame = {
+    require(!withCustomer || withOrders,
+      "the customer dimension joins via orders' o_custkey")
     val l = lineitem(s, d)
-    val doc = documents(s, d)
-    val sup = supplier(s, d)
-    val cst = customer(s, d)
-    val n = nation(s, d)
-    val r = region(s, d)
 
     // Dimensions join the fact directly (not pre-joined into a snowflake):
     // each raw scan carries size stats, so Catalyst broadcasts every dim
@@ -141,45 +171,60 @@ object Tables {
     // degrades to a sort-merge join until AQE rescues it at runtime. No
     // broadcast() hints on the scaling sides (supplier/customer/documents
     // grow with the corpus; the choice must stay size-based for 100 TB).
-    l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(sup.select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
-      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .withColumn("sup_nation", col("n_name"))
-      .withColumn("sup_region", col("r_name"))
-      .join(cst.select(col("c_custkey"), col("c_name")),
+    var df = l
+    if (withOrders)
+      df = df.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+    if (withSupplier)
+      df = df
+        .join(supplier(s, d).select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .withColumn("sup_nation", col("n_name"))
+        .withColumn("sup_region", col("r_name"))
+    if (withCustomer)
+      df = df.join(customer(s, d).select(col("c_custkey"), col("c_name")),
         col("o_custkey") === col("c_custkey"))
+    if (withText)
       // deterministic text assignment; |documents| scales with SF so the key
       // is taken modulo the actual corpus size (same expression in the oracle)
-      .join(doc.select(col("doc_id"), col("text"), col("lang")),
+      df = df.join(documents(s, d).select(col("doc_id"), col("text"),
+        col("lang")),
         pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(docCount(s, d)))
           === col("doc_id"))
-      .select(
-        col("o_orderdate").as("timestamp_utc"),
-        col("o_orderkey").cast("string").as("document_id"),
-        concat(col("o_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string")).as("sentence_id"),
+    val cols = Seq(
+      if (withOrders) Seq(col("o_orderdate").as("timestamp_utc")) else Nil,
+      Seq(
+        col("l_orderkey").cast("string").as("document_id"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("sentence_id")),
+      if (withOrders) Seq(
         concat(col("o_orderpriority"), lit(" order "),
-          col("o_orderkey").cast("string")).as("headline"),
-        concat(lit("s"), col("l_suppkey")).as("entity_id"),
+          col("o_orderkey").cast("string")).as("headline")) else Nil,
+      Seq(concat(lit("s"), col("l_suppkey")).as("entity_id")),
+      if (withOrders) Seq(
         when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("news"))
           .when(col("o_orderpriority") === "3-MEDIUM", lit("transcripts"))
           .otherwise(lit("filings")).as("document_type"),
         (!col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-          .as("is_reporting_entity"),
+          .as("is_reporting_entity")) else Nil,
+      if (withSupplier) Seq(
         col("s_name").as("entity_name"),
         col("sup_nation").as("entity_sector"),
         col("sup_region").as("entity_industry"),
-        col("sup_nation").as("entity_country"),
-        concat(lit("S"), col("l_suppkey")).as("entity_ticker"),
-        col("text"),
-        col("lang"),
-        concat(lit("c"), col("o_custkey")).as("other_entity_id"),
-        col("c_name").as("other_entity_name"),
+        col("sup_nation").as("entity_country")) else Nil,
+      Seq(concat(lit("S"), col("l_suppkey")).as("entity_ticker")),
+      if (withText) Seq(col("text"), col("lang")) else Nil,
+      if (withOrders) Seq(
+        concat(lit("c"), col("o_custkey")).as("other_entity_id")) else Nil,
+      if (withCustomer) Seq(col("c_name").as("other_entity_name")) else Nil,
+      Seq(
         concat(lit("p"), col("l_partkey")).as("part_entity_id"),
         col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        col("l_returnflag"), col("l_shipdate"))
+        col("l_returnflag"), col("l_shipdate"))).flatten
+    df.select(cols: _*)
   }
 
   /** Full-fidelity chunk-row relation: [[chunkRows]] plus the array-typed

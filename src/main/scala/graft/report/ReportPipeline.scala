@@ -88,7 +88,10 @@ object ReportPipeline {
     // empty-array row drop could only ever run after the joins
     val anyTheme = Themes.map { case (term, _) =>
       col("text").contains(term) }.reduce(_ || _)
-    val fanned = Tables.chunkRows(s, d)
+    // reads headline/document_type (orders), entity_name (supplier) and the
+    // text — the customer dim is eliminated by RI (Tables.chunkRowsPruned)
+    val fanned = Tables.chunkRowsPruned(s, d, withOrders = true,
+      withSupplier = true, withText = true)
       .filter(anyTheme)
       .select(col("document_id"), col("headline"), col("entity_id"),
         col("entity_name"), col("document_type"), col("text"),

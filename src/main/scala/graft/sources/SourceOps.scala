@@ -411,7 +411,7 @@ object SourceOps {
   private val qEntityEnrich = Q(
     "q_entity_enrich",
     (s, d) => {
-      val ids = Tables.chunkRows(s, d)
+      val ids = Tables.chunkRowsPruned(s, d, withOrders = true)
         .select(explode(array(col("entity_id"), col("other_entity_id"),
           col("part_entity_id"))).as("entity_id"))
       ids.join(Tables.entityDim(s, d), Seq("entity_id"))
@@ -444,7 +444,7 @@ object SourceOps {
       val leaves = flat.filter(col("is_leaf"))
         .select(col("label"), col("parent_id"))
       val parents = flat.select(col("node_id"), col("label").as("theme"))
-      Labeler.labeledChunks(s, d)
+      Labeler.withStubLabels(Tables.chunkRowsPruned(s, d, withText = true))
         .join(broadcast(leaves), Seq("label"))
         .join(broadcast(parents), col("parent_id") === col("node_id"))
         .groupBy(col("theme"))

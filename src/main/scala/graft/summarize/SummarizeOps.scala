@@ -88,7 +88,9 @@ object SummarizeOps {
   private val qHierarchicalSummary = Q(
     "q_hierarchical_summary",
     (s, d) => {
-      val lc = Labeler.labeledChunks(s, d)
+      // customer dim eliminated by RI (Tables.chunkRowsPruned)
+      val lc = Labeler.withStubLabels(graft.model.Tables.chunkRowsPruned(
+        s, d, withOrders = true, withSupplier = true, withText = true))
       val partials = lc.filter(col("label") =!= "U")
         .groupBy(col("entity_sector"), col("document_type"))
         .agg(
@@ -132,7 +134,9 @@ object SummarizeOps {
   private val qCondenseScore = Q(
     "q_condense_score",
     (s, d) => {
-      val lc = Labeler.labeledChunks(s, d)
+      // customer dim eliminated by RI (Tables.chunkRowsPruned)
+      val lc = Labeler.withStubLabels(graft.model.Tables.chunkRowsPruned(
+        s, d, withOrders = true, withSupplier = true, withText = true))
       lc.filter(col("label") =!= "U")
         .groupBy(col("entity_name"), col("label"))
         .agg(
@@ -168,7 +172,9 @@ object SummarizeOps {
   private val qCostEstimate = Q(
     "q_cost_estimate",
     (s, d) => {
-      val lc = Tables.chunkRows(s, d)
+      // reads (entity_id, text) only — relation is lineitem⋈documents
+      // (all header/name dims eliminated by RI, Tables.chunkRowsPruned)
+      val lc = Tables.chunkRowsPruned(s, d, withText = true)
       lc.select(col("entity_id"), col("text")).distinct()
         .select(ceil(length(col("text")) / 4.0).cast("long").as("tokens"))
         .agg(

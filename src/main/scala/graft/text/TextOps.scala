@@ -280,8 +280,16 @@ object TextOps {
     * the near-dup family keys off: self-joined for candidate pairs
     * ([[lshCandidatePairs]]), stream-static joined by the streaming ingest
     * gate ([[graft.streaming.CorpusStream.nearDupCandidates]]). */
-  private[graft] def bandTable(s: SparkSession, d: String): DataFrame = {
-    val hashed = docShingles(s, d).withColumn("h", hash32(col("s")))
+  private[graft] def bandTable(s: SparkSession, d: String): DataFrame =
+    bandTableFrom(docShingles(s, d))
+
+  /** [[bandTable]] over a PREBUILT (doc_id, s) shingle frame — lets a caller
+    * that also reads the shingles directly (q_minhash_lsh's verification
+    * sizes/intersection; the stress harness) share ONE shingle job instead
+    * of paying the explode+distinct twice (r17: one corpus scan saved per
+    * consumer; values identical — same definition, same rows). */
+  private[graft] def bandTableFrom(shingles: DataFrame): DataFrame = {
+    val hashed = shingles.withColumn("h", hash32(col("s")))
     val mhCols = minhashA.indices.map(j =>
       min((col("h") * minhashA(j) + minhashB(j)) % MinhashP).as(s"mh$j"))
     // localCheckpoint (PlanProbe.cut): the band table is SELF-joined by the
@@ -404,10 +412,13 @@ object TextOps {
   private val qMinhashLsh = Q(
     "q_minhash_lsh",
     (s, d) => {
-      val cand = lshCandidatePairs(s, d)
-      // three downstream uses (sizes + both sides of the verification join)
-      // and no exchange reuse across them — materialize the explode once
+      // four downstream uses (the band table build, sizes, and both sides
+      // of the verification join) and no exchange reuse across them —
+      // materialize the explode ONCE and feed it to the band table too
+      // (r17: previously lshCandidatePairs built its own second shingle
+      // job; one corpus scan + explode + distinct saved)
       val sh = graft.PlanProbe.cut(docShingles(s, d))
+      val cand = lshCandidatePairsFrom(bandTableFrom(sh))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = cand
         .join(sh.select(col("doc_id").as("doc_a"), col("s")), Seq("doc_a"))

@@ -114,4 +114,69 @@ class TableContractSpec extends AnyFunSuite with BeforeAndAfterAll {
           "the join elimination")
     }
   }
+
+  // chunkRowsPruned generalizes the same RI-licensed join elimination to
+  // every dimension subset (round 17). Pin the pruned projections row-equal
+  // to the full relation on real testdata: each case exercises one dropped
+  // dimension class (orders/fact join, supplier snowflake, customer,
+  // documents). An RI break (orphan fact keys, duplicate dim keys) fails
+  // HERE with the offending subset named instead of as a red oracle row.
+  private val prunedCases: Seq[(String, Boolean, Boolean, Boolean, Boolean,
+      Seq[String])] = Seq(
+    ("lineitem-only", false, false, false, false,
+      Seq("document_id", "sentence_id", "entity_id", "entity_ticker",
+        "part_entity_id", "l_returnflag")),
+    ("orders", true, false, false, false,
+      Seq("timestamp_utc", "document_id", "sentence_id", "headline",
+        "document_type", "is_reporting_entity", "other_entity_id")),
+    ("supplier", false, true, false, false,
+      Seq("entity_id", "entity_name", "entity_sector", "entity_industry",
+        "entity_country")),
+    ("documents", false, false, false, true,
+      Seq("sentence_id", "entity_id", "text", "lang")),
+    ("orders+customer", true, false, true, false,
+      Seq("sentence_id", "other_entity_id", "other_entity_name")))
+
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+       (tag, o, sup, cst, txt, pcols) <- prunedCases) {
+    test(s"chunkRowsPruned($tag) equals the chunkRows projection at " +
+        dir.split('/').last) {
+      def canon(df: DataFrame): Array[String] =
+        df.select(pcols.map(org.apache.spark.sql.functions.col): _*)
+          .collect().map(_.toString).sorted
+      val full = canon(Tables.chunkRows(spark, dir))
+      val pruned = canon(Tables.chunkRowsPruned(spark, dir,
+        withOrders = o, withSupplier = sup, withCustomer = cst,
+        withText = txt))
+      assert(pruned.sameElements(full),
+        s"chunkRowsPruned($tag) diverged from the full relation at $dir — " +
+          "referential integrity no longer licenses the join elimination")
+    }
+  }
+
+  // Data contracts individual r17 rewrites lean on, pinned at every SF so a
+  // generator change fails here by name:
+  //  - single-digit l_linenumber licenses q_dedup_exact's numeric
+  //    min(l_linenumber) ≡ lexicographic min(sentence_id) within a document;
+  //  - unique o_orderkey licenses dropping timestamp_utc from dedup group
+  //    keys (o_orderdate is single-valued per document);
+  //  - unique s_name licenses q_basket's max(entity_sector) ≡ the
+  //    sector-info indicator join (entity_name determines entity_sector).
+  for (dir <- sfs) {
+    test(s"r17 rewrite data contracts hold at ${dir.split('/').last}") {
+      import org.apache.spark.sql.functions._
+      val ln = Tables.lineitem(spark, dir)
+        .agg(min(col("l_linenumber")), max(col("l_linenumber"))).head()
+      assert(ln.getInt(0) >= 1 && ln.getInt(1) <= 9,
+        s"l_linenumber out of the single-digit contract at $dir: $ln")
+      val ok = Tables.orders(spark, dir)
+        .agg(count(lit(1)), countDistinct(col("o_orderkey"))).head()
+      assert(ok.getLong(0) == ok.getLong(1),
+        s"o_orderkey not unique at $dir: $ok")
+      val sn = Tables.supplier(spark, dir)
+        .agg(count(lit(1)), countDistinct(col("s_name"))).head()
+      assert(sn.getLong(0) == sn.getLong(1),
+        s"s_name not unique at $dir: $sn")
+    }
+  }
 }
