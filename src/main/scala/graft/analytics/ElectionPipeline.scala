@@ -195,7 +195,8 @@ object ElectionPipeline {
       // (identical projections, so identical values).
       val dailyBase =
         if (oneScan) kept
-        else Labeler.labeledChunks(s, d)
+        else Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
+          withOrders = true, withSupplier = true, withText = true))
           .filter(col("label").isin(MonitoredLabels: _*))
       val daily = dailyBase
         .groupBy(col("entity_name"),
