@@ -243,13 +243,18 @@ object Relational {
       //    int buffer keeps whole-stage-codegen'd HashAggregate with
       //    map-side partials — and the shuffle carries (long, 32-char md5,
       //    long, int) instead of four strings.
+      // md5 is computed ONCE PER DOCUMENT on the dimension side (|docs|
+      // hashes instead of |chunks|), and the join attaches the 32-char
+      // digest instead of the text payload — the same value reaches the
+      // group key (md5 of the same text), with |text|-sized bytes never
+      // leaving the documents scan (guide §2.3: move digests, not
+      // payloads).
       val l = Tables.lineitem(s, d)
       val doc = Tables.documents(s, d)
-      l.join(doc.select(col("doc_id"), col("text")),
+      l.join(doc.select(col("doc_id"), md5(col("text")).as("text_md5")),
           pmod(col("l_orderkey") * 7 + col("l_linenumber"),
             lit(Tables.docCount(s, d))) === col("doc_id"))
-        .groupBy(col("l_orderkey"), md5(col("text")).as("text_md5"),
-          col("l_suppkey"))
+        .groupBy(col("l_orderkey"), col("text_md5"), col("l_suppkey"))
         .agg(min(col("l_linenumber")).as("min_ln"))
         .select(
           col("l_orderkey").cast("string").as("document_id"),
