@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the forked process's one-line JSON records
+// from stdout. sbt's default LoggedOutput strategy prefixes every forked
+// line with "[info] ", which has made the bench record unparseable to the
+// driver in every round so far (BENCH_r*.json: parsed=null). StdoutOutput
+// passes the child's stdout through bare. Scoped to run/runMain only —
+// test logging stays on sbt's logger.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -309,7 +309,19 @@ object Bench {
     // parseable record carrying the headline total.
     val totalCompact = String.format(
       java.util.Locale.ROOT, "%.3f", Double.box(total))
-    println(s"""{"metric":"total_compact","value":$totalCompact,"unit":"sec","failures":$failedJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","sf":"$sfDir"}""")
+    // The compact line now ALSO carries every timed query's best-of-3
+    // (headline + all frozen extras sets, 3 decimals), so the tail capture
+    // alone satisfies the driver contract {"metric","value","unit",
+    // "queries","sf"} — the full record's per-set breakdown above is
+    // unchanged, and `value` stays the headline-set total for
+    // round-over-round comparability. (~1.4 kB, still inside a 2000-char
+    // tail as the final line.)
+    val allQsJson =
+      (present ++ extras ++ extras10 ++ extras13 ++ extras14 ++ extras15)
+        .map(n => "\"" + n + "\":" + String.format(
+          java.util.Locale.ROOT, "%.3f", Double.box(minOf(n))))
+        .mkString("{", ",", "}")
+    println(s"""{"metric":"total_compact","value":$totalCompact,"unit":"sec","queries":$allQsJson,"failures":$failedJson,"drift_structural":$structuralJson,"run_ratio":$runRatioStr,"environment":"$envVerdict","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -180,13 +180,20 @@ object CorpusOps {
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     while (!converged && rounds < maxRounds) {
       val tRound = System.nanoTime()
-      val next = graft.PlanProbe.cutIter(round(labels, edges))
       // convergence = exact count of changed labels (NOT a label-sum probe,
-      // which can silently overflow Long on large id domains): one action
-      // per round over the already-checkpointed frame
-      val nChanged = next
-        .agg(count(when(col("prev") =!= col("label"), 1)).as("c"))
-        .first().getLong(0)
+      // which can silently overflow Long on large id domains), OBSERVED on
+      // the checkpoint's own materialization job via CollectMetrics instead
+      // of a second count action per round: the metric accumulates while
+      // the rows stream into the checkpoint, so each round costs exactly
+      // ONE job (r18; was two — the count job re-scanned the blocks and
+      // its fixed per-job cost dominated the round at bench scale).
+      // observedMetrics reads the plan's own accumulators after the eager
+      // checkpoint action, so there is no listener-bus asynchrony.
+      val observed = round(labels, edges).observe(s"cc_round_$rounds",
+        count(when(col("prev") =!= col("label"), 1)).as("changed"))
+      val next = graft.PlanProbe.cutIter(observed)
+      val nChanged = observed.queryExecution
+        .observedMetrics(s"cc_round_$rounds").getLong(0)
       free(current)
       current = next
       labels = next.select(col("doc_id"), col("label"))

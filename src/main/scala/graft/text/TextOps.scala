@@ -193,25 +193,29 @@ object TextOps {
     * minInter = 1), which is the point its DuckDB oracle spells out. */
   private[graft] def ngramJaccardTop(s: SparkSession, d: String,
       dfCap: Int, minInter: Int): DataFrame = {
-      // lineage cut on the raw shingles: sh0 feeds the df aggregate, the
-      // semi-join left side, sizes, and both sides of the intersection
-      // self-join — without the cut the shingle explode executed 8 times in
-      // one plan (8 parquet scans, zero reused exchanges). The capped sh is
-      // deliberately NOT checkpointed: the df-cap semi-join must stay in
-      // the final plan (PlanGuardSpec pins it — it is the guard against the
-      // quadratic hot-key tail), and downstream re-reads within THIS
-      // query's plan hit the sh0 checkpoint. (PlanProbe.cut ≡
-      // localCheckpoint at execution time. Scope is per-INVOCATION, not
-      // per-session: each call to this builder runs the shingle job once
-      // and registers a fresh checkpoint that the ContextCleaner reclaims
-      // after the frame is unreachable — sharing across invocations would
-      // need a memo like SimilarityOps.nearDupIndexMemo, a deliberate
-      // non-goal here since the gate invokes each query once per pass.
-      // Plan-only sweeps skip the cut entirely.)
+      // TWO lineage cuts (r18): sh0 (the raw shingle explode+distinct) and
+      // sh (the df-CAPPED shingle set). sh0 feeds the df aggregate and the
+      // semi-join left side — without its cut the shingle explode executed
+      // 8 times in one plan (8 parquet scans, zero reused exchanges). sh
+      // feeds sizes and BOTH sides of the intersection self-join; before
+      // r18 it was deliberately left uncut, so the df aggregate + semi-join
+      // (a full shuffle of the shingle set by `s`, twice) re-executed for
+      // every one of those three references — per-consumer column pruning
+      // defeats ReusedExchange here exactly as in the r17 co-mention
+      // negative result. Cutting the capped frame runs the df-cap pass
+      // ONCE. PlanGuardSpec still sees the semi-join: plan-only sweeps skip
+      // every cut, so the guarded optimized plan is the full pipeline.
+      // (PlanProbe.cut ≡ localCheckpoint at execution time. Scope is
+      // per-INVOCATION, not per-session: each call to this builder runs the
+      // shingle job once and registers fresh checkpoints that the
+      // ContextCleaner reclaims after the frames are unreachable — sharing
+      // across invocations would need a memo like
+      // SimilarityOps.nearDupIndexMemo, a deliberate non-goal here since
+      // the gate invokes each query once per pass.)
       val sh0 = graft.PlanProbe.cut(docShingles(s, d))
       val ok = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select(col("s"))
-      val sh = sh0.join(ok, Seq("s"), "left_semi")
+      val sh = graft.PlanProbe.cut(sh0.join(ok, Seq("s"), "left_semi"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val a = sh.select(col("doc_id").as("doc_a"), col("s"))
       val b = sh.select(col("doc_id").as("doc_b"), col("s"))
