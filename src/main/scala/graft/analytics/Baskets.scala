@@ -317,24 +317,33 @@ object Baskets {
 
   /** U3: anti-membership — companies active overall but absent in the final
     * month (`tool.py:720-724` missing-companies scaffold step). */
-  private val qAnti = Q(
-    "q_anti_membership",
-    (s, d) => {
+  /** q_anti_membership frame with the distinct-grain cut A/B knob (round
+    * 18, VERDICT item 4); values identical either way — CutCrossoverProbe
+    * pins row equality and measures the crossover per operating point. */
+  private[graft] def antiMembershipFrame(s: SparkSession, d: String,
+      cut: Boolean): DataFrame = {
       // r17: all three frames (max month, last-month presence, overall
       // presence) derive from the (month, entity) distinct grain; the
       // relation is pruned to orders + supplier (RI join elimination).
-      val m = Tables.chunkRowsPruned(s, d, withOrders = true,
+      val m0 = Tables.chunkRowsPruned(s, d, withOrders = true,
         withSupplier = true)
         .select(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
           col("entity_name"))
         .distinct()
+      val m = if (cut) graft.PlanProbe.cut(m0) else m0
       val maxM = m.agg(max(col("month")).as("month"))
       val present = m.join(broadcast(maxM), Seq("month"))
         .select(col("entity_name")).distinct()
       m.select(col("entity_name")).distinct()
         .join(present, Seq("entity_name"), "left_anti")
         .orderBy(col("entity_name"))
-    },
+  }
+
+  private val qAnti = Q(
+    "q_anti_membership",
+    // size-gated cut (r18): sf0.1 wash, 7.39 → 6.03 s at ×10
+    // (CutCrossoverProbe; see Tables.beyondCutCrossover)
+    (s, d) => antiMembershipFrame(s, d, cut = Tables.beyondCutCrossover(s, d)),
     Some(
       s"""WITH ${Oracle.chunkCte},
          |m AS (SELECT strftime(timestamp_utc, '%Y-%m') AS month, entity_name
@@ -346,24 +355,33 @@ object Baskets {
 
   /** U4: membership filter via semi-join — chunks restricted to the top-5
     * entities by volume, recounted by document type. */
-  private val qSemi = Q(
-    "q_semi_membership",
-    (s, d) => {
+  /** q_semi_membership frame with the count-grain cut A/B knob (round 18,
+    * VERDICT item 4); values identical either way. */
+  private[graft] def semiMembershipFrame(s: SparkSession, d: String,
+      cut: Boolean): DataFrame = {
       // r17: both the top-5 ranking and the recount derive from the
       // (entity, document_type) count grain (the ranking is its per-entity
       // sum, the recount a semi-filter of it); the relation is pruned to
       // orders + supplier (RI join elimination).
-      val g = Tables.chunkRowsPruned(s, d,
+      val g0 = Tables.chunkRowsPruned(s, d,
         withOrders = true, withSupplier = true)
         .groupBy(col("entity_name"), col("document_type"))
         .agg(count(lit(1)).as("cnt"))
+      val g = if (cut) graft.PlanProbe.cut(g0) else g0
       val top5 = g.groupBy(col("entity_name"))
         .agg(sum(col("cnt")).as("cnt"))
         .orderBy(col("cnt").desc, col("entity_name")).limit(5)
         .select(col("entity_name"))
       g.join(broadcast(top5), Seq("entity_name"), "left_semi")
         .orderBy(col("entity_name"), col("document_type"))
-    },
+  }
+
+  private val qSemi = Q(
+    "q_semi_membership",
+    // size-gated cut (r18): the cut also won both sf0.1 probe windows
+    // (1.19 → 0.88 s best), but the shared policy keeps gate-scale
+    // behavior uniform across the five shapes; 2.61 → 1.79 s at ×10.
+    (s, d) => semiMembershipFrame(s, d, cut = Tables.beyondCutCrossover(s, d)),
     Some(
       s"""WITH ${Oracle.chunkCte},
          |top5 AS (
@@ -433,9 +451,10 @@ object Baskets {
     * and net exposure — one conditional-aggregation pass over the labeled
     * chunks, left-joined onto the scaffold, zero-filled.
     * Invariant: |rows| = |months| × |companies|. */
-  private val qExposurePanel = Q(
-    "q_exposure_panel",
-    (s, d) => {
+  /** q_exposure_panel frame with the counts-cut A/B knob (round 18,
+    * VERDICT item 4); values identical either way. */
+  private[graft] def exposurePanelFrame(s: SparkSession, d: String,
+      cut: Boolean): DataFrame = {
       // r17 (same values, same oracle): the month axis and the company dim
       // both derive from the counts aggregate (every labeled row lands in
       // a counts cell, and entity_name determines entity_sector — supplier
@@ -448,7 +467,7 @@ object Baskets {
       // re-executes the pruned corpus aggregate (ReusedExchange does not
       // fire; an explicit cut measured worse at gate scale — see the
       // q_scaffold_month_entity note).
-      val counts = lc
+      val counts0 = lc
         .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
           col("entity_name"))
         .agg(
@@ -457,6 +476,7 @@ object Baskets {
           Labeler.countOf(col("label"), "N").as("negative_exp"),
           max(when(col("label") === "N", col("headline"))).as("headline_neg"),
           max(col("entity_sector")).as("entity_sector"))
+      val counts = if (cut) graft.PlanProbe.cut(counts0) else counts0
       val months = counts
         .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
         .select(explode(sequence(
@@ -478,7 +498,15 @@ object Baskets {
           col("positive_exp"), col("negative_exp"), col("total_exposure"),
           col("net_exposure"), col("headline_pos"), col("headline_neg"))
         .orderBy(col("month"), col("entity_name"))
-    },
+  }
+
+  private val qExposurePanel = Q(
+    "q_exposure_panel",
+    // size-gated cut (r18): uncut at gate scale (the one shape where the
+    // sf0.1 probe shows a real uncut win, 3.66 vs 4.49 s), cut beyond the
+    // crossover (6.16 → 4.82 s at ×10, 9.31 → 7.62 s at ×25).
+    (s, d) =>
+      exposurePanelFrame(s, d, cut = Tables.beyondCutCrossover(s, d)),
     Some(
       s"""${Oracle.labeledCte},
          |bounds AS (

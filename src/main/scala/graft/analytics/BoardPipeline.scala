@@ -59,9 +59,15 @@ object BoardPipeline {
 
   private[graft] val Modes = Seq("relaxed", "relaxed_post", "strict")
 
-  private val qBoardPipeline = Q(
-    "q_board_pipeline",
-    (s, d) => {
+  /** The board pipeline frame with the counts-cut A/B knob (round 18,
+    * VERDICT item 4): `cut = true` lineage-cuts the per-(mode, quarter)
+    * counts aggregate — a DIMENSION-BOUNDED frame (≤ |quarters|·3 rows) —
+    * so the zero-fill join and the quarter axis read the materialization
+    * instead of each re-executing the pruned corpus aggregate. Values
+    * identical either way; CutCrossoverProbe pins row equality and
+    * measures the crossover per operating point. */
+  private[graft] def pipelineFrame(s: SparkSession, d: String,
+      cut: Boolean): org.apache.spark.sql.DataFrame = {
       import s.implicits._
       // Stages 1+2 fused at DOCUMENT grain (round 16, PipelineScaleStress
       // finding: the pre-r16 shape joined the doc-grain 'has-secondary'
@@ -122,16 +128,17 @@ object BoardPipeline {
       // prune different columns (the axis reads qd alone), specializing
       // the aggregate subtrees, so each consumer re-executes the pruned
       // corpus aggregate. An explicit lineage cut here was MEASURED WORSE
-      // at sf0.1 (best 3.43 s uncut vs 5.09 s cut, same session pair) —
-      // the checkpoint's fixed cost exceeds one pruned corpus pass at
-      // gate scale; at blowup scale the narrative precedent says the cut
-      // wins, so this is a round-18 crossover candidate, not a default.
+      // at sf0.1 (best 3.43 s uncut vs 5.09 s cut, r17); the r18
+      // crossover probe measured the cut winning from ×10 up, so the
+      // registered query gates it on corpus size (`cut` below,
+      // Tables.beyondCutCrossover).
       // The axis derives from counts, not kept: min/max quarter is the
       // same either way (every kept row lands in some counts cell).
-      val counts = kept
+      val counts0 = kept
         .groupBy(col("mode"), date_trunc("quarter", col("ts")).as("qd"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("kept_entity")).as("n_entities"))
+      val counts = if (cut) graft.PlanProbe.cut(counts0) else counts0
       val quarters = counts
         .agg(min(col("qd")).as("mn"), max(col("qd")).as("mx"))
         .select(explode(sequence(col("mn"), col("mx"),
@@ -146,7 +153,15 @@ object BoardPipeline {
           date_format(col("qd"), "yyyy-MM-dd").as("quarter_date"),
           col("mode"), col("n_docs"), col("n_entities"))
         .orderBy(col("mode"), col("quarter"))
-    },
+  }
+
+  private val qBoardPipeline = Q(
+    "q_board_pipeline",
+    // size-gated cut (r18): uncut at gate scale (r17 measured 3.43 s vs
+    // 5.09 s cut; this round's sf0.1 probe is a wash), cut beyond the
+    // measured ×10 crossover (15.1 → 10.7 s at ×10; CutCrossoverProbe,
+    // Tables.beyondCutCrossover).
+    (s, d) => pipelineFrame(s, d, cut = Tables.beyondCutCrossover(s, d)),
     Some {
       val modesList = Modes.map(Oracle.sqlLit).mkString(", ")
       s"""WITH ${Oracle.chunkCte},

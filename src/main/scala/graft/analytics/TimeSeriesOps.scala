@@ -182,9 +182,15 @@ object TimeSeriesOps {
     * Months from sequence(min..max); the scaffold side is tiny relative to the
     * fact table, so the left join broadcasts the counts' dimension at scale.
     * Invariant under test: |rows| = |months| × |entities|. */
-  private val qScaffold = Q(
-    "q_scaffold_month_entity",
-    (s, d) => {
+  /** The scaffold frame with the counts-cut A/B knob (round 18, VERDICT
+    * item 4): `cut = true` lineage-cuts the (month, entity) counts
+    * aggregate — a DIMENSION-BOUNDED frame — so its three consumers read
+    * the materialization instead of each re-executing the pruned corpus
+    * pass. Values identical either way (the cut is a materialization
+    * boundary, not a semantic change); CutCrossoverProbe pins row equality
+    * and measures the crossover per operating point. */
+  private[graft] def scaffoldFrame(s: SparkSession, d: String,
+      cut: Boolean): DataFrame = {
       // r17 (same values, same oracle): the month axis and the entity set
       // both derive from the counts aggregate — every chunk row lands in
       // some counts cell, so min/max month and the distinct entity set are
@@ -195,14 +201,15 @@ object TimeSeriesOps {
       // (r17 plan dump) — each consumer re-executes the PRUNED corpus
       // pass. An explicit lineage cut was measured WORSE at sf0.1 (best
       // 1.33 s uncut vs 2.29 s cut, same session pair): checkpoint fixed
-      // cost exceeds a pruned pass at gate scale. Round-18 crossover
-      // candidate for blowup scale. The relation is pruned to the
-      // orders + supplier dims the query reads (join elimination by RI).
-      val counts =
+      // cost exceeds a pruned pass at gate scale. The relation is pruned
+      // to the orders + supplier dims the query reads (join elimination
+      // by RI).
+      val counts0 =
         Tables.chunkRowsPruned(s, d, withOrders = true, withSupplier = true)
           .groupBy(date_format(col("timestamp_utc"), "yyyy-MM").as("month"),
             col("entity_name"))
           .agg(count(lit(1)).as("cnt"))
+      val counts = if (cut) graft.PlanProbe.cut(counts0) else counts0
       val months = counts
         .agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
         .select(explode(sequence(
@@ -215,7 +222,15 @@ object TimeSeriesOps {
         .join(counts, Seq("month", "entity_name"), "left")
         .na.fill(0, Seq("cnt"))
         .orderBy(col("month"), col("entity_name"))
-    },
+  }
+
+  private val qScaffold = Q(
+    "q_scaffold_month_entity",
+    // size-gated cut (r18): uncut at gate scale (the r17 measurement —
+    // 1.33 s vs 2.29 s cut — and this round's sf0.1 wash), cut beyond the
+    // measured ×10 crossover (3.60 → 2.73 s at ×10, 6.44 → 3.85 s at ×25;
+    // CutCrossoverProbe, Tables.beyondCutCrossover).
+    (s, d) => scaffoldFrame(s, d, cut = Tables.beyondCutCrossover(s, d)),
     Some(
       s"""WITH ${Oracle.chunkCte},
          |bounds AS (

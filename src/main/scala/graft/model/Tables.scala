@@ -373,4 +373,46 @@ object Tables {
         s"documents table at $d is empty — no doc_id to key text assignment")
       row.getLong(0) + 1
     })
+
+  /** Conf key for the lineage-cut crossover threshold (bytes of on-disk
+    * fact table); see [[beyondCutCrossover]]. */
+  val CutCrossoverBytesKey = "spark.graft.cutCrossoverBytes"
+
+  /** Default crossover: ~6× the sf0.1 gate corpus (lineitem ≈ 11 MB
+    * there), safely below the ×10 blowup (≈ 108 MB) where the cut's win
+    * is measured. */
+  private val DefaultCutCrossoverBytes = 64L * 1024 * 1024
+
+  /** On-disk bytes of the fact table (`lineitem.parquet`, file or
+    * directory), memoized per sfDir — one filesystem stat per corpus, not
+    * per query construction. */
+  private val factBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def factBytes(s: SparkSession, d: String): Long =
+    factBytesCache.computeIfAbsent(d, dir => {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      java.lang.Long.valueOf(fs.getContentSummary(p).getLength)
+    })
+
+  /** The measured lineage-cut crossover policy (round 18,
+    * CutCrossoverProbe + BASELINE.md): cutting a shared DIMENSION-BOUNDED
+    * frame (scaffold/exposure/board counts, semi/anti membership grains)
+    * is a wash or a small loss at gate scale — the checkpoint's fixed job
+    * cost rivals re-running 1-2 PRUNED corpus passes — and wins 1.2-1.5×
+    * from the ×10 uniform blowup up, where each re-run pass re-scans a
+    * corpus that no longer fits the page cache. The cut is therefore
+    * gated on the fact table's on-disk size: below the threshold the
+    * frame passes through uncut (the round-17 registered shapes, keeping
+    * the sf0.1 bench round-over-round comparable), above it the consumer
+    * wraps the frame in [[graft.PlanProbe.cut]]. Values are identical
+    * either way — the cut is a materialization boundary, not a semantic
+    * change (CutCrossoverProbe pins row equality at every operating
+    * point) — so the policy can be size-adaptive without touching any
+    * oracle. Unlike election's REJECTED corpus-fraction cut, every frame
+    * under this policy is dimension-bounded, so the materialization
+    * cannot grow with corpus volume. */
+  private[graft] def beyondCutCrossover(s: SparkSession, d: String): Boolean =
+    factBytes(s, d) >= s.conf.get(CutCrossoverBytesKey,
+      DefaultCutCrossoverBytes.toString).toLong
 }
