@@ -206,8 +206,16 @@ object MarketPipeline {
       // weekly counts all re-read it — without the cut the search scan +
       // dedup shuffle execute three times in one plan. The frame is tiny
       // (watchlist × date-range slice of the corpus), the cheapest thing
-      // in the pipeline to hold; plan-only sweeps skip the cut (identity)
-      val labeled = graft.PlanProbe.cut(labeledSearch(s, d))
+      // in the pipeline to hold; plan-only sweeps skip the cut (identity).
+      // r18 (guide §2.3, project before materializing): the three
+      // consumers read FOUR columns — entity_name, entity_sector,
+      // timestamp_utc, label — so the cut materializes exactly those
+      // instead of the full frame (text/masked_text/headline/motivation
+      // never survive the stage-5/6 aggregates). Label computation is
+      // unchanged; the projection only narrows the checkpoint blocks.
+      val labeled = graft.PlanProbe.cut(labeledSearch(s, d)
+        .select(col("entity_name"), col("entity_sector"),
+          col("timestamp_utc"), col("label")))
       // stage 5: basket — exposure counts, shares, net, top-k
       val basket = labeled
         .groupBy(col("entity_name"), col("entity_sector"))

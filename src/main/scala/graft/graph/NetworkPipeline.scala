@@ -89,8 +89,17 @@ object NetworkPipeline {
     // in one plan (bench best 5.24 s uncut → 2.03 s cut at sf0.1,
     // pre-InSet watchlist rendering; both arms cheaper since). The frame is the
     // tiny watchlist × date-range slice; plan-only sweeps skip the cut.
+    // r18 (guide §2.3, project before materializing): the graph arm reads
+    // THREE columns — document_id, entity_name, label — so the cut
+    // materializes exactly those instead of the full labeled frame
+    // (text + masked_text + headline + motivation… — the heavy string
+    // payload of the mask/label stages, ~10× the bytes, none of it read
+    // downstream). The label computation itself is unchanged: the
+    // projection sits AFTER labelColOn/guarded, it just stops their
+    // inputs from riding into the checkpoint blocks.
     val labeled = graft.PlanProbe.cut(
-      MarketPipeline.labeledSearch(s, d, NetworkWatchlist))
+      MarketPipeline.labeledSearch(s, d, NetworkWatchlist)
+        .select(col("document_id"), col("entity_name"), col("label")))
     def role(label: String, suffix: String): DataFrame = {
       val rows = labeled.filter(col("label") === label)
         .select(col("document_id"),
