@@ -23,9 +23,35 @@ object Baskets {
     * negative exposure counts per company, sector info attached from the
     * unioned frames, exemplar headline, percentage shares, net exposure,
     * top-10 by total. */
-  private val qBasket = Q(
-    "q_basket",
-    (s, d) => {
+  /** The basket's per-entity aggregate in its two measured shapes (round
+    * 18, VERDICT item 5). `twoLevel = false` is the one-level conditional
+    * aggregate: its exchange carries only per-partition partials
+    * (≤ partitions × |entities| rows — dimension-bounded, the 100 TB
+    * shape), but the string exemplar buffers (`max(when(P, headline))`,
+    * `max(entity_sector)`) demote it to Sort+SortAggregate — a local
+    * per-partition sort of the whole P∪N slice. `twoLevel = true` first
+    * hash-aggregates at (entity, sector, exemplar-headline) grain —
+    * strings as GROUP KEYS (allowed in a HashAggregate) rather than
+    * buffers — then finishes with a SortAggregate over the reduced grain.
+    * Interleaved A/B at sf0.1: two-level 2.12 s vs one-level 2.82 s
+    * (25%); at ×10 it is a wash (2.56 vs 2.50) and the trend inverts —
+    * the two-level's first exchange keys on the near-doc-grain exemplar,
+    * so it shuffles corpus-proportional rows where the one-level shuffles
+    * dimension-bounded partials. Same crossover band as the lineage-cut
+    * policy, so the registered query reuses Tables.beyondCutCrossover.
+    * Values identical (both arms pinned row-equal in CutCrossoverSpec and
+    * against the unchanged oracle).
+    *
+    * The VERDICT-suggested `max_by(struct(fixed-width))` re-encoding was
+    * REFUTED mechanically: max/max_by are declarative aggregates and a
+    * struct buffer is not UnsafeRow-mutable, so the operator stays a
+    * SortAggregate; only a single fixed-width scalar buffer would
+    * hash-aggregate, and an exact scalar encoding of the headline's
+    * decimal-string lexicographic order needs an orderkey-width contract
+    * plus per-digit extraction — more contract surface than the measured
+    * delta is worth (the board r17 precedent). */
+  private[graft] def basketAggregate(s: SparkSession, d: String,
+      twoLevel: Boolean): DataFrame = {
       // r17: ONE corpus pass instead of three (pos / neg / sectorInfo each
       // re-scanned the star join; no exchange reuse — the pre-aggregation
       // filters differ). All three sides are per-entity aggregates over the
@@ -41,14 +67,31 @@ object Baskets {
       // by the same oracle.
       val lc = Labeler.withStubLabels(Tables.chunkRowsPruned(s, d,
         withOrders = true, withSupplier = true, withText = true))
-      lc.filter(col("label").isin("P", "N"))
-        .groupBy(col("entity_name"))
-        .agg(
-          Labeler.countOf(col("label"), "P").as("positive_exp"),
-          Labeler.countOf(col("label"), "N").as("negative_exp"),
-          max(when(col("label") === "P", col("headline")))
-            .as("exemplar_headline"),
-          max(col("entity_sector")).as("entity_sector"))
+      val slice = lc.filter(col("label").isin("P", "N"))
+      val agged =
+        if (twoLevel)
+          slice
+            .groupBy(col("entity_name"), col("entity_sector"),
+              when(col("label") === "P", col("headline")).as("hp"))
+            .agg(
+              Labeler.countOf(col("label"), "P").as("p"),
+              Labeler.countOf(col("label"), "N").as("n"))
+            .groupBy(col("entity_name"))
+            .agg(
+              sum(col("p")).as("positive_exp"),
+              sum(col("n")).as("negative_exp"),
+              max(col("hp")).as("exemplar_headline"),
+              max(col("entity_sector")).as("entity_sector"))
+        else
+          slice
+            .groupBy(col("entity_name"))
+            .agg(
+              Labeler.countOf(col("label"), "P").as("positive_exp"),
+              Labeler.countOf(col("label"), "N").as("negative_exp"),
+              max(when(col("label") === "P", col("headline")))
+                .as("exemplar_headline"),
+              max(col("entity_sector")).as("entity_sector"))
+      agged
         .filter(col("positive_exp") > 0)
         .withColumn("total_exposure", col("positive_exp") + col("negative_exp"))
         .withColumn("positive_pct",
@@ -62,7 +105,14 @@ object Baskets {
           col("negative_pct"), col("net_exposure"), col("exemplar_headline"))
         .orderBy(col("total_exposure").desc, col("entity_name"))
         .limit(10)
-    },
+  }
+
+  private val qBasket = Q(
+    "q_basket",
+    // two-level (hash) below the measured crossover, one-level
+    // (dimension-bounded exchange) above it — see basketAggregate
+    (s, d) =>
+      basketAggregate(s, d, twoLevel = !Tables.beyondCutCrossover(s, d)),
     Some(
       s"""${Oracle.labeledCte},
          |pos AS (

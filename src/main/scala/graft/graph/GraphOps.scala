@@ -53,9 +53,19 @@ object GraphOps {
     // input larger than the per-label filters here (measured 2.51 s best
     // vs 2.0 steady at sf0.1). The two-pass shape keeps each side's
     // pre-aggregation filter tight.
+    // r18 (§4): headline rides the GROUP KEY instead of a max() buffer.
+    // headline is a function of document_id (it is derived from the
+    // document's unique orders row — o_orderkey uniqueness is pinned in
+    // TableContractSpec), so grouping by (document, src, headline) yields
+    // exactly the (document, src) groups and max(headline) within a group
+    // is the group's own headline. The payoff: group keys may be strings
+    // in a HashAggregate, but a declarative max(STRING) buffer may not —
+    // it demoted this corpus-slice aggregate to Sort+SortAggregate on
+    // both sides of the exchange.
     val prov = lc.filter(col("label") === "P")
-      .groupBy(col("document_id"), col("entity_name").as("src"))
-      .agg(count(lit(1)).as("n_p"), max(col("headline")).as("max_headline"))
+      .groupBy(col("document_id"), col("entity_name").as("src"),
+        col("headline").as("max_headline"))
+      .agg(count(lit(1)).as("n_p"))
     val user = lc.filter(col("label") === "A")
       .groupBy(col("document_id"), col("entity_name").as("dst"))
       .agg(count(lit(1)).as("n_a"))

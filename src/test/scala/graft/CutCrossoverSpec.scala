@@ -68,4 +68,9 @@ class CutCrossoverSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.analytics.Baskets.antiMembershipFrame)
   assertCutNeutral("q_board_pipeline",
     graft.analytics.BoardPipeline.pipelineFrame)
+
+  // The basket's size-gated aggregate shape (VERDICT item 5) rides the
+  // same crossover policy: pin the two arms row-identical the same way.
+  assertCutNeutral("q_basket (one- vs two-level aggregate)",
+    graft.analytics.Baskets.basketAggregate)
 }
