@@ -33,14 +33,17 @@ object Baskets {
     * hash-aggregates at (entity, sector, exemplar-headline) grain —
     * strings as GROUP KEYS (allowed in a HashAggregate) rather than
     * buffers — then finishes with a SortAggregate over the reduced grain.
-    * Interleaved A/B at sf0.1: two-level 2.12 s vs one-level 2.82 s
-    * (25%); at ×10 it is a wash (2.56 vs 2.50) and the trend inverts —
-    * the two-level's first exchange keys on the near-doc-grain exemplar,
-    * so it shuffles corpus-proportional rows where the one-level shuffles
-    * dimension-bounded partials. Same crossover band as the lineage-cut
-    * policy, so the registered query reuses Tables.beyondCutCrossover.
-    * Values identical (both arms pinned row-equal in CutCrossoverSpec and
-    * against the unchanged oracle).
+    * MEASURED AND REJECTED (r18): a noop-sunk fragment A/B in a contended
+    * window favored the two-level 25% at sf0.1, but the registered-form
+    * interleaved count() A/B in a clean window inverted it decisively
+    * (one-level 1.12 s vs two-level 1.62 s best-of-4; the bench agreed,
+    * 1.49 → 2.11 s) — the two-level's extra near-doc-grain exchange costs
+    * more than the one-level's local sort, and at scale it shuffles
+    * corpus-proportional rows where the one-level shuffles
+    * dimension-bounded partials (×10 A/B: wash, trend inverting). The
+    * registered query is one-level everywhere; the knob stays for the
+    * A/B record. Values identical (both arms pinned row-equal in
+    * CutCrossoverSpec and against the unchanged oracle).
     *
     * The VERDICT-suggested `max_by(struct(fixed-width))` re-encoding was
     * REFUTED mechanically: max/max_by are declarative aggregates and a
@@ -109,10 +112,15 @@ object Baskets {
 
   private val qBasket = Q(
     "q_basket",
-    // two-level (hash) below the measured crossover, one-level
-    // (dimension-bounded exchange) above it — see basketAggregate
-    (s, d) =>
-      basketAggregate(s, d, twoLevel = !Tables.beyondCutCrossover(s, d)),
+    // one-level EVERYWHERE (r18 negative result): a noop-sunk fragment
+    // A/B in a contended window showed the two-level hash form winning
+    // 25% at sf0.1, but the REGISTERED-form interleaved count() A/B in a
+    // clean window refuted it decisively (one-level 1.12 s vs two-level
+    // 1.62 s best-of-4, matching a 1.49→2.11 bench regression) — the
+    // two-level's extra near-doc-grain exchange costs more than the
+    // one-level's local sort at every operating point measured. The
+    // knob + CutCrossoverSpec pin stay as the record.
+    (s, d) => basketAggregate(s, d, twoLevel = false),
     Some(
       s"""${Oracle.labeledCte},
          |pos AS (
