@@ -252,8 +252,7 @@ object Relational {
       val l = Tables.lineitem(s, d)
       val doc = Tables.documents(s, d)
       l.join(doc.select(col("doc_id"), md5(col("text")).as("text_md5")),
-          pmod(col("l_orderkey") * 7 + col("l_linenumber"),
-            lit(Tables.docCount(s, d))) === col("doc_id"))
+          Tables.docJoinCond(s, d))
         .groupBy(col("l_orderkey"), col("text_md5"), col("l_suppkey"))
         .agg(min(col("l_linenumber")).as("min_ln"))
         .select(

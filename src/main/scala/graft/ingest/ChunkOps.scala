@@ -538,8 +538,7 @@ object ChunkOps {
       val isPart = col("text").contains("part")
       val g = Tables.lineitem(s, d)
         .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
-          pmod(col("l_orderkey") * 7 + col("l_linenumber"),
-            lit(Tables.docCount(s, d))) === col("doc_id"))
+          Tables.docJoinCond(s, d))
         .groupBy(col("l_orderkey"))
         .agg(
           sum(when(isCust && isPart, 1L).otherwise(0L)).as("n_cp"),

@@ -191,9 +191,7 @@ object Tables {
       // deterministic text assignment; |documents| scales with SF so the key
       // is taken modulo the actual corpus size (same expression in the oracle)
       df = df.join(documents(s, d).select(col("doc_id"), col("text"),
-        col("lang")),
-        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(docCount(s, d)))
-          === col("doc_id"))
+        col("lang")), docJoinCond(s, d))
     val cols = Seq(
       if (withOrders) Seq(col("o_orderdate").as("timestamp_utc")) else Nil,
       Seq(
@@ -346,9 +344,7 @@ object Tables {
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      .join(doc.select(col("doc_id"), col("text")),
-        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(docCount(s, d)))
-          === col("doc_id"))
+      .join(doc.select(col("doc_id"), col("text")), docJoinCond(s, d))
       .select(
         concat(col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string")).as("sentence_id"),
@@ -357,6 +353,17 @@ object Tables {
         col("r_name").as("entity_industry"),
         col("text"))
   }
+
+  /** The deterministic chunk-text assignment join: chunk (l_orderkey,
+    * l_linenumber) reads the documents row keyed
+    * `pmod(l_orderkey·7 + l_linenumber, |documents|)`. ONE definition for
+    * every Spark-side consumer — [[chunkRowsPruned]], the flagship entry
+    * relation, `q_dedup_exact`, `q_search_modes` — so the assignment
+    * contract cannot drift between call sites (r17 ADVICE item 1); its
+    * DuckDB twin is the text join inside [[graft.Oracle.chunkCte]]. */
+  def docJoinCond(s: SparkSession, d: String): org.apache.spark.sql.Column =
+    pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(docCount(s, d))) ===
+      col("doc_id")
 
   /** Corpus size for the deterministic text-assignment key; an eager tiny
     * aggregate (single-column scan of a dimension table), memoized per sfDir

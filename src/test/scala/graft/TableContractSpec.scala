@@ -154,6 +154,46 @@ class TableContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // The pruned-equality family above compares chunkRowsPruned subsets
+  // against chunkRows — which since r17 DELEGATES to chunkRowsPruned, so a
+  // bug in a SHARED column derivation (document_id from l_orderkey, the
+  // sentence_id concat, the text-assignment key) would be invisible to
+  // pruned-vs-pruned comparison and surface only at the oracle gate. This
+  // pins a handful of chunkRows columns against an INDEPENDENTLY
+  // constructed join — raw table joins and inline expressions, no shared
+  // builder code (r17 ADVICE item 3).
+  test("chunkRows columns match an independently-constructed join at " +
+      "sf0.001") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val nDocs = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).head().getLong(0) + 1
+    val indep = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.documents(spark, dir),
+        pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(nDocs))
+          === col("doc_id"))
+      .select(
+        col("l_orderkey").cast("string").as("document_id"),
+        concat(col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string")).as("sentence_id"),
+        concat(col("o_orderpriority"), lit(" order "),
+          col("o_orderkey").cast("string")).as("headline"),
+        col("s_name").as("entity_name"),
+        col("text"))
+    val pcols = Seq("document_id", "sentence_id", "headline", "entity_name",
+      "text")
+    def canon(df: DataFrame): Array[String] =
+      df.select(pcols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).sorted
+    assert(canon(Tables.chunkRows(spark, dir)).sameElements(canon(indep)),
+      "chunkRows diverged from the independently-constructed join — a " +
+        "shared column derivation in chunkRowsPruned is wrong")
+  }
+
   // Data contracts individual r17 rewrites lean on, pinned at every SF so a
   // generator change fails here by name:
   //  - single-digit l_linenumber licenses q_dedup_exact's numeric
@@ -162,7 +202,16 @@ class TableContractSpec extends AnyFunSuite with BeforeAndAfterAll {
   //    keys (o_orderdate is single-valued per document);
   //  - unique s_name licenses q_basket's max(entity_sector) ≡ the
   //    sector-info indicator join (entity_name determines entity_sector).
-  for (dir <- sfs) {
+  // The dir list additionally honors $SPARK_GRAFT_SF_DIR (r17 ADVICE
+  // item 2): when the driver points bench/verify at a corpus outside the
+  // fixed three, the cheap contract probes run THERE too, so a contract
+  // break fails loudly at the scale actually run instead of shipping
+  // wrong rows to the oracle.
+  private val contractDirs = (sfs ++ sys.env.get("SPARK_GRAFT_SF_DIR")
+    .filter(d => java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(d)))).distinct
+
+  for (dir <- contractDirs) {
     test(s"r17 rewrite data contracts hold at ${dir.split('/').last}") {
       import org.apache.spark.sql.functions._
       val ln = Tables.lineitem(spark, dir)
